@@ -1,0 +1,130 @@
+"""Slippy-map / Web-Mercator tile math, vectorized numpy, from scratch.
+
+Semantics match the reference's mercantile usage (robosat/tiles.py:34-42,
+robosat/tools/cover.py:30, robosat/tools/rasterize.py:80) via the
+closed-form slippy formulas:
+
+    x = 2^z * (lon + 180) / 360
+    y = 2^z * (1 - asinh(tan(lat_rad)) / pi) / 2
+
+The engine's native vertical coordinate is the *normalized mercator y*
+``my`` in [0, 1) (my = y / 2^z at any zoom), which makes tile
+assignment pure linear math: ty = floor(my * 2^z).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+WEB_MERCATOR_R = 6378137.0  # WGS84 spherical radius used by EPSG:3857
+
+
+def lat_to_my(lat_deg):
+    """Geodetic latitude (deg) -> normalized mercator y in [0, 1].
+
+    my = (1 - asinh(tan(lat)) / pi) / 2 ; 0 at +85.051°, 1 at -85.051°.
+    """
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    return (1.0 - np.arcsinh(np.tan(lat)) / np.pi) / 2.0
+
+
+def my_to_lat(my):
+    """Normalized mercator y -> geodetic latitude in degrees."""
+    my = np.asarray(my, dtype=np.float64)
+    return np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * my))))
+
+
+def lon_to_mx(lon_deg):
+    """Longitude (deg) -> normalized mercator x in [0, 1)."""
+    return (np.asarray(lon_deg, dtype=np.float64) + 180.0) / 360.0
+
+
+def mx_to_lon(mx):
+    return np.asarray(mx, dtype=np.float64) * 360.0 - 180.0
+
+
+def lonmy_to_tile(lon, my, z: int):
+    """(lon deg, normalized mercator y) -> integer tile (tx, ty) at zoom z.
+
+    Written with the exact op sequence mirrored in the DuckDB oracle:
+    tx = floor((lon + 180.0) / 360.0 * 2^z), ty = floor(my * 2^z).
+    Clamps to the valid tile range (edge values my=1.0, lon=180.0).
+    """
+    n = float(1 << z)
+    lon = np.asarray(lon, dtype=np.float64)
+    my = np.asarray(my, dtype=np.float64)
+    tx = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    ty = np.floor(my * n).astype(np.int64)
+    hi = (1 << z) - 1
+    return np.clip(tx, 0, hi), np.clip(ty, 0, hi)
+
+
+def lonlat_to_tile(lon, lat, z: int):
+    """Geodetic (lon, lat) -> tile, matching mercantile.tile semantics."""
+    return lonmy_to_tile(lon, lat_to_my(lat), z)
+
+
+def tile_bounds_lonmy(tx, ty, z: int):
+    """Tile -> (west_lon, north_my, east_lon, south_my) in engine coords."""
+    n = float(1 << z)
+    tx = np.asarray(tx, dtype=np.float64)
+    ty = np.asarray(ty, dtype=np.float64)
+    west = tx / n * 360.0 - 180.0
+    east = (tx + 1.0) / n * 360.0 - 180.0
+    north = ty / n
+    south = (ty + 1.0) / n
+    return west, north, east, south
+
+
+def tile_bounds_lonlat(tx, ty, z: int):
+    """Tile -> (west, south, east, north) geodetic degrees.
+
+    Matches mercantile.bounds as used at reference robosat/tiles.py:34.
+    """
+    west, north_my, east, south_my = tile_bounds_lonmy(tx, ty, z)
+    return west, my_to_lat(south_my), east, my_to_lat(north_my)
+
+
+def pixel_to_lonmy(tx, ty, z: int, dx, dy):
+    """Fractional pixel offset (dx, dy in [0,1], origin top-left) inside a
+    tile -> (lon, my). Reference semantics: robosat/tiles.py:19-42
+    (pixel_to_location lerps inside tile bounds)."""
+    n = float(1 << z)
+    lon = (np.asarray(tx, np.float64) + np.asarray(dx, np.float64)) / n * 360.0 - 180.0
+    my = (np.asarray(ty, np.float64) + np.asarray(dy, np.float64)) / n
+    return lon, my
+
+
+def cell_id(tx, ty, z: int):
+    """Pack (tx, ty) at zoom z into one int64: tx * 2^z + ty."""
+    return np.asarray(tx, dtype=np.int64) * np.int64(1 << z) + np.asarray(ty, dtype=np.int64)
+
+
+def cell_to_tile(cell, z: int):
+    cell = np.asarray(cell, dtype=np.int64)
+    n = np.int64(1 << z)
+    return cell // n, cell % n
+
+
+def tile_range(minx, miny, maxx, maxy, z: int):
+    """Bounding box in (lon, my) -> inclusive integer tile ranges.
+
+    Replaces supermercado.burntiles.burn cover (reference
+    robosat/tools/cover.py:30) for bbox cover: the set of tiles a bbox
+    touches is the full (tx0..tx1) x (ty0..ty1) range.
+    """
+    tx0, ty0 = lonmy_to_tile(minx, miny, z)
+    tx1, ty1 = lonmy_to_tile(maxx, maxy, z)
+    return tx0, ty0, tx1, ty1
+
+
+def k_ring(tx: int, ty: int, z: int, k: int = 1):
+    """All tiles within Chebyshev distance k (the 8-neighborhood for k=1).
+
+    Reference analog: adjacent-tile lookup at robosat/tiles.py:139-227.
+    Clipped to the tile grid (no wraparound; matches reference behavior
+    of treating missing neighbors as nodata)."""
+    hi = (1 << z) - 1
+    xs = range(max(0, tx - k), min(hi, tx + k) + 1)
+    ys = range(max(0, ty - k), min(hi, ty + k) + 1)
+    return [(x, y) for x in xs for y in ys]

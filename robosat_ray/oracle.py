@@ -1,0 +1,135 @@
+"""DuckDB oracle SQL, mirroring the engine's deterministic synthesis
+EXACTLY (same integer hash chains, same IEEE op order — verified
+bit-identical numpy vs DuckDB). Single source of truth for the SQL
+fragments used by __ray_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from robosat_ray import constants as C
+
+_CITY_LON = "[" + ", ".join(repr(v) for v in C.CITY_LON) + "]"
+_CITY_MY = "[" + ", ".join(repr(v) for v in C.CITY_MY) + "]"
+_N = float(1 << C.Z_JOIN)  # 4096.0
+_NI = 1 << C.Z_JOIN
+
+
+def points_cte() -> str:
+    """Derived page-points table from `documents` (mirrors
+    synth.pages.page_coords + constants)."""
+    return f"""
+pts AS (
+  SELECT doc_id,
+         '{C.URL_PREFIX}' || doc_id AS url,
+         CASE WHEN doc_id % 10 < 6 THEN
+           list_extract({_CITY_LON}, CAST(doc_id % 8 AS INTEGER) + 1)
+             + (((doc_id * {C.H1_MUL}) % {C.MOD32}) / {float(C.MOD32)!r} - 0.5) * {C.CITY_LON_SPAN!r}
+         ELSE ((doc_id * {C.H1_MUL}) % {C.MOD32}) / {float(C.MOD32)!r} * 360.0 - 180.0 END AS lon,
+         CASE WHEN doc_id % 10 < 6 THEN
+           list_extract({_CITY_MY}, CAST(doc_id % 8 AS INTEGER) + 1)
+             + (((doc_id * {C.H2_MUL} + {C.H2_ADD}) % {C.MOD32}) / {float(C.MOD32)!r} - 0.5) * {C.CITY_MY_SPAN!r}
+         ELSE {C.BG_MY_LO!r} + ((doc_id * {C.H2_MUL} + {C.H2_ADD}) % {C.MOD32}) / {float(C.MOD32)!r} * {C.BG_MY_RANGE!r} END AS my
+  FROM documents
+)"""
+
+
+def feet_cte() -> str:
+    """Derived footprint-rect table from `part` (mirrors
+    synth.footprints.footprint_rects)."""
+    return f"""
+feet AS (
+  SELECT p_partkey AS feature_id,
+         list_extract(['building', 'road', 'water', 'parking'], CAST(p_partkey % 4 AS INTEGER) + 1) AS kind,
+         cx - hw AS minx, cy - hh AS miny, cx + hw AS maxx, cy + hh AS maxy
+  FROM (
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 10 < 6 THEN
+             list_extract({_CITY_LON}, CAST(p_partkey % 8 AS INTEGER) + 1)
+               + (((p_partkey * {C.G1_MUL} + {C.G1_ADD}) % {C.MOD32}) / {float(C.MOD32)!r} - 0.5) * {C.CITY_LON_SPAN!r}
+           ELSE ((p_partkey * {C.G1_MUL} + {C.G1_ADD}) % {C.MOD32}) / {float(C.MOD32)!r} * 360.0 - 180.0 END AS cx,
+           CASE WHEN p_partkey % 10 < 6 THEN
+             list_extract({_CITY_MY}, CAST(p_partkey % 8 AS INTEGER) + 1)
+               + (((p_partkey * {C.G2_MUL} + {C.G2_ADD}) % {C.MOD32}) / {float(C.MOD32)!r} - 0.5) * {C.CITY_MY_SPAN!r}
+           ELSE {C.BG_MY_LO!r} + (((p_partkey * {C.G2_MUL} + {C.G2_ADD}) % {C.MOD32}) / {float(C.MOD32)!r}) * {C.BG_MY_RANGE!r} END AS cy,
+           {C.FOOT_HW_BASE!r} + (p_size % 10) * {C.FOOT_HW_STEP!r} AS hw,
+           {C.FOOT_HH_BASE!r} + (p_size % 10) * {C.FOOT_HH_STEP!r} AS hh
+    FROM part
+  )
+)"""
+
+
+def tile_x(expr: str) -> str:
+    return f"CAST(floor(({expr} + 180.0) / 360.0 * {_N!r}) AS BIGINT)"
+
+
+def tile_y(expr: str) -> str:
+    return f"CAST(floor({expr} * {_N!r}) AS BIGINT)"
+
+
+def cell(lon_expr: str, my_expr: str) -> str:
+    return f"({tile_x(lon_expr)} * {_NI} + {tile_y(my_expr)})"
+
+
+EXTRACT_TEXT = f"""
+SELECT '{C.URL_PREFIX}' || doc_id AS url, text FROM documents
+"""
+
+TILE_ASSIGN = f"""
+WITH {points_cte()}
+SELECT url, doc_id, {tile_x('lon')} AS tile_x, {tile_y('my')} AS tile_y,
+       {cell('lon', 'my')} AS cell
+FROM pts
+"""
+
+COVER = f"""
+WITH {feet_cte()}
+SELECT DISTINCT
+  {tile_x('f.minx')} + gx.i AS tile_x,
+  {tile_y('f.miny')} + gy.j AS tile_y
+FROM feet f
+CROSS JOIN generate_series(0, 8) gx(i)
+CROSS JOIN generate_series(0, 8) gy(j)
+WHERE gx.i <= {tile_x('f.maxx')} - {tile_x('f.minx')}
+  AND gy.j <= {tile_y('f.maxy')} - {tile_y('f.miny')}
+"""
+
+SPATIAL_JOIN = f"""
+WITH {points_cte()}, {feet_cte()}
+SELECT p.url, p.doc_id, f.feature_id, f.kind, {cell('p.lon', 'p.my')} AS cell
+FROM pts p JOIN feet f
+  ON p.lon >= f.minx AND p.lon <= f.maxx AND p.my >= f.miny AND p.my <= f.maxy
+"""
+
+JOIN_AGG = f"""
+WITH {points_cte()}, {feet_cte()}
+SELECT f.kind, COUNT(*) AS n_hits, COUNT(DISTINCT p.doc_id) AS n_docs
+FROM pts p JOIN feet f
+  ON p.lon >= f.minx AND p.lon <= f.maxx AND p.my >= f.miny AND p.my <= f.maxy
+GROUP BY f.kind
+"""
+
+KNN = f"""
+WITH {points_cte()}
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.doc_id
+           ORDER BY (p.lon - q.lon) * (p.lon - q.lon)
+                  + ((p.my - q.my) * 360.0) * ((p.my - q.my) * 360.0),
+                    p.doc_id
+         ) AS rank
+  FROM pts q, pts p
+  WHERE q.doc_id % {C.KNN_STRIDE} = 0 AND p.doc_id <> q.doc_id
+) WHERE rank <= {C.KNN_K}
+"""
+
+EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+TOKEN_COUNT = """
+SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+       length(text) AS n_chars
+FROM documents
+"""

@@ -1,0 +1,107 @@
+"""Driver-facing query registry: each entry is a callable
+(sf_dir) -> Dataset, paired 1:1 with an oracle SQL string in
+robosat_ray/oracle.py. Used by __ray_entry__.queries().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from robosat_ray import constants as C
+from robosat_ray import oracle
+from robosat_ray.pipelines.flagship import flagship, points_dataset
+from robosat_ray.stages.cover import cover_tiles
+from robosat_ray.stages.extract_text import add_extract_text
+from robosat_ray.stages.knn import knn_match
+from robosat_ray.stages.text_ops import exact_dedup_groups, token_counts
+from robosat_ray.synth.footprints import footprints_dataset
+from robosat_ray.synth.pages import page_coords, pages_dataset
+
+
+def q_extract_text(sf_dir: str):
+    """pages.html -> text, byte-identical per url (BASELINE invariant)."""
+    pages = pages_dataset(sf_dir, drop_golden_text=True)
+    return add_extract_text(pages).select_columns(["url", "text"])
+
+
+def q_tile_assign(sf_dir: str):
+    return points_dataset(sf_dir).select_columns(
+        ["url", "doc_id", "tile_x", "tile_y", "cell"]
+    )
+
+
+def q_cover(sf_dir: str):
+    return cover_tiles(footprints_dataset(sf_dir))
+
+
+def q_spatial_join(sf_dir: str):
+    return flagship(sf_dir, through_html=False)
+
+
+def q_join_agg(sf_dir: str):
+    """Grouped aggregate over the join output: hit count and distinct
+    doc count per footprint kind (distinct = a second keyed groupby,
+    not a driver-side set)."""
+    from ray.data.aggregate import Count
+
+    joined = flagship(sf_dir, through_html=False)
+    pairs = joined.select_columns(["kind", "doc_id"])
+    hits = pairs.groupby("kind").aggregate(Count(alias_name="n_hits"))
+    distinct_pairs = pairs.groupby(["kind", "doc_id"]).aggregate(Count(alias_name="_c"))
+    docs = distinct_pairs.groupby("kind").aggregate(Count(alias_name="n_docs"))
+    import pandas as pd  # small results: merge on the driver
+
+    out = hits.to_pandas().merge(docs.to_pandas(), on="kind")
+    return out[["kind", "n_hits", "n_docs"]]
+
+
+def _query_points(sf_dir: str):
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]) \
+        .column("doc_id").to_numpy()
+    qids = ids[ids % C.KNN_STRIDE == 0]
+    qx, qy = page_coords(qids)
+    return qids, qx, qy
+
+
+def q_knn(sf_dir: str):
+    qids, qx, qy = _query_points(sf_dir)
+    return knn_match(points_dataset(sf_dir), qids, qx, qy, k=C.KNN_K)
+
+
+def q_exact_dedup(sf_dir: str):
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup_groups(docs)
+
+
+def q_token_count(sf_dir: str):
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_counts(docs)
+
+
+QUERIES = {
+    "extract_text": q_extract_text,
+    "tile_assign": q_tile_assign,
+    "cover": q_cover,
+    "spatial_join": q_spatial_join,
+    "join_agg": q_join_agg,
+    "knn": q_knn,
+    "exact_dedup": q_exact_dedup,
+    "token_count": q_token_count,
+}
+
+ORACLES = {
+    "extract_text": oracle.EXTRACT_TEXT,
+    "tile_assign": oracle.TILE_ASSIGN,
+    "cover": oracle.COVER,
+    "spatial_join": oracle.SPATIAL_JOIN,
+    "join_agg": oracle.JOIN_AGG,
+    "knn": oracle.KNN,
+    "exact_dedup": oracle.EXACT_DEDUP,
+    "token_count": oracle.TOKEN_COUNT,
+}

@@ -1,0 +1,77 @@
+"""Distributed kNN match (SURVEY.md §2.4 J10; reference analog: rtree
+nearest-candidate probing at robosat/tools/dedupe.py:45-49).
+
+Pattern: broadcast the small query side; every batch computes its local
+top-k per query (vectorized (batch x queries) distance matrix); a tiny
+groupby(query) merges local top-ks into the global top-k. O(N·Q) work,
+O(#batches · Q · k) shuffle — no all-pairs materialization.
+
+Distance: squared euclidean in the (lon, my*360) plane, ties broken by
+neighbor id (mirrored exactly in the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from robosat_ray import constants as C
+
+
+class LocalTopK:
+    """Actor-pool stage: holds the broadcast query matrix (built once
+    per actor in __init__, the T3/T6 broadcast pattern from SURVEY.md),
+    emits per-batch local top-k candidate rows."""
+
+    def __init__(self, query_ids: np.ndarray, qx: np.ndarray, qy: np.ndarray, k: int):
+        self.qid = np.asarray(query_ids, dtype=np.int64)
+        self.qx = np.asarray(qx, dtype=np.float64)
+        self.qy = np.asarray(qy, dtype=np.float64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        my = batch.column("my").to_numpy()
+        # (Q, B) distance matrix — mirrors the oracle's op order:
+        # (p.lon-q.lon)^2 + ((p.my-q.my)*360)^2
+        dx = lon[None, :] - self.qx[:, None]
+        dy = (my[None, :] - self.qy[:, None]) * 360.0
+        d = dx * dx + dy * dy
+        # mask self-matches
+        self_m = ids[None, :] == self.qid[:, None]
+        d[self_m] = np.inf
+        k = min(self.k, d.shape[1])
+        # local top-k with (distance, id) tie-break
+        out_q, out_n, out_d = [], [], []
+        for qi in range(d.shape[0]):
+            order = np.lexsort((ids, d[qi]))[:k]
+            keep = order[np.isfinite(d[qi][order])]
+            out_q.append(np.full(len(keep), self.qid[qi], dtype=np.int64))
+            out_n.append(ids[keep])
+            out_d.append(d[qi][keep])
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q) if out_q else np.array([], np.int64),
+                "neighbor_id": np.concatenate(out_n) if out_n else np.array([], np.int64),
+                "dist": np.concatenate(out_d) if out_d else np.array([], np.float64),
+            }
+        )
+
+
+def _merge_topk(group: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = group.sort_values(["dist", "neighbor_id"], kind="stable").head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_id", "neighbor_id", "rank"]]
+
+
+def knn_match(points_ds, query_ids, qx, qy, k: int = C.KNN_K):
+    """points (doc_id, lon, my) x broadcast queries -> (query_id,
+    neighbor_id, rank 1..k) global top-k rows."""
+    stage = LocalTopK(np.asarray(query_ids), np.asarray(qx), np.asarray(qy), k)
+    local = points_ds.map_batches(stage, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pandas"
+    )

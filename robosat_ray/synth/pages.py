@@ -1,0 +1,131 @@
+"""Synthesize the `pages` input table (BASELINE.json input_hint schema:
+url:string, warc_ts:timestamp, html:binary, text:string, lang:string)
+deterministically from the driver's `documents` table.
+
+The synthesis runs as a streaming Ray Data `map_batches` over the
+documents parquet — never a driver-side loop — so it scales with the
+input. The geo coordinates of each page are a pure function of doc_id
+(integer hash chain, mirrored in the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from robosat_ray import constants as C
+
+
+def _hash32(ids: np.ndarray, mul: int, add: int = 0) -> np.ndarray:
+    h = (ids.astype(np.uint64) * np.uint64(mul) + np.uint64(add)) % np.uint64(C.MOD32)
+    return h
+
+
+def page_coords(doc_id: np.ndarray):
+    """doc_id -> (lon, my) in the engine plane. 60% of docs cluster into
+    8 hot 'cities' (skew), the rest are uniform background.
+
+    Exact-op chain (mirrored in SQL, see robosat_ray/oracle.py):
+      h1 = (doc_id * H1_MUL) % 2^32 ;  u1 = h1 / 2^32
+      h2 = (doc_id * H2_MUL + H2_ADD) % 2^32 ;  u2 = h2 / 2^32
+      city rows  (doc_id % 10 < 6):  lon = CITY_LON[doc_id % 8] + (u1 - 0.5) * 0.2
+                                     my  = CITY_MY[doc_id % 8] + (u2 - 0.5) * 0.0005
+      background:                    lon = u1 * 360.0 - 180.0
+                                     my  = 0.2 + u2 * 0.6
+    """
+    ids = np.asarray(doc_id, dtype=np.int64)
+    u1 = _hash32(ids, C.H1_MUL).astype(np.float64) / float(C.MOD32)
+    u2 = _hash32(ids, C.H2_MUL, C.H2_ADD).astype(np.float64) / float(C.MOD32)
+    is_city = (ids % 10) < 6
+    city = (ids % 8).astype(np.int64)
+    clon = np.asarray(C.CITY_LON, dtype=np.float64)[city]
+    cmy = np.asarray(C.CITY_MY, dtype=np.float64)[city]
+    lon = np.where(is_city, clon + (u1 - 0.5) * C.CITY_LON_SPAN, u1 * 360.0 - 180.0)
+    my = np.where(is_city, cmy + (u2 - 0.5) * C.CITY_MY_SPAN, C.BG_MY_LO + u2 * C.BG_MY_RANGE)
+    return lon, my
+
+
+def render_html(url: str, text: str, lang: str, lon: float, my: float) -> bytes:
+    """Pure function (url, text, lang, coords) -> html bytes. The geo
+    position is embedded as a meta tag; `text` is recoverable
+    byte-identically from the <article> element (the invariant from
+    BASELINE.json: byte-identical extracted text per url)."""
+    return (
+        '<html><head><meta charset="utf-8">'
+        f'<meta name="geo.position" content="{lon!r};{my!r}">'
+        f'<meta http-equiv="content-language" content="{lang}">'
+        f"<title>{url}</title></head>"
+        f"<body><nav>boilerplate nav {lang}</nav><article>{text}</article>"
+        "<footer>footer boilerplate</footer></body></html>"
+    ).encode("utf-8")
+
+
+def make_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents batch (doc_id, text, lang) -> pages batch."""
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    lon, my = page_coords(ids)
+    urls = [C.URL_PREFIX + str(i) for i in ids]
+    htmls = [
+        render_html(u, t, lg, lo, m)
+        for u, t, lg, lo, m in zip(urls, texts, langs, lon, my)
+    ]
+    ts = pa.array(C.WARC_EPOCH_US + ids * 1_000_000, type=pa.timestamp("us"))
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": ts,
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+        }
+    )
+
+
+REPLICA_OFFSET = 1 << 24  # replica r gets doc_id + r * 2^24 (ids stay distinct)
+
+
+def replicate_documents_batch(batch: pa.Table, replicas: int) -> pa.Table:
+    """Deterministic scale-up for benchmarks: R copies of each document
+    with offset doc_ids (=> different hash-derived coordinates per
+    copy, same text payload). Pure function — both parallelism levels
+    of the scaling run see identical bytes."""
+    if replicas <= 1:
+        return batch
+    parts = []
+    for r in range(replicas):
+        ids = pa.compute.add(batch.column("doc_id"), r * REPLICA_OFFSET)
+        parts.append(batch.set_column(batch.schema.get_field_index("doc_id"), "doc_id", ids))
+    return pa.concat_tables(parts)
+
+
+def documents_source(sf_dir: str, columns, replicas: int = 1, num_blocks: int | None = None):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    if num_blocks:
+        ds = ds.repartition(num_blocks)
+    if replicas > 1:
+        ds = ds.map_batches(
+            lambda b: replicate_documents_batch(b, replicas), batch_format="pyarrow"
+        )
+    return ds
+
+
+def pages_dataset(
+    sf_dir: str,
+    drop_golden_text: bool = False,
+    replicas: int = 1,
+    num_blocks: int | None = None,
+):
+    """Streaming pages Dataset from `{sf_dir}/documents.parquet`.
+
+    drop_golden_text=True removes the golden `text` column so pipelines
+    must re-derive it from `html` (exercises the extract stage)."""
+    ds = documents_source(sf_dir, ["doc_id", "text", "lang"], replicas, num_blocks)
+    ds = ds.map_batches(make_pages_batch, batch_format="pyarrow")
+    if drop_golden_text:
+        ds = ds.drop_columns(["text"])
+    return ds

@@ -1,0 +1,50 @@
+"""Tile-math kernels: round trips + parity with the reference's
+mercantile semantics (slippy formulas; robosat/tiles.py usage)."""
+
+import numpy as np
+
+from robosat_ray.geo import tiles as T
+
+
+def test_lat_my_roundtrip():
+    lat = np.linspace(-84.0, 84.0, 1001)
+    back = T.my_to_lat(T.lat_to_my(lat))
+    np.testing.assert_allclose(back, lat, atol=1e-9)
+
+
+def test_known_tile():
+    # mercantile.tile(-122.4194, 37.7749, 12) == Tile(x=655, y=1583, z=12)
+    tx, ty = T.lonlat_to_tile(np.array([-122.4194]), np.array([37.7749]), 12)
+    assert (tx[0], ty[0]) == (655, 1583)
+    # zoom 18 fixture tile from the reference tests covers its own center:
+    # tests/fixtures use tile (69623, 104945, 18)
+    w, s, e, n = T.tile_bounds_lonlat(np.array([69623]), np.array([104945]), 18)
+    cx, cy = (w + e) / 2.0, (s + n) / 2.0
+    tx, ty = T.lonlat_to_tile(cx, cy, 18)
+    assert (tx[0], ty[0]) == (69623, 104945)
+
+
+def test_tile_center_roundtrip_bulk():
+    rng = np.random.default_rng(42)
+    z = 12
+    tx = rng.integers(0, 1 << z, 500)
+    ty = rng.integers(0, 1 << z, 500)
+    lon, my = T.pixel_to_lonmy(tx, ty, z, 0.5, 0.5)
+    tx2, ty2 = T.lonmy_to_tile(lon, my, z)
+    np.testing.assert_array_equal(tx, tx2)
+    np.testing.assert_array_equal(ty, ty2)
+
+
+def test_cell_id_roundtrip():
+    z = 12
+    tx = np.array([0, 1, 4095, 655])
+    ty = np.array([0, 4095, 1, 1583])
+    cx, cy = T.cell_to_tile(T.cell_id(tx, ty, z), z)
+    np.testing.assert_array_equal(tx, cx)
+    np.testing.assert_array_equal(ty, cy)
+
+
+def test_k_ring():
+    assert len(T.k_ring(5, 5, 12, 1)) == 9
+    assert len(T.k_ring(0, 0, 12, 1)) == 4  # corner clipped
+    assert (5, 5) in T.k_ring(5, 5, 12, 1)

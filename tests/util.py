@@ -1,0 +1,43 @@
+"""Test helpers: DuckDB oracle runner + frame comparison."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def assert_frames_match(ray_result, duck_df: pd.DataFrame):
+    if hasattr(ray_result, "to_pandas"):
+        ray_df = ray_result.to_pandas()
+    else:
+        ray_df = pd.DataFrame(ray_result)
+    a = normalize(ray_df)
+    b = normalize(duck_df)
+    assert list(a.columns) == list(b.columns), (list(a.columns), list(b.columns))
+    assert len(a) == len(b), (len(a), len(b))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
