@@ -26,12 +26,13 @@ def points_dataset(
     """Narrow derived points table (doc_id, url, lon, my, tiles) without
     html synthesis — used for the cheap hot-cell count pass and for
     queries that don't exercise extraction."""
-    from robosat_ray.synth.pages import documents_source
+    from robosat_ray.synth.pages import documents_source, urls_for
 
     def to_points(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        urls = pa.array([C.URL_PREFIX + str(i) for i in ids], type=pa.string())
-        out = pa.table({"doc_id": batch.column("doc_id"), "url": urls})
+        ids_arr = batch.column("doc_id")
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        out = pa.table({"doc_id": ids_arr, "url": urls_for(ids_arr)})
         return geocode_batch(out, z=z)
 
     ds = documents_source(sf_dir, ["doc_id"], replicas, num_blocks)

@@ -312,11 +312,18 @@ class BroadcastProber:
     footprint side fits comfortably in a worker heap; the shuffle join
     above is the path when it doesn't."""
 
+    # the probe indexes at a FINER zoom than the join-semantics cell so
+    # dense city cells don't fan every point out to hundreds of copies:
+    # at z+3 there are 64 subcells per cell (~5 candidates per point)
+    INDEX_ZOOM_DELTA = 3
+
     def __init__(self, feet_ref, z: int):
         import ray
 
         feet: pa.Table = ray.get(feet_ref) if not isinstance(feet_ref, pa.Table) else feet_ref
         feet = feet.combine_chunks()
+        self.zi = z + self.INDEX_ZOOM_DELTA
+        z = self.zi
         minx = feet.column("minx").to_numpy()
         miny = feet.column("miny").to_numpy()
         maxx = feet.column("maxx").to_numpy()
@@ -343,8 +350,11 @@ class BroadcastProber:
         p_cell = batch.column("cell").to_numpy()
         p_lon = batch.column("lon").to_numpy()
         p_my = batch.column("my").to_numpy()
+        # point subcell at the index zoom (output keeps the z-level cell)
+        tx, ty = T.lonmy_to_tile(p_lon, p_my, self.zi)
+        p_icell = tx * np.int64(1 << self.zi) + ty
         p_idx_np, f_idx_np, _ = _probe_vectorized(
-            p_cell,
+            p_icell,
             p_lon,
             p_my,
             self.cell_uniq,
@@ -380,16 +390,40 @@ class BroadcastProber:
         )
 
 
-def broadcast_spatial_join(points_ds, feet_table: pa.Table, z: int = C.Z_JOIN, concurrency=(2, 8)):
-    """Broadcast-side PIP join: `feet_table` is ray.put once; each actor
-    builds the per-cell index in __init__ and probes batches."""
+# per-worker-process prober cache: the broadcast index is built once
+# per (object ref, zoom) in each Ray worker, then reused across tasks.
+# Stateless tasks + worker cache = elastic scheduling (no actor-pool
+# sizing that can starve upstream stages).
+_PROBER_CACHE: dict = {}
+
+
+def _probe_batch_task(batch: pa.Table, wrapped_ref, z: int) -> pa.Table:
+    import ray
+
+    ref = wrapped_ref[0]
+    key = (ref.hex() if hasattr(ref, "hex") else id(ref), z)
+    prober = _PROBER_CACHE.get(key)
+    if prober is None:
+        prober = BroadcastProber(ray.get(ref), z)
+        _PROBER_CACHE.clear()  # hold at most one index per worker
+        _PROBER_CACHE[key] = prober
+    return prober(batch)
+
+
+def broadcast_spatial_join(points_ds, feet_table: pa.Table, z: int = C.Z_JOIN, concurrency=None):
+    """Broadcast-side PIP join: `feet_table` is ray.put once; each
+    worker builds the per-cell index on first use (cached) and probes
+    batches as elastic stateless tasks. `concurrency` is accepted for
+    API compatibility (None = let the scheduler decide)."""
     import ray
 
     ref = ray.put(feet_table)
     return points_ds.map_batches(
-        BroadcastProber,
-        fn_constructor_args=(ref, z),
+        _probe_batch_task,
+        fn_args=([ref], z),  # wrapped in a list so Ray doesn't auto-deref
         batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
+        # NOTE: do NOT set batch_size here — Ray's re-batching of Arrow
+        # blocks costs ~8x on this stage (measured); candidate-pair
+        # memory is bounded by keeping BLOCKS small (~8k rows) instead,
+        # via num_blocks at the source (see bench.py / flagship).
     )
