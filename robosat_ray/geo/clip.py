@@ -1,0 +1,170 @@
+"""Exact polygon intersection area / IoU, from scratch.
+
+Replaces shapely's intersection/union area math used by the
+reference's IoU dedupe (robosat/spatial/core.py:56-77,
+robosat/tools/dedupe.py:50-67).
+
+Method (robust for simple polygons incl. concave, holes via signed
+inclusion-exclusion):
+  area(A ∩ B) = Σ_i Σ_j s_i s_j area(ring_i(A) ∩ ring_j(B))
+where s = +1 for exterior rings, -1 for holes (valid for properly
+nested rings: the indicator of a polygon-with-holes is the signed sum
+of its ring indicators). Each ring∩ring area is computed by ear-clip
+triangulating one ring and Sutherland–Hodgman clipping each triangle
+against the other ring's triangles (triangle x triangle = convex x
+convex, exact).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from robosat_ray.geo.polygon import shoelace_area
+
+
+def _open_ring(xs, ys):
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        return xs[:-1], ys[:-1]
+    return xs, ys
+
+
+def ear_clip(xs, ys):
+    """Triangulate a simple polygon (no holes) by ear clipping.
+    Returns list of (3,2) float arrays. O(n^2), fine for the small
+    rings the engine produces."""
+    xs, ys = _open_ring(xs, ys)
+    n = len(xs)
+    if n < 3:
+        return []
+    # ensure CCW
+    if shoelace_area(xs, ys) < 0:
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+    idx = list(range(n))
+    tris = []
+    guard = 0
+    while len(idx) > 3 and guard < 10 * n * n:
+        guard += 1
+        m = len(idx)
+        clipped = False
+        for k in range(m):
+            i0, i1, i2 = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
+            ax, ay = xs[i0], ys[i0]
+            bx, by = xs[i1], ys[i1]
+            cx, cy = xs[i2], ys[i2]
+            cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            if cross <= 0:
+                continue  # reflex or degenerate
+            # no other vertex inside the candidate ear
+            ok = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                px, py = xs[j], ys[j]
+                d1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+                d2 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+                d3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+                if d1 >= 0 and d2 >= 0 and d3 >= 0:
+                    ok = False
+                    break
+            if ok:
+                tris.append(np.array([[ax, ay], [bx, by], [cx, cy]]))
+                idx.pop(k)
+                clipped = True
+                break
+        if not clipped:
+            break  # degenerate; fall through with what we have
+    if len(idx) == 3:
+        tris.append(np.array([[xs[i], ys[i]] for i in idx]))
+    return tris
+
+
+def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip (possibly concave) subject polygon by a
+    CONVEX CCW clip polygon. Returns (k,2) array (possibly empty)."""
+    out = subject
+    m = len(clip)
+    for i in range(m):
+        if len(out) == 0:
+            return out
+        ax, ay = clip[i]
+        bx, by = clip[(i + 1) % m]
+        ex, ey = bx - ax, by - ay
+        inp = out
+        out_pts = []
+        n = len(inp)
+        for j in range(n):
+            px, py = inp[j]
+            qx, qy = inp[(j + 1) % n]
+            dp = ex * (py - ay) - ey * (px - ax)
+            dq = ex * (qy - ay) - ey * (qx - ax)
+            if dp >= 0:
+                out_pts.append((px, py))
+            if (dp >= 0) != (dq >= 0):
+                t = dp / (dp - dq)
+                out_pts.append((px + t * (qx - px), py + t * (qy - py)))
+        out = np.asarray(out_pts, dtype=np.float64)
+    return out
+
+
+def ring_intersection_area(ax, ay, bx, by) -> float:
+    """Exact |ring_a ∩ ring_b| for two simple rings."""
+    # bbox reject
+    ax_, ay_ = _open_ring(ax, ay)
+    bx_, by_ = _open_ring(bx, by)
+    if ax_.min() >= bx_.max() or bx_.min() >= ax_.max():
+        return 0.0
+    if ay_.min() >= by_.max() or by_.min() >= ay_.max():
+        return 0.0
+    tris_a = ear_clip(ax_, ay_)
+    tris_b = ear_clip(bx_, by_)
+    total = 0.0
+    for ta in tris_a:
+        # triangle bbox for cheap reject
+        ta_minx, ta_miny = ta.min(axis=0)
+        ta_maxx, ta_maxy = ta.max(axis=0)
+        for tb in tris_b:
+            if tb[:, 0].min() >= ta_maxx or ta_minx >= tb[:, 0].max():
+                continue
+            if tb[:, 1].min() >= ta_maxy or ta_miny >= tb[:, 1].max():
+                continue
+            # tb must be CCW for clip_convex
+            if shoelace_area(tb[:, 0], tb[:, 1]) < 0:
+                tb = tb[::-1]
+            inter = clip_convex(ta, tb)
+            if len(inter) >= 3:
+                total += abs(shoelace_area(inter[:, 0], inter[:, 1]))
+    return total
+
+
+def polygon_area(rings) -> float:
+    """|polygon| for rings [(xs, ys), ...] (ring 0 exterior, rest holes)."""
+    if not rings:
+        return 0.0
+    a = abs(shoelace_area(*_open_ring(*rings[0])))
+    for hx, hy in rings[1:]:
+        a -= abs(shoelace_area(*_open_ring(hx, hy)))
+    return a
+
+
+def polygons_intersection_area(rings_a, rings_b) -> float:
+    """|A ∩ B| with holes via signed inclusion-exclusion."""
+    total = 0.0
+    for i, (axs, ays) in enumerate(rings_a):
+        si = 1.0 if i == 0 else -1.0
+        for j, (bxs, bys) in enumerate(rings_b):
+            sj = 1.0 if j == 0 else -1.0
+            total += si * sj * ring_intersection_area(axs, ays, bxs, bys)
+    return max(total, 0.0)
+
+
+def iou(rings_a, rings_b) -> float:
+    """Intersection-over-union, matching the reference's
+    project→intersection.area / union.area (spatial/core.py:56-77) —
+    union computed as |A| + |B| - |A∩B|."""
+    inter = polygons_intersection_area(rings_a, rings_b)
+    if inter <= 0.0:
+        return 0.0
+    union = polygon_area(rings_a) + polygon_area(rings_b) - inter
+    return inter / union if union > 0 else 0.0

@@ -123,6 +123,87 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= {C.KNN_K}
 """
 
+def preds_cte() -> str:
+    """Predicted (jittered) rects from `part` (mirrors
+    synth.footprints.predicted_rects: shift = [0.2,0.8,2.5][k%3]*hw)."""
+    return f"""
+preds AS (
+  SELECT feature_id AS pred_id,
+         minx + shift AS minx, miny, maxx + shift AS maxx, maxy
+  FROM (
+    SELECT f.*, list_extract([0.2, 0.8, 2.5], CAST(f.feature_id % 3 AS INTEGER) + 1)
+           * ({C.FOOT_HW_BASE!r} + (p.p_size % 10) * {C.FOOT_HW_STEP!r}) AS shift
+    FROM feet f JOIN part p ON p.p_partkey = f.feature_id
+  )
+)"""
+
+
+DEDUPE = f"""
+WITH {feet_cte()}, {preds_cte()}
+SELECT p.pred_id FROM preds p
+WHERE NOT EXISTS (
+  SELECT 1 FROM feet f
+  WHERE f.minx < p.maxx AND p.minx < f.maxx
+    AND f.miny < p.maxy AND p.miny < f.maxy
+    AND (
+      GREATEST(LEAST(p.maxx, f.maxx) - GREATEST(p.minx, f.minx), 0)
+      * GREATEST(LEAST(p.maxy, f.maxy) - GREATEST(p.miny, f.miny), 0)
+    ) / (
+      (p.maxx - p.minx) * (p.maxy - p.miny)
+      + (f.maxx - f.minx) * (f.maxy - f.miny)
+      - GREATEST(LEAST(p.maxx, f.maxx) - GREATEST(p.minx, f.minx), 0)
+        * GREATEST(LEAST(p.maxy, f.maxy) - GREATEST(p.miny, f.miny), 0)
+    ) >= {C.DEDUPE_IOU_THRESHOLD!r}
+)
+"""
+
+MERGE_COMPONENTS = f"""
+WITH RECURSIVE {feet_cte()},
+edges AS (
+  SELECT a.feature_id AS fa, b.feature_id AS fb
+  FROM feet a JOIN feet b ON a.feature_id <> b.feature_id
+   AND a.minx - {C.MERGE_EPS_X!r} <= b.maxx + {C.MERGE_EPS_X!r}
+   AND b.minx - {C.MERGE_EPS_X!r} <= a.maxx + {C.MERGE_EPS_X!r}
+   AND a.miny - {C.MERGE_EPS_Y!r} <= b.maxy + {C.MERGE_EPS_Y!r}
+   AND b.miny - {C.MERGE_EPS_Y!r} <= a.maxy + {C.MERGE_EPS_Y!r}
+),
+reach(n, l) AS (
+  SELECT feature_id, feature_id FROM feet
+  UNION
+  SELECT e.fb, r.l FROM reach r JOIN edges e ON e.fa = r.n WHERE r.l < e.fb
+)
+SELECT n AS feature_id, MIN(l) AS component_id FROM reach GROUP BY n
+"""
+
+_RS = 64  # oracle rasterization size (pixel grid per tile)
+
+RASTERIZE_FG = f"""
+WITH {feet_cte()},
+cov AS (
+  SELECT f.*, {tile_x('f.minx')} + gx.i AS tx, {tile_y('f.miny')} + gy.j AS ty
+  FROM feet f
+  CROSS JOIN generate_series(0, 8) gx(i)
+  CROSS JOIN generate_series(0, 8) gy(j)
+  WHERE gx.i <= {tile_x('f.maxx')} - {tile_x('f.minx')}
+    AND gy.j <= {tile_y('f.maxy')} - {tile_y('f.miny')}
+),
+tiles AS (SELECT DISTINCT tx, ty FROM cov),
+px AS (
+  SELECT DISTINCT c.tx, c.ty, gi.i, gj.j
+  FROM cov c
+  CROSS JOIN generate_series(0, {_RS - 1}) gi(i)
+  CROSS JOIN generate_series(0, {_RS - 1}) gj(j)
+  WHERE (c.tx + (gi.i + 0.5) / {float(_RS)!r}) / {_N!r} * 360.0 - 180.0 >= c.minx
+    AND (c.tx + (gi.i + 0.5) / {float(_RS)!r}) / {_N!r} * 360.0 - 180.0 < c.maxx
+    AND (c.ty + (gj.j + 0.5) / {float(_RS)!r}) / {_N!r} >= c.miny
+    AND (c.ty + (gj.j + 0.5) / {float(_RS)!r}) / {_N!r} < c.maxy
+)
+SELECT t.tx AS tile_x, t.ty AS tile_y, COALESCE(p.cnt, 0) AS fg
+FROM tiles t LEFT JOIN (
+  SELECT tx, ty, COUNT(*) AS cnt FROM px GROUP BY tx, ty
+) p ON p.tx = t.tx AND p.ty = t.ty
+"""
+
 EXACT_DEDUP = """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
 FROM documents GROUP BY md5(text)

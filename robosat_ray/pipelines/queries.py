@@ -84,6 +84,30 @@ def q_token_count(sf_dir: str):
     return token_counts(docs)
 
 
+def q_rasterize_fg(sf_dir: str):
+    """Rasterize footprints into 64px tile masks; emit per-tile
+    foreground pixel counts (the scanline-burn analog of the
+    reference's rasterize, checked against a SQL pixel-center oracle)."""
+    from robosat_ray.stages.rasterize import rasterize
+
+    masks = rasterize(footprints_dataset(sf_dir), size=64)
+    return masks.select_columns(["tile_x", "tile_y", "fg"])
+
+
+def q_merge_components(sf_dir: str):
+    from robosat_ray.stages.merge import merge_components
+    from robosat_ray.synth.footprints import footprints_table
+
+    return merge_components(footprints_dataset(sf_dir), footprints_table(sf_dir))
+
+
+def q_dedupe(sf_dir: str):
+    from robosat_ray.stages.dedupe import dedupe_survivors
+    from robosat_ray.synth.footprints import footprints_table, predicted_dataset
+
+    return dedupe_survivors(predicted_dataset(sf_dir), footprints_table(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -93,6 +117,9 @@ QUERIES = {
     "knn": q_knn,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
+    "rasterize_fg": q_rasterize_fg,
+    "merge_components": q_merge_components,
+    "dedupe": q_dedupe,
 }
 
 ORACLES = {
@@ -104,4 +131,7 @@ ORACLES = {
     "knn": oracle.KNN,
     "exact_dedup": oracle.EXACT_DEDUP,
     "token_count": oracle.TOKEN_COUNT,
+    "rasterize_fg": oracle.RASTERIZE_FG,
+    "merge_components": oracle.MERGE_COMPONENTS,
+    "dedupe": oracle.DEDUPE,
 }

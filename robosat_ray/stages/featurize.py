@@ -1,0 +1,150 @@
+"""Featurize stage: binary masks -> vector polygons (SURVEY.md
+M8-M15; reference robosat/features/core.py + features/parking.py:
+threshold -> denoise (open) -> grow (close) -> contours+hierarchy ->
+Douglas-Peucker simplify -> pixel->world featurize -> ring assembly).
+
+Embarrassingly parallel map_batches: contours never cross tile borders
+by construction (reference behavior; cross-tile union is merge's job).
+Output geometry is in the engine (lon, my) plane.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from robosat_ray import constants as C
+from robosat_ray.geo.contours import find_contours
+from robosat_ray.geo.morphology import closing, opening
+from robosat_ray.geo.polygon import shoelace_area
+from robosat_ray.geo.simplify import simplify_ring
+
+
+def featurize_mask(
+    mask: np.ndarray,
+    tx: int,
+    ty: int,
+    z: int,
+    denoise_px: int = 0,
+    grow_px: int = 0,
+    simplify_ratio: float = 0.0,
+    min_ring_px: int = 3,
+):
+    """One mask -> list of polygons [{'rings': [(lon, my) rings],
+    'area_px': float}] following the reference's stage order
+    (features/parking.py:19-100)."""
+    size = mask.shape[0]
+    m = (mask != 0).astype(np.uint8)  # threshold (tools/features.py:46-47)
+    if denoise_px > 1:
+        m = opening(m, denoise_px)
+    if grow_px > 1:
+        m = closing(m, grow_px)
+    comps = find_contours(m)
+    n = float(1 << z)
+    west = tx / n * 360.0 - 180.0
+    east = (tx + 1) / n * 360.0 - 180.0
+    north = ty / n
+    south = (ty + 1) / n
+    fx = (east - west) / size
+    fy = (south - north) / size
+    out = []
+    for comp in comps:
+        rings_px = [comp["outer"]] + comp["holes"]
+        rings_w = []
+        area_px = 0.0
+        for i, (xs, ys) in enumerate(rings_px):
+            if simplify_ratio > 0:
+                xs, ys = simplify_ring(xs, ys, simplify_ratio)
+            if len(xs) < min_ring_px + 1:
+                if i == 0:
+                    rings_w = []
+                    break
+                continue  # drop degenerate holes (reference skips <3-vertex rings)
+            a = abs(shoelace_area(xs[:-1], ys[:-1]))
+            area_px += a if i == 0 else -a
+            lon = west + xs * fx
+            my = north + ys * fy
+            rings_w.append((lon, my))
+        if rings_w:
+            out.append({"rings": rings_w, "area_px": area_px})
+    return out
+
+
+def _rings_to_arrow(all_rings):
+    """list of polygons (list of (xs, ys) rings) -> Arrow
+    list<list<struct<x,y>>> column."""
+    pts_x, pts_y, ring_off, poly_off = [], [], [0], [0]
+    for rings in all_rings:
+        for xs, ys in rings:
+            pts_x.append(xs)
+            pts_y.append(ys)
+            ring_off.append(ring_off[-1] + len(xs))
+        poly_off.append(poly_off[-1] + len(rings))
+    xs = np.concatenate(pts_x) if pts_x else np.array([], dtype=np.float64)
+    ys = np.concatenate(pts_y) if pts_y else np.array([], dtype=np.float64)
+    pts = pa.StructArray.from_arrays(
+        [pa.array(xs, type=pa.float64()), pa.array(ys, type=pa.float64())],
+        names=["x", "y"],
+    )
+    ring = pa.ListArray.from_arrays(pa.array(ring_off, type=pa.int32()), pts)
+    return pa.ListArray.from_arrays(pa.array(poly_off, type=pa.int32()), ring)
+
+
+def featurize_batch(
+    batch: pa.Table,
+    z: int,
+    denoise_px: int = 0,
+    grow_px: int = 0,
+    simplify_ratio: float = 0.0,
+) -> pa.Table:
+    """masks batch (tile_x, tile_y, size, data) -> features batch
+    (tile_x, tile_y, poly_idx, n_rings, n_vertices, area_px, bbox,
+    rings)."""
+    txs = batch.column("tile_x").to_numpy()
+    tys = batch.column("tile_y").to_numpy()
+    sizes = batch.column("size").to_numpy()
+    datas = batch.column("data").to_pylist()
+    rows = {k: [] for k in ("tile_x", "tile_y", "poly_idx", "n_rings", "n_vertices", "area_px", "minx", "miny", "maxx", "maxy")}
+    all_rings = []
+    for tx, ty, size, data in zip(txs, tys, sizes, datas):
+        mask = np.frombuffer(data, dtype=np.uint8).reshape(size, size)
+        polys = featurize_mask(
+            mask, int(tx), int(ty), z, denoise_px, grow_px, simplify_ratio
+        )
+        for k, poly in enumerate(polys):
+            rings = poly["rings"]
+            rows["tile_x"].append(int(tx))
+            rows["tile_y"].append(int(ty))
+            rows["poly_idx"].append(k)
+            rows["n_rings"].append(len(rings))
+            rows["n_vertices"].append(int(sum(len(r[0]) for r in rings)))
+            rows["area_px"].append(poly["area_px"])
+            rows["minx"].append(float(rings[0][0].min()))
+            rows["miny"].append(float(rings[0][1].min()))
+            rows["maxx"].append(float(rings[0][0].max()))
+            rows["maxy"].append(float(rings[0][1].max()))
+            all_rings.append(rings)
+    t = pa.table(
+        {
+            "tile_x": pa.array(rows["tile_x"], pa.int64()),
+            "tile_y": pa.array(rows["tile_y"], pa.int64()),
+            "poly_idx": pa.array(rows["poly_idx"], pa.int64()),
+            "n_rings": pa.array(rows["n_rings"], pa.int64()),
+            "n_vertices": pa.array(rows["n_vertices"], pa.int64()),
+            "area_px": pa.array(rows["area_px"], pa.float64()),
+            "minx": pa.array(rows["minx"], pa.float64()),
+            "miny": pa.array(rows["miny"], pa.float64()),
+            "maxx": pa.array(rows["maxx"], pa.float64()),
+            "maxy": pa.array(rows["maxy"], pa.float64()),
+            "rings": _rings_to_arrow(all_rings),
+        }
+    )
+    return t
+
+
+def featurize(masks_ds, z: int = C.Z_JOIN, denoise_px: int = 0, grow_px: int = 0, simplify_ratio: float = 0.0):
+    return masks_ds.map_batches(
+        lambda b: featurize_batch(b, z, denoise_px, grow_px, simplify_ratio),
+        batch_format="pyarrow",
+    )

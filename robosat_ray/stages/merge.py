@@ -1,0 +1,140 @@
+"""Merge stage: group features whose buffered geometries touch into
+connected components (SURVEY.md J6 + T5 + A5; reference
+robosat/tools/merge.py:25-89 — buffer each shape by `threshold`,
+rtree bbox probe + intersects -> graph edges, DFS components, union
+per component — all in driver RAM with an explicit scaling TODO at
+graph/core.py:14-15).
+
+Engine shape: edge detection runs distributed (broadcast per-cell
+index, probe per batch — every touching pair shares at least one cell
+of either bbox, so per-cell detection finds all edges); the edge LIST
+(much smaller than the data) is reduced to the driver for the final
+union-find, and the resulting {feature -> component} map is broadcast
+back. At 10^12 scale the driver union-find is replaced by iterative
+min-label-propagation groupby rounds over the same edge table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from robosat_ray import constants as C
+from robosat_ray.geo import tiles as T
+from robosat_ray.geo.graph import min_label_propagation
+
+
+class EdgeFinder:
+    """Broadcast bbox index over the (buffered) feature rects; per
+    batch emits overlap edges (a < b). Buffering an axis-aligned rect
+    by eps == expanding its bounds by eps (exact, square joins)."""
+
+    def __init__(self, feet_ref, z: int, eps_x: float, eps_y: float):
+        import ray
+
+        feet = ray.get(feet_ref) if not isinstance(feet_ref, pa.Table) else feet_ref
+        feet = feet.combine_chunks()
+        self.fid = feet.column("feature_id").to_numpy()
+        self.minx = feet.column("minx").to_numpy() - eps_x
+        self.miny = feet.column("miny").to_numpy() - eps_y
+        self.maxx = feet.column("maxx").to_numpy() + eps_x
+        self.maxy = feet.column("maxy").to_numpy() + eps_y
+        self.eps_x = eps_x
+        self.eps_y = eps_y
+        z = z + 3  # fine-grained index (same trick as the PIP probe)
+        self.z = z
+        tx0, ty0, tx1, ty1 = T.tile_range(self.minx, self.miny, self.maxx, self.maxy, z)
+        ny = (ty1 - ty0 + 1).astype(np.int64)
+        reps = (tx1 - tx0 + 1).astype(np.int64) * ny
+        row = np.repeat(np.arange(len(self.minx)), reps)
+        offs = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
+        tx = tx0[row] + offs // ny[row]
+        ty = ty0[row] + offs % ny[row]
+        cells = tx * np.int64(1 << z) + ty
+        order = np.argsort(cells, kind="stable")
+        self.copy_cell = cells[order]
+        self.copy_feat = row[order]
+        self.cell_uniq, first = np.unique(self.copy_cell, return_index=True)
+        self.cell_off = np.append(first, len(self.copy_cell))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bid = batch.column("feature_id").to_numpy()
+        bminx = batch.column("minx").to_numpy() - self.eps_x
+        bminy = batch.column("miny").to_numpy() - self.eps_y
+        bmaxx = batch.column("maxx").to_numpy() + self.eps_x
+        bmaxy = batch.column("maxy").to_numpy() + self.eps_y
+        tx0, ty0, tx1, ty1 = T.tile_range(bminx, bminy, bmaxx, bmaxy, self.z)
+        ny = (ty1 - ty0 + 1).astype(np.int64)
+        reps = (tx1 - tx0 + 1).astype(np.int64) * ny
+        row = np.repeat(np.arange(len(bid)), reps)
+        offs = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
+        tx = tx0[row] + offs // ny[row]
+        ty = ty0[row] + offs % ny[row]
+        cells = tx * np.int64(1 << self.z) + ty
+        # candidates: copies in the same cell
+        pos = np.searchsorted(self.cell_uniq, cells)
+        pos = np.clip(pos, 0, max(len(self.cell_uniq) - 1, 0))
+        has = len(self.cell_uniq) > 0
+        hit = has & (self.cell_uniq[pos] == cells) if has else np.zeros(len(cells), bool)
+        prow = row[hit]
+        slot = pos[hit]
+        cnt = self.cell_off[slot + 1] - self.cell_off[slot]
+        tot = int(cnt.sum())
+        pair_b = np.repeat(prow, cnt)
+        copy_i = (
+            np.arange(tot)
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            + np.repeat(self.cell_off[slot], cnt)
+        )
+        fi = self.copy_feat[copy_i]
+        keep = (
+            (self.minx[fi] <= bmaxx[pair_b])
+            & (bminx[pair_b] <= self.maxx[fi])
+            & (self.miny[fi] <= bmaxy[pair_b])
+            & (bminy[pair_b] <= self.maxy[fi])
+            & (self.fid[fi] != bid[pair_b])
+        )
+        a = np.minimum(bid[pair_b[keep]], self.fid[fi[keep]])
+        b = np.maximum(bid[pair_b[keep]], self.fid[fi[keep]])
+        key = a * np.int64(1 << 32) + b
+        uniqk = np.unique(key)
+        return pa.table(
+            {
+                "a": pa.array(uniqk // np.int64(1 << 32)),
+                "b": pa.array(uniqk % np.int64(1 << 32)),
+            }
+        )
+
+
+def merge_components(
+    feet_ds,
+    feet_table: pa.Table,
+    z: int = C.Z_JOIN,
+    eps_x: float = C.MERGE_EPS_X,
+    eps_y: float = C.MERGE_EPS_Y,
+):
+    """-> Dataset (feature_id, component_id = min feature_id in its
+    buffered-overlap component)."""
+    import ray
+
+    ref = ray.put(feet_table)
+    edges = feet_ds.map_batches(
+        EdgeFinder, fn_constructor_args=(ref, z, eps_x, eps_y),
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+    )
+    et = edges.take_all()  # edge list << data; see module docstring
+    ea = np.array([r["a"] for r in et], dtype=np.int64)
+    eb = np.array([r["b"] for r in et], dtype=np.int64)
+    ids = feet_table.column("feature_id").to_numpy()
+    comp = min_label_propagation(ids, ea, eb)
+    comp_ref = ray.put(comp)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(comp_ref)
+        fids = batch.column("feature_id").to_numpy()
+        labels = np.array([cmap[int(f)] for f in fids], dtype=np.int64)
+        return pa.table(
+            {"feature_id": pa.array(fids), "component_id": pa.array(labels)}
+        )
+
+    return feet_ds.map_batches(attach, batch_format="pyarrow")

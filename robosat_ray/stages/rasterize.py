@@ -1,0 +1,113 @@
+"""Rasterize stage: footprint polygons -> per-tile binary masks
+(SURVEY.md J2 + M3 + A3; reference robosat/tools/rasterize.py:86-141:
+driver-RAM feature→tile inverted map + per-tile burn + max-merge with
+existing PNGs). Here: a flat-map explode to covered tiles, a
+groupby-tile shuffle, and a scanline burn per group; left-outer
+semantics (tiles with no features get all-zero masks) via union with
+an empty-payload tile list, and multi-feature tiles max-merge inside
+the group (associative & idempotent, so resume/rerun is safe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from robosat_ray import constants as C
+from robosat_ray.geo import tiles as T
+from robosat_ray.geo.raster import fill_rings
+
+
+def _explode_to_tiles(batch: pa.Table, z: int) -> pa.Table:
+    """One row per (footprint, covered tile): carries the rect bounds
+    (geometry transport for burn; general rings would ride along the
+    same way but rects keep the shuffle payload minimal)."""
+    minx = batch.column("minx").to_numpy()
+    miny = batch.column("miny").to_numpy()
+    maxx = batch.column("maxx").to_numpy()
+    maxy = batch.column("maxy").to_numpy()
+    tx0, ty0, tx1, ty1 = T.tile_range(minx, miny, maxx, maxy, z)
+    ny = (ty1 - ty0 + 1).astype(np.int64)
+    reps = (tx1 - tx0 + 1).astype(np.int64) * ny
+    row = np.repeat(np.arange(len(minx)), reps)
+    offs = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
+    tx = tx0[row] + offs // ny[row]
+    ty = ty0[row] + offs % ny[row]
+    return pa.table(
+        {
+            "tile_x": pa.array(tx),
+            "tile_y": pa.array(ty),
+            "minx": pa.array(minx[row]),
+            "miny": pa.array(miny[row]),
+            "maxx": pa.array(maxx[row]),
+            "maxy": pa.array(maxy[row]),
+        }
+    )
+
+
+def _burn_group(group, z: int, size: int):
+    """All features covering one tile -> one (size, size) uint8 mask.
+    Geometry is projected into tile-local pixel space and burned with
+    the even-odd scanline kernel; multiple features max-merge."""
+    import pandas as pd
+
+    tx = int(group["tile_x"].iloc[0])
+    ty = int(group["tile_y"].iloc[0])
+    n = float(1 << z)
+    west = tx / n * 360.0 - 180.0
+    east = (tx + 1) / n * 360.0 - 180.0
+    north = ty / n
+    south = (ty + 1) / n
+    sx = size / (east - west)
+    sy = size / (south - north)
+    mask = np.zeros((size, size), dtype=np.uint8)
+    has_geom = group["minx"].notna()
+    for _, r in group[has_geom].iterrows():
+        x0 = (r["minx"] - west) * sx
+        x1 = (r["maxx"] - west) * sx
+        y0 = (r["miny"] - north) * sy
+        y1 = (r["maxy"] - north) * sy
+        ring = (
+            np.array([x0, x1, x1, x0, x0]),
+            np.array([y0, y0, y1, y1, y0]),
+        )
+        m = fill_rings([ring], size)
+        np.maximum(mask, m, out=mask)
+    return pd.DataFrame(
+        {
+            "tile_x": [tx],
+            "tile_y": [ty],
+            "size": [size],
+            "fg": [int(np.count_nonzero(mask))],
+            "data": [mask.tobytes()],
+        }
+    )
+
+
+def rasterize(footprints_ds, z: int = C.Z_JOIN, size: int = 256, tiles_ds=None):
+    """footprints -> masks Dataset (tile_x, tile_y, size, fg, data).
+
+    tiles_ds (optional, columns tile_x/tile_y) adds left-outer
+    semantics: listed tiles with no covering feature yield all-zero
+    masks (reference rasterize.py:120-124)."""
+    exploded = footprints_ds.map_batches(
+        lambda b: _explode_to_tiles(b, z), batch_format="pyarrow"
+    )
+    if tiles_ds is not None:
+        def pad(batch: pa.Table) -> pa.Table:
+            m = len(batch)
+            return pa.table(
+                {
+                    "tile_x": batch.column("tile_x"),
+                    "tile_y": batch.column("tile_y"),
+                    "minx": pa.nulls(m, pa.float64()),
+                    "miny": pa.nulls(m, pa.float64()),
+                    "maxx": pa.nulls(m, pa.float64()),
+                    "maxy": pa.nulls(m, pa.float64()),
+                }
+            )
+
+        exploded = exploded.union(tiles_ds.map_batches(pad, batch_format="pyarrow"))
+    return exploded.groupby(["tile_x", "tile_y"]).map_groups(
+        lambda g: _burn_group(g, z, size), batch_format="pandas"
+    )

@@ -91,6 +91,50 @@ def footprints_dataset(sf_dir: str, **read_kwargs):
     return ds.map_batches(make_footprints_batch, batch_format="pyarrow")
 
 
+# predicted-shape jitter: mode = p_partkey % 3 shifts the rect by
+# shift_frac[mode] * half_width in +x => pairwise IoU (2-s)/(2+s):
+# mode 0 -> 0.818 (dropped at threshold 0.5), 1 -> 0.429 (kept),
+# 2 -> disjoint (kept). Mirrored in SQL (oracle.py preds_cte).
+PRED_SHIFT = [0.2, 0.8, 2.5]
+
+
+def predicted_rects(partkey: np.ndarray, p_size: np.ndarray):
+    """Synthesize 'predicted' rects (role of the model's featurized
+    output) as deterministic jitters of the reference footprints —
+    controlled IoU levels for dedupe threshold tests (FIXTURES.md §2)."""
+    minx, miny, maxx, maxy = footprint_rects(partkey, p_size)
+    k = np.asarray(partkey, dtype=np.int64)
+    sz = np.asarray(p_size, dtype=np.int64)
+    hw = C.FOOT_HW_BASE + (sz % 10).astype(np.float64) * C.FOOT_HW_STEP
+    shift = np.asarray(PRED_SHIFT, dtype=np.float64)[(k % 3).astype(np.int64)] * hw
+    return minx + shift, miny, maxx + shift, maxy
+
+
+def make_predicted_batch(batch: pa.Table) -> pa.Table:
+    k = batch.column("p_partkey").to_numpy()
+    sz = batch.column("p_size").to_numpy()
+    minx, miny, maxx, maxy = predicted_rects(k, sz)
+    return pa.table(
+        {
+            "pred_id": pa.array(k, type=pa.int64()),
+            "minx": pa.array(minx, type=pa.float64()),
+            "miny": pa.array(miny, type=pa.float64()),
+            "maxx": pa.array(maxx, type=pa.float64()),
+            "maxy": pa.array(maxy, type=pa.float64()),
+            "rings": rect_rings(minx, miny, maxx, maxy),
+        }
+    )
+
+
+def predicted_dataset(sf_dir: str, **read_kwargs):
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"], **read_kwargs
+    )
+    return ds.map_batches(make_predicted_batch, batch_format="pyarrow")
+
+
 def footprints_table(sf_dir: str) -> pa.Table:
     """Driver/test helper: the full footprints table via pyarrow (small)."""
     import pyarrow.parquet as pq
