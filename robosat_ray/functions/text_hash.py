@@ -1,0 +1,89 @@
+"""Document fingerprinting: token shingles, MinHash signatures, LSH
+band keys, SimHash, exact Jaccard. Standard public constructions
+(Broder 1997 minhash; Charikar 2002 simhash); no reference counterpart
+(robosat has no text ops) — these are the training-data-pipeline
+operators the engine adds (task brief: dedup family).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+MERSENNE_61 = (1 << 61) - 1
+N_PERM = 128
+N_BANDS = 64  # 64 bands x 2 rows: near-certain recall at jaccard >= 0.5
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+# deterministic permutation parameters (seeded, fixed forever)
+_rng = np.random.default_rng(20240817)
+PERM_A = _rng.integers(1, MERSENNE_61, size=N_PERM, dtype=np.int64).astype(np.uint64)
+PERM_B = _rng.integers(0, MERSENNE_61, size=N_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def tokenize(text: str) -> list[str]:
+    return text.split(" ")
+
+
+def shingles(tokens: list[str], k: int = 3) -> list[str]:
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
+def hash64(s: str) -> int:
+    """Stable 64-bit hash (md5 prefix)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+def shingle_hash_set(text: str, k: int = 3) -> np.ndarray:
+    """Distinct shingle hashes, sorted uint64."""
+    sh = set(shingles(tokenize(text), k))
+    return np.sort(np.fromiter((hash64(s) for s in sh), dtype=np.uint64, count=len(sh)))
+
+
+def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
+    """128 minhash values (uint64) for one document."""
+    if len(shingle_hashes) == 0:
+        return np.full(N_PERM, np.uint64(MERSENNE_61), dtype=np.uint64)
+    h = shingle_hashes[:, None]  # (S, 1)
+    vals = (h * PERM_A[None, :] + PERM_B[None, :]) % np.uint64(MERSENNE_61)
+    return vals.min(axis=0)
+
+
+def band_keys(sig: np.ndarray) -> np.ndarray:
+    """LSH band hashes: combine each band's rows into one int64 key."""
+    bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
+    key = np.zeros(N_BANDS, dtype=np.uint64)
+    for r in range(ROWS_PER_BAND):
+        key = key * np.uint64(1099511628211) + bands[:, r]  # FNV-ish mix
+    return key.astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+
+
+def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted unique uint64 arrays."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token counts."""
+    if not tokens:
+        return 0
+    uniq, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
+    hs = np.fromiter((hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    w = counts[:, None] * (2 * bits - 1)
+    v = w.sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if v[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -214,3 +214,55 @@ SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
        length(text) AS n_chars
 FROM documents
 """
+
+QUALITY = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       len(string_split_regex(text, '[ ]+')) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         / CAST(GREATEST(length(text), 1) AS DOUBLE) AS alpha_ratio,
+       CAST(length(text) AS DOUBLE)
+         / CAST(GREATEST(len(string_split_regex(text, '[ ]+')), 1) AS DOUBLE) AS avg_token_len
+FROM documents
+"""
+
+NEAR_DUP = """
+WITH docs_all AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, 'zzvariant' || substr(text, strpos(text, ' '))
+  FROM documents WHERE doc_id % 5 = 0
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs_all),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS s
+  FROM toks WHERE len(l) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.a
+JOIN cnt cb ON cb.doc_id = i.b
+WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
+"""
+
+ANN = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id % {C.ANN_STRIDE} = 0)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+         ) AS rank
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+) WHERE rank <= {C.ANN_K}
+"""

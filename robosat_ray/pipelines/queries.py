@@ -108,6 +108,57 @@ def q_dedupe(sf_dir: str):
     return dedupe_survivors(predicted_dataset(sf_dir), footprints_table(sf_dir))
 
 
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def q_near_dup(sf_dir: str):
+    """MinHash-LSH near-dup pairs over documents + synthetic variants,
+    verified with exact shingle-set Jaccard (>= 0.5)."""
+    from robosat_ray.stages.neardup import near_dup_pairs, with_variants_batch
+
+    docs = _docs_ds(sf_dir).map_batches(with_variants_batch, batch_format="pyarrow")
+    return near_dup_pairs(docs)
+
+
+def q_simhash(sf_dir: str):
+    from robosat_ray.stages.neardup import simhash_table
+
+    return simhash_table(_docs_ds(sf_dir))
+
+
+def q_quality(sf_dir: str):
+    from robosat_ray.stages.quality import quality_scores
+
+    return quality_scores(_docs_ds(sf_dir))
+
+
+def q_langid(sf_dir: str):
+    from robosat_ray.stages.quality import langid
+
+    return langid(_docs_ds(sf_dir))
+
+
+def _ann_queries(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    sel = ids % C.ANN_STRIDE == 0
+    Q = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[sel]
+    return ids[sel], Q
+
+
+def q_ann(sf_dir: str):
+    import ray.data
+
+    from robosat_ray.stages.ann import ann_brute_topk
+
+    qids, Q = _ann_queries(sf_dir)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_brute_topk(emb, qids, Q)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -120,8 +171,15 @@ QUERIES = {
     "rasterize_fg": q_rasterize_fg,
     "merge_components": q_merge_components,
     "dedupe": q_dedupe,
+    "near_dup": q_near_dup,
+    "simhash": q_simhash,
+    "quality": q_quality,
+    "langid": q_langid,
+    "ann": q_ann,
 }
 
+# simhash / langid are deterministic model-style scorers with no
+# SQL-expressible oracle -> rows-only driver check (allowed contract)
 ORACLES = {
     "extract_text": oracle.EXTRACT_TEXT,
     "tile_assign": oracle.TILE_ASSIGN,
@@ -134,4 +192,7 @@ ORACLES = {
     "rasterize_fg": oracle.RASTERIZE_FG,
     "merge_components": oracle.MERGE_COMPONENTS,
     "dedupe": oracle.DEDUPE,
+    "near_dup": oracle.NEAR_DUP,
+    "quality": oracle.QUALITY,
+    "ann": oracle.ANN,
 }

@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: broadcast query matrix, per-batch numpy
+  matmul local top-k, tiny groupby merge — exact, O(N·Q), the
+  baseline the oracle checks.
+- IVF variant (scale path): k-means-lite coarse centroids (deterministic
+  seeded init, few Lloyd iterations on a sample), assign vectors to
+  nearest centroid in a map_batches, probe only the nprobe closest
+  lists per query. Recall (not exactness) verified in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from robosat_ray import constants as C
+
+
+def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("vec_id").to_numpy()
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    E = flat.reshape(len(ids), -1)
+    return ids, E
+
+
+class CosineTopK:
+    """Per-batch local top-k against the broadcast query matrix."""
+
+    def __init__(self, qids: np.ndarray, Q: np.ndarray, k: int):
+        self.qids = np.asarray(qids, dtype=np.int64)
+        Qn = np.asarray(Q, dtype=np.float64)
+        self.Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, E = _emb_matrix(batch)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        sims = self.Qn @ En.T  # (Q, B)
+        self_m = ids[None, :] == self.qids[:, None]
+        sims[self_m] = -np.inf
+        k = min(self.k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            order = np.lexsort((ids, -sims[qi]))[:k]
+            order = order[np.isfinite(sims[qi][order])]
+            out_q.append(np.full(len(order), self.qids[qi], dtype=np.int64))
+            out_n.append(ids[order])
+            out_s.append(sims[qi][order])
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q) if out_q else np.array([], np.int64),
+                "neighbor_id": np.concatenate(out_n) if out_n else np.array([], np.int64),
+                "sim": np.concatenate(out_s) if out_s else np.array([], np.float64),
+            }
+        )
+
+
+def _merge_topk(group: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_id", "neighbor_id", "rank"]]
+
+
+def ann_brute_topk(emb_ds, qids, Q, k: int = C.ANN_K):
+    stage = CosineTopK(qids, Q, k)
+    local = emb_ds.map_batches(stage, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pandas"
+    )
+
+
+# ---------------- IVF (scale path) ----------------
+
+def train_centroids(sample: np.ndarray, n_lists: int, iters: int = 8, seed: int = 7):
+    """Deterministic k-means-lite on a driver-side sample."""
+    rng = np.random.default_rng(seed)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    idx = rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+class IVFProbe:
+    """Filter each batch to vectors whose coarse list is among the
+    nprobe closest lists of ANY query, then local top-k (union of
+    per-query candidate sets — correct merge happens downstream)."""
+
+    def __init__(self, qids, Q, centroids, k: int, nprobe: int):
+        self.inner = CosineTopK(qids, Q, k)
+        Qn = np.asarray(Q, np.float64)
+        Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
+        self.cent = centroids
+        sims = Qn @ centroids.T
+        nprobe = min(nprobe, centroids.shape[0])
+        self.allowed = np.unique(
+            np.argsort(-sims, axis=1)[:, :nprobe].ravel()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, E = _emb_matrix(batch)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        assign = np.argmax(En @ self.cent.T, axis=1)
+        keep = np.isin(assign, self.allowed)
+        return self.inner(batch.filter(pa.array(keep)))
+
+
+def ann_ivf_topk(emb_ds, qids, Q, centroids, k: int = C.ANN_K, nprobe: int = 4):
+    stage = IVFProbe(qids, Q, centroids, k, nprobe)
+    local = emb_ds.map_batches(stage, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pandas"
+    )

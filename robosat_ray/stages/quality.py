@@ -1,0 +1,102 @@
+"""Text quality scoring + language-ID heuristics over `documents`
+(training-data-pipeline ops; no robosat counterpart).
+
+Quality features are exact integer/IEEE math mirrored by the SQL
+oracle (alpha ratio, token stats). Language-ID is a stopword-profile
+heuristic (deterministic, not SQL-expressible — rows-only driver
+check; accuracy asserted in tests on constructed samples).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_ALPHA = re.compile(r"[A-Za-z]")
+
+# tiny stopword profiles (public common-word lists)
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für", "von"},
+    "fr": {"le", "la", "et", "les", "des", "est", "pas", "pour", "que", "dans"},
+    "es": {"el", "la", "que", "de", "los", "es", "una", "por", "con", "para"},
+}
+_LANGS = sorted(LANG_PROFILES)
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> quality features. All vectorized Arrow kernels
+    so the oracle SQL computes bit-identical doubles."""
+    texts = batch.column("text")
+    n_chars = pc.utf8_length(texts)
+    alpha_only = pc.replace_substring_regex(texts, "[^A-Za-z]", "")
+    n_alpha = pc.utf8_length(alpha_only)
+    toks = pc.extract_regex  # noqa: F841  (regex token count below)
+    n_tokens = pc.list_value_length(pc.split_pattern_regex(texts, "[ ]+"))
+    alpha_ratio = pc.divide(
+        pc.cast(n_alpha, pa.float64()), pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
+    )
+    avg_token_len = pc.divide(
+        pc.cast(n_chars, pa.float64()), pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64())
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_alpha": pc.cast(n_alpha, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "alpha_ratio": alpha_ratio,
+            "avg_token_len": avg_token_len,
+        }
+    )
+
+
+def quality_scores(docs_ds):
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
+
+
+class LangId:
+    """Stateful stage (actor pool): profiles + compiled tokenizer built
+    once per actor (__init__), scoring per batch. Prediction = argmax
+    stopword-hit ratio; ties -> 'und' (undetermined)."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zäöüéèêàçñ]+")
+        self.profiles = {k: frozenset(v) for k, v in LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds, scores = [], []
+        for t in texts:
+            words = self.word.findall(t.lower())
+            if not words:
+                preds.append("und")
+                scores.append(0.0)
+                continue
+            hits = {
+                lang: sum(w in prof for w in words)
+                for lang, prof in self.profiles.items()
+            }
+            best = max(_LANGS, key=lambda l: hits[l])
+            n = hits[best]
+            second = max(v for l, v in hits.items() if l != best)
+            preds.append(best if n > 0 and n > second else "und")
+            scores.append(n / len(words))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array(preds, pa.string()),
+                "stop_ratio": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def langid(docs_ds, concurrency=(1, 4)):
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+    )

@@ -1,0 +1,93 @@
+"""Text sketches, langid, ANN — property/recall tests (non-SQL ops)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from robosat_ray.functions.text_hash import (
+    hamming64,
+    jaccard_sorted,
+    minhash_signature,
+    shingle_hash_set,
+    simhash64,
+    tokenize,
+)
+
+
+def test_minhash_estimates_jaccard():
+    a = shingle_hash_set("the quick brown fox jumps over the lazy dog " * 8)
+    b = shingle_hash_set("the quick brown fox jumped over the lazy dog " * 8)
+    sa = minhash_signature(a)
+    sb = minhash_signature(b)
+    est = float(np.mean(sa == sb))
+    true = jaccard_sorted(a, b)
+    assert abs(est - true) < 0.15
+
+
+def test_simhash_similar_texts_close():
+    t1 = "spark table join merge filter sort window batch stream value " * 5
+    t2 = t1.replace("filter", "select", 1)
+    t3 = "completely different words entirely unrelated content here now"
+    h1, h2, h3 = (simhash64(tokenize(t)) for t in (t1, t2, t3))
+    assert hamming64(h1, h2) < 8
+    assert hamming64(h1, h3) > 12
+
+
+def test_langid_on_real_sentences():
+    from robosat_ray.stages.quality import LangId
+
+    samples = {
+        "en": "the cat sat on the mat and it is happy with the sun",
+        "de": "der hund und die katze sind nicht mit der maus im haus",
+        "fr": "le chat est dans la maison et les oiseaux sont pour toi",
+        "es": "el perro es una mascota que vive con los gatos por la casa",
+    }
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(samples)), pa.int64()),
+            "text": pa.array(list(samples.values()), pa.string()),
+        }
+    )
+    out = LangId()(batch)
+    preds = out.column("pred_lang").to_pylist()
+    assert preds == list(samples.keys())
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data
+
+    from robosat_ray import constants as C
+    from robosat_ray.stages.ann import ann_brute_topk, ann_ivf_topk, train_centroids
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    sel = ids % C.ANN_STRIDE == 0
+    qids, Q = ids[sel], E[sel]
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = ann_brute_topk(emb, qids, Q).to_pandas()
+    cent = train_centroids(E[:400], n_lists=16)
+    approx = ann_ivf_topk(emb, qids, Q, cent, nprobe=6).to_pandas()
+    # recall@5: fraction of exact neighbors found by IVF
+    ex = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.7, recall
+
+
+def test_near_dup_finds_all_variants(ray_session):
+    from robosat_ray.pipelines.queries import q_near_dup
+    from robosat_ray.stages.neardup import VARIANT_OFFSET
+
+    pairs = q_near_dup("/root/testdata/sf0.001")
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    # every doc_id % 5 == 0 with enough tokens must pair with its variant
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    for d, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        if d % 5 == 0 and len(txt.split(" ")) >= 13:  # j=(S-1)/(S+1) > 0.5 needs S >= 4; margin
+            assert (d, d + VARIANT_OFFSET) in got, d
