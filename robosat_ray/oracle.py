@@ -204,6 +204,17 @@ FROM tiles t LEFT JOIN (
 ) p ON p.tx = t.tx AND p.ty = t.ty
 """
 
+CLASS_WEIGHTS = f"""
+WITH fgq AS ({RASTERIZE_FG}),
+totals AS (
+  SELECT SUM(fg) AS c1, SUM({_RS * _RS} - fg) AS c0 FROM fgq
+)
+SELECT 0 AS class_idx, c0 AS pixel_count,
+       ROUND(1.0 / ln(1.02 + CAST(c0 AS DOUBLE) / (c0 + c1)), 8) AS weight FROM totals
+UNION ALL
+SELECT 1, c1, ROUND(1.0 / ln(1.02 + CAST(c1 AS DOUBLE) / (c0 + c1)), 8) FROM totals
+"""
+
 EXACT_DEDUP = """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
 FROM documents GROUP BY md5(text)

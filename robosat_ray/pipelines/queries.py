@@ -159,6 +159,29 @@ def q_ann(sf_dir: str):
     return ann_brute_topk(emb, qids, Q)
 
 
+def q_class_weights(sf_dir: str):
+    """A1: global per-class pixel histogram over rasterized masks +
+    the reference's 1/ln(1.02+p) weight rule."""
+    from robosat_ray.stages.rasterize import rasterize
+    from robosat_ray.stages.weights import class_weights
+
+    return class_weights(rasterize(footprints_dataset(sf_dir), size=64))
+
+
+def q_segmentation_metrics(sf_dir: str):
+    """Full prediction-pipeline story (halo exchange -> scorer actor
+    pool -> quantize -> ensemble softvote -> confusion aggregate).
+    Deterministic stand-in model => rows-only driver check; formula
+    correctness asserted in tests."""
+    from robosat_ray.stages.metrics import segmentation_metrics
+    from robosat_ray.stages.rasterize import rasterize
+    from robosat_ray.stages.scorer import predict_pipeline
+
+    labels = rasterize(footprints_dataset(sf_dir), size=64)
+    pairs = predict_pipeline(labels)
+    return segmentation_metrics(pairs)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -176,6 +199,8 @@ QUERIES = {
     "quality": q_quality,
     "langid": q_langid,
     "ann": q_ann,
+    "class_weights": q_class_weights,
+    "segmentation_metrics": q_segmentation_metrics,
 }
 
 # simhash / langid are deterministic model-style scorers with no
@@ -195,4 +220,5 @@ ORACLES = {
     "near_dup": oracle.NEAR_DUP,
     "quality": oracle.QUALITY,
     "ann": oracle.ANN,
+    "class_weights": oracle.CLASS_WEIGHTS,
 }

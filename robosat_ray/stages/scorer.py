@@ -1,0 +1,239 @@
+"""Prediction pipeline: halo exchange -> stateful scorer actor pool ->
+prob quantization -> ensemble soft-vote (SURVEY.md T1/J8/J3/M16/M17;
+reference robosat/tools/predict.py:43-113 + robosat/tiles.py:139-227
+buffered tiles + robosat/tools/masks.py:28-84 softvote).
+
+The "model" here is a deterministic stand-in (a fixed box-blur
+convolution + logistic squash, loaded once per actor in __init__ — no
+torch in this environment); the Ray-side plumbing (halo join, actor
+pool, batch shapes, quantization, ensemble groupby) is the real,
+tested architecture a UNet checkpoint would drop into.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------- M17: prob (de)quantization (reference masks.py:41-55) ----------
+
+_ANCHORS = np.linspace(0.0, 1.0, 256)
+
+
+def quantize_probs(p: np.ndarray) -> np.ndarray:
+    """float [0,1] -> uint8 [0,255] via the reference's linspace-anchor
+    digitize scheme."""
+    return np.clip(np.digitize(p, _ANCHORS) - 1, 0, 255).astype(np.uint8)
+
+
+def dequantize_probs(q: np.ndarray) -> np.ndarray:
+    return _ANCHORS[q]
+
+
+# ---------- J8: halo exchange (buffered tiles) ----------
+
+def halo_explode(batch: pa.Table, overlap: int) -> pa.Table:
+    """Each tile row -> up to 9 (center, dx, dy, data) slot rows: the
+    Ray-idiomatic replacement for the reference's adjacent-tile
+    filesystem lookups (tiles.py:139-227)."""
+    txs = batch.column("tile_x").to_numpy()
+    tys = batch.column("tile_y").to_numpy()
+    sizes = batch.column("size").to_numpy()
+    datas = batch.column("data").to_pylist()
+    out = {"center_x": [], "center_y": [], "dx": [], "dy": [], "size": [], "data": []}
+    for tx, ty, size, data in zip(txs, tys, sizes, datas):
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                out["center_x"].append(int(tx + dx))
+                out["center_y"].append(int(ty + dy))
+                out["dx"].append(-dx)  # position of THIS tile rel. to center
+                out["dy"].append(-dy)
+                out["size"].append(int(size))
+                out["data"].append(data)
+    return pa.table(
+        {
+            "center_x": pa.array(out["center_x"], pa.int64()),
+            "center_y": pa.array(out["center_y"], pa.int64()),
+            "dx": pa.array(out["dx"], pa.int8()),
+            "dy": pa.array(out["dy"], pa.int8()),
+            "size": pa.array(out["size"], pa.int64()),
+            "data": pa.array(out["data"], pa.binary()),
+        }
+    )
+
+
+def stitch_group(group: pd.DataFrame, overlap: int) -> pd.DataFrame:
+    """Assemble the buffered (size + 2*overlap)^2 image for one center
+    tile from its neighbor slots; missing neighbors = 0 fill (the
+    reference's nodata behavior). Drops centers that have no own tile."""
+    size = int(group["size"].iloc[0])
+    if not ((group["dx"] == 0) & (group["dy"] == 0)).any():
+        return pd.DataFrame(
+            {"tile_x": [], "tile_y": [], "size": [], "data": []}
+        ).astype({"tile_x": np.int64, "tile_y": np.int64, "size": np.int64, "data": object})
+    buf = np.zeros((size + 2 * overlap, size + 2 * overlap), dtype=np.uint8)
+    for r in group.itertuples():
+        t = np.frombuffer(r.data, dtype=np.uint8).reshape(size, size)
+        # this neighbor sits at offset (dx, dy) tiles from the center
+        x0 = overlap + int(r.dx) * size
+        y0 = overlap + int(r.dy) * size
+        sx0, sy0 = max(0, -x0), max(0, -y0)
+        dx0, dy0 = max(0, x0), max(0, y0)
+        w = min(size - sx0, buf.shape[1] - dx0)
+        h = min(size - sy0, buf.shape[0] - dy0)
+        if w > 0 and h > 0:
+            buf[dy0 : dy0 + h, dx0 : dx0 + w] = t[sy0 : sy0 + h, sx0 : sx0 + w]
+    return pd.DataFrame(
+        {
+            "tile_x": [int(group["center_x"].iloc[0])],
+            "tile_y": [int(group["center_y"].iloc[0])],
+            "size": [size],
+            "data": [buf.tobytes()],
+        }
+    )
+
+
+def buffered_tiles(masks_ds, overlap: int = 8):
+    """masks/images Dataset -> buffered-tile Dataset via flat-map halo
+    explode + groupby(center) stitch (shuffle)."""
+    exploded = masks_ds.map_batches(
+        lambda b: halo_explode(b, overlap), batch_format="pyarrow"
+    )
+    return exploded.groupby(["center_x", "center_y"]).map_groups(
+        lambda g: stitch_group(g, overlap), batch_format="pandas"
+    )
+
+
+# ---------- T1: scorer actor pool (deterministic stand-in model) ----------
+
+class Scorer:
+    """Callable class for map_batches actor pools: 'weights' (a box
+    kernel + bias) are built ONCE per actor in __init__ (the T1
+    pattern; a torch checkpoint load goes exactly here), inference per
+    batch in __call__. Input rows are buffered tiles; output rows are
+    quantized prob tiles cropped back to the core (unbuffer,
+    reference datasets.py:123-136)."""
+
+    def __init__(self, kernel_size: int = 3, overlap: int = 8, gain: float = 6.0):
+        self.k = kernel_size
+        self.overlap = overlap
+        self.gain = gain
+        self.kernel = np.ones((kernel_size, kernel_size), dtype=np.float64)
+        self.kernel /= self.kernel.sum()
+
+    def _conv(self, img: np.ndarray) -> np.ndarray:
+        # separable box filter via cumulative sums (exact, fast)
+        k = self.k
+        pad = k // 2
+        p = np.pad(img.astype(np.float64), pad, mode="edge")
+        c = np.cumsum(p, axis=0)
+        c = np.vstack([np.zeros((1, c.shape[1])), c])
+        rows = (c[k:, :] - c[:-k, :])
+        c2 = np.cumsum(rows, axis=1)
+        c2 = np.hstack([np.zeros((c2.shape[0], 1)), c2])
+        out = (c2[:, k:] - c2[:, :-k]) / (k * k)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sizes = batch.column("size").to_numpy()
+        datas = batch.column("data").to_pylist()
+        out_data = []
+        for size, data in zip(sizes, datas):
+            size = int(size)
+            buf = np.frombuffer(data, dtype=np.uint8).reshape(
+                size + 2 * self.overlap, size + 2 * self.overlap
+            )
+            smooth = self._conv(buf)
+            prob = 1.0 / (1.0 + np.exp(-self.gain * (smooth - 0.5)))
+            core = prob[self.overlap : self.overlap + size, self.overlap : self.overlap + size]
+            out_data.append(quantize_probs(core).tobytes())
+        return pa.table(
+            {
+                "tile_x": batch.column("tile_x"),
+                "tile_y": batch.column("tile_y"),
+                "size": batch.column("size"),
+                "data": pa.array(out_data, pa.binary()),
+            }
+        )
+
+
+def score(buffered_ds, kernel_size: int = 3, overlap: int = 8, concurrency=(1, 4)):
+    return buffered_ds.map_batches(
+        Scorer,
+        fn_constructor_kwargs={"kernel_size": kernel_size, "overlap": overlap},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ---------- J3 + M16/A4: ensemble soft-vote ----------
+
+def softvote_group(group: pd.DataFrame) -> pd.DataFrame:
+    """Weighted average of dequantized prob tiles for one tile key,
+    then threshold (binary argmax) -> mask (reference masks.py:72-84)."""
+    size = int(group["size"].iloc[0])
+    acc = np.zeros(size * size, dtype=np.float64)
+    for r in group.itertuples():
+        acc += dequantize_probs(np.frombuffer(r.data, dtype=np.uint8))
+    acc /= len(group)
+    mask = (acc >= 0.5).astype(np.uint8)
+    return pd.DataFrame(
+        {
+            "tile_x": [int(group["tile_x"].iloc[0])],
+            "tile_y": [int(group["tile_y"].iloc[0])],
+            "size": [size],
+            "fg": [int(np.count_nonzero(mask))],
+            "data": [mask.tobytes()],
+        }
+    )
+
+
+def softvote(prob_datasets: list):
+    """Union K prob Datasets (tagged by position) -> groupby tile ->
+    weighted soft-vote masks."""
+    ds = prob_datasets[0]
+    for other in prob_datasets[1:]:
+        ds = ds.union(other)
+    return ds.groupby(["tile_x", "tile_y"]).map_groups(
+        softvote_group, batch_format="pandas"
+    )
+
+
+def predict_pipeline(masks_ds, overlap: int = 8, kernel_sizes=(3, 5)):
+    """labels-as-imagery -> halo -> K scorers -> softvote predicted
+    masks, with labels carried for metrics: returns Dataset
+    (tile_x, tile_y, size, label_data, pred_data)."""
+    buffered = buffered_tiles(masks_ds, overlap)
+    probs = [score(buffered, k, overlap) for k in kernel_sizes]
+    pred = softvote(probs)
+
+    # zip-join predictions back to labels on the tile key (J1 analog —
+    # key-join via groupby, not order coupling)
+    def tag(ds, role):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column("role", pa.array([role] * len(b), pa.int8()))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    both = tag(masks_ds.select_columns(["tile_x", "tile_y", "size", "data"]), 0).union(
+        tag(pred.select_columns(["tile_x", "tile_y", "size", "data"]), 1)
+    )
+
+    def pair(group: pd.DataFrame) -> pd.DataFrame:
+        lab = group[group["role"] == 0]
+        prd = group[group["role"] == 1]
+        if len(lab) != 1 or len(prd) != 1:
+            return pd.DataFrame({"tile_x": [], "tile_y": [], "size": [], "label_data": [], "pred_data": []})
+        return pd.DataFrame(
+            {
+                "tile_x": [int(group["tile_x"].iloc[0])],
+                "tile_y": [int(group["tile_y"].iloc[0])],
+                "size": [int(lab["size"].iloc[0])],
+                "label_data": [lab["data"].iloc[0]],
+                "pred_data": [prd["data"].iloc[0]],
+            }
+        )
+
+    return both.groupby(["tile_x", "tile_y"]).map_groups(pair, batch_format="pandas")

@@ -1,0 +1,45 @@
+"""Class-weight histogram aggregate (SURVEY.md A1; reference
+robosat/tools/weights.py:36-59: sequential per-tile bincount sum, then
+w = 1 / ln(1.02 + p)). Engine shape: per-batch partial bincounts
+(map_batches combiner) -> tiny global sum -> driver finalizer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def partial_bincount(batch: pa.Table, n_classes: int = 2) -> pa.Table:
+    sizes = batch.column("size").to_numpy()
+    datas = batch.column("data").to_pylist()
+    counts = np.zeros(n_classes, dtype=np.int64)
+    for size, data in zip(sizes, datas):
+        m = np.frombuffer(data, dtype=np.uint8)
+        counts += np.bincount(m, minlength=n_classes)[:n_classes]
+    return pa.table({f"c{i}": pa.array([counts[i]]) for i in range(n_classes)})
+
+
+def class_weights(masks_ds, n_classes: int = 2) -> pd.DataFrame:
+    """-> DataFrame (class_idx, pixel_count, weight) with the
+    reference's weight formula w = 1 / ln(1.02 + p)."""
+    from ray.data.aggregate import Sum
+
+    partials = masks_ds.map_batches(
+        lambda b: partial_bincount(b, n_classes), batch_format="pyarrow"
+    )
+    agg = partials.aggregate(*[Sum(f"c{i}", alias_name=f"c{i}") for i in range(n_classes)])
+    counts = np.array([agg[f"sum(c{i})"] if f"sum(c{i})" in agg else agg[f"c{i}"] for i in range(n_classes)], dtype=np.int64)
+    total = counts.sum()
+    probs = counts / total
+    # round to 8 decimals: numpy log and DuckDB ln differ by 1 ulp on
+    # some inputs, which would break exact oracle comparison
+    weights = np.round(1.0 / np.log(1.02 + probs), 8)
+    return pd.DataFrame(
+        {
+            "class_idx": np.arange(n_classes, dtype=np.int64),
+            "pixel_count": counts,
+            "weight": weights,
+        }
+    )
