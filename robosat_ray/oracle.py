@@ -220,6 +220,32 @@ SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
 FROM documents GROUP BY md5(text)
 """
 
+# float sums rounded to 6 decimals on BOTH sides: summation order
+# differs between Ray partial aggregation and DuckDB
+EVENTS_WINDOW = """
+SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value,
+       MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+EVENTS_RUNNING = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER w, 6) AS running_value,
+       ROW_NUMBER() OVER w AS seq
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+TOP_TILES = f"""
+WITH {points_cte()}
+SELECT tile_x, tile_y, n FROM (
+  SELECT {tile_x('lon')} AS tile_x, {tile_y('my')} AS tile_y, COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+) ORDER BY n DESC, tile_x, tile_y LIMIT 10
+"""
+
 TOKEN_COUNT = """
 SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
        length(text) AS n_chars

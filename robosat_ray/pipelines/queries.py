@@ -182,6 +182,72 @@ def q_segmentation_metrics(sf_dir: str):
     return segmentation_metrics(pairs)
 
 
+def q_events_window(sf_dir: str):
+    import ray.data
+
+    from robosat_ray.stages.events import tumbling_window_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = tumbling_window_agg(ev)
+
+    def round_sum(batch: pa.Table) -> pa.Table:
+        # np.round (scale, rint, divide) matches DuckDB ROUND bit-for-bit;
+        # pyarrow.compute.round multiplies back and lands on different floats
+        r = np.round(batch.column("sum_value").to_numpy(), 6)
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"), "sum_value", pa.array(r)
+        )
+
+    return out.map_batches(round_sum, batch_format="pyarrow")
+
+
+def q_events_running(sf_dir: str):
+    import ray.data
+
+    from robosat_ray.stages.events import running_totals
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = running_totals(ev)
+
+    def round_col(batch: pa.Table) -> pa.Table:
+        r = np.round(batch.column("running_value").to_numpy(), 6)
+        return batch.set_column(
+            batch.schema.get_field_index("running_value"), "running_value", pa.array(r)
+        )
+
+    return out.map_batches(round_col, batch_format="pyarrow")
+
+
+def q_top_tiles(sf_dir: str):
+    """Top-10 tiles by page count (partial per-batch counts -> groupby
+    sum -> global sort + limit; deterministic (n desc, tile) order)."""
+    from ray.data.aggregate import Sum
+
+    pts = points_dataset(sf_dir).select_columns(["tile_x", "tile_y"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tx = batch.column("tile_x").to_numpy()
+        ty = batch.column("tile_y").to_numpy()
+        key = tx * np.int64(1 << 22) + ty
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "tile_x": pa.array(uniq // np.int64(1 << 22)),
+                "tile_y": pa.array(uniq % np.int64(1 << 22)),
+                "partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        pts.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tile_x", "tile_y"])
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+    return counts.sort(["n", "tile_x", "tile_y"], descending=[True, False, False]).limit(10)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -201,6 +267,9 @@ QUERIES = {
     "ann": q_ann,
     "class_weights": q_class_weights,
     "segmentation_metrics": q_segmentation_metrics,
+    "events_window": q_events_window,
+    "events_running": q_events_running,
+    "top_tiles": q_top_tiles,
 }
 
 # simhash / langid are deterministic model-style scorers with no
@@ -221,4 +290,7 @@ ORACLES = {
     "quality": oracle.QUALITY,
     "ann": oracle.ANN,
     "class_weights": oracle.CLASS_WEIGHTS,
+    "events_window": oracle.EVENTS_WINDOW,
+    "events_running": oracle.EVENTS_RUNNING,
+    "top_tiles": oracle.TOP_TILES,
 }

@@ -1,0 +1,125 @@
+"""Checkpointed partitioned output + resume.
+
+Layout: `{root}/part={id}/data.parquet` + `{root}/part={id}/_SUCCESS`
+(a JSON manifest: rows, order-insensitive checksum). Writes are atomic
+(temp file + rename). A rerun skips partitions whose manifest exists —
+the engine's replacement for the reference's file-existence resume
+(robosat/tools/download.py:48-49) and read-modify-max merge
+(tools/rasterize.py:131-133), which our idempotent partition overwrite
+makes unnecessary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from robosat_ray.runtime.lineage import batch_checksum
+
+
+def partition_id(key: np.ndarray, num_partitions: int) -> np.ndarray:
+    h = (key.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(num_partitions)
+    return h.astype(np.int64)
+
+
+def done_partitions(root: str) -> set[int]:
+    out = set()
+    if not os.path.isdir(root):
+        return out
+    for name in os.listdir(root):
+        if name.startswith("part=") and os.path.exists(
+            os.path.join(root, name, "_SUCCESS")
+        ):
+            out.add(int(name.split("=", 1)[1]))
+    return out
+
+
+def write_partitioned(
+    ds,
+    root: str,
+    key_col: str,
+    num_partitions: int = 64,
+    resume: bool = True,
+) -> pd.DataFrame:
+    """Write `ds` as hash-partitioned parquet with per-partition
+    manifests; skips already-completed partitions when resume=True.
+    Returns the manifest table (part, rows, checksum, skipped)."""
+    os.makedirs(root, exist_ok=True)
+    done = done_partitions(root) if resume else set()
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy()
+        return batch.append_column(
+            "__part", pa.array(partition_id(keys, num_partitions))
+        )
+
+    def write_group(group: pa.Table) -> pa.Table:
+        part = int(group.column("__part")[0].as_py())
+        if part in done:
+            return pa.table({"part": pa.array([part], pa.int64()),
+                             "rows": pa.array([-1], pa.int64()),
+                             "checksum": pa.array([0], pa.int64()),
+                             "skipped": pa.array([True])})
+        body = group.drop_columns(["__part"])
+        pdir = os.path.join(root, f"part={part}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        pq.write_table(body, tmp)
+        os.replace(tmp, os.path.join(pdir, "data.parquet"))
+        ck = batch_checksum(body) & 0x7FFFFFFFFFFFFFFF
+        manifest = {"part": part, "rows": len(body), "checksum": ck}
+        mtmp = os.path.join(pdir, "._SUCCESS.tmp")
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mtmp, os.path.join(pdir, "_SUCCESS"))
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "rows": pa.array([len(body)], pa.int64()),
+                         "checksum": pa.array([ck], pa.int64()),
+                         "skipped": pa.array([False])})
+
+    res = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(write_group, batch_format="pyarrow")
+    )
+    return res.to_pandas()
+
+
+def read_partitioned(root: str):
+    """Streaming read of a partitioned output (completed parts only)."""
+    import ray.data
+
+    paths = [
+        os.path.join(root, f"part={p}", "data.parquet")
+        for p in sorted(done_partitions(root))
+    ]
+    ds = ray.data.read_parquet(paths)
+    # drop the hive-style `part` column Arrow infers from the dir name
+    if "part" in ds.schema().names:
+        ds = ds.drop_columns(["part"])
+    return ds
+
+
+def verify_manifests(root: str) -> pd.DataFrame:
+    """Re-read each completed partition and check rows+checksum against
+    its manifest (resume-equals-single-run evidence)."""
+    rows = []
+    for p in sorted(done_partitions(root)):
+        pdir = os.path.join(root, f"part={p}")
+        with open(os.path.join(pdir, "_SUCCESS")) as f:
+            man = json.load(f)
+        t = pq.read_table(os.path.join(pdir, "data.parquet"))
+        ck = batch_checksum(t) & 0x7FFFFFFFFFFFFFFF
+        rows.append(
+            {
+                "part": p,
+                "rows_ok": len(t) == man["rows"],
+                "checksum_ok": ck == man["checksum"],
+            }
+        )
+    return pd.DataFrame(rows)
