@@ -69,9 +69,70 @@ def _merge_topk(group: pd.DataFrame, k: int) -> pd.DataFrame:
 
 def knn_match(points_ds, query_ids, qx, qy, k: int = C.KNN_K):
     """points (doc_id, lon, my) x broadcast queries -> (query_id,
-    neighbor_id, rank 1..k) global top-k rows."""
+    neighbor_id, rank 1..k) global top-k rows (exact brute force:
+    every batch scores against every query)."""
     stage = LocalTopK(np.asarray(query_ids), np.asarray(qx), np.asarray(qy), k)
     local = points_ds.map_batches(stage, batch_format="pyarrow")
     return local.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pandas"
     )
+
+
+def knn_kring(points_ds, query_ids, qx, qy, k: int = C.KNN_K, z: int = C.Z_JOIN, r0: int = 2):
+    """Exact kNN via k-ring cell expansion (SURVEY.md J10; the
+    distributed analog of the reference's rtree nearest-candidate
+    probing, dedupe.py:45-49): filter the scan to cells within ring r
+    of each query's cell, local top-k + merge, then verify the ring
+    guarantee — the kth distance must be under the (r-1)-cell metric
+    bound — and double r if not. At city densities the first ring
+    already holds k points, so the scan touches a tiny cell subset
+    instead of every row (the brute path's full scan)."""
+    from robosat_ray.geo import tiles as T
+
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qx = np.asarray(qx, dtype=np.float64)
+    qy = np.asarray(qy, dtype=np.float64)
+    qtx, qty = T.lonmy_to_tile(qx, qy, z)
+    s = 360.0 / (1 << z)  # metric cell side in the (lon, my*360) plane
+    r = r0
+    while True:
+        allowed = set()
+        for tx, ty in zip(qtx, qty):
+            for x in range(tx - r, tx + r + 1):
+                for y in range(ty - r, ty + r + 1):
+                    allowed.add(int(T.cell_id(np.array([x]), np.array([y]), z)[0]))
+        allowed_arr = np.sort(np.fromiter(allowed, dtype=np.int64, count=len(allowed)))
+
+        stage = LocalTopK(qids, qx, qy, k)
+
+        def filtered(batch: pa.Table) -> pa.Table:
+            cells = batch.column("cell").to_numpy()
+            pos = np.searchsorted(allowed_arr, cells)
+            pos = np.clip(pos, 0, len(allowed_arr) - 1)
+            keep = allowed_arr[pos] == cells
+            return stage(batch.filter(pa.array(keep)))
+
+        local = points_ds.map_batches(filtered, batch_format="pyarrow")
+        merged = local.groupby("query_id").map_groups(
+            lambda g: _merge_topk_with_dist(g, k), batch_format="pandas"
+        )
+        pdf = merged.to_pandas()
+        # ring guarantee: kth distance < (r-1) * cell side for every
+        # query that found k results; otherwise expand
+        ok = True
+        bound = (r - 1) * s
+        for qid in qids:
+            sub = pdf[pdf.query_id == qid]
+            if len(sub) < k or np.sqrt(sub["dist"].max()) >= bound:
+                ok = False
+                break
+        if ok:
+            return pdf[["query_id", "neighbor_id", "rank"]]
+        r *= 2
+
+
+def _merge_topk_with_dist(group: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = group.sort_values(["dist", "neighbor_id"], kind="stable").head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_id", "neighbor_id", "rank", "dist"]]

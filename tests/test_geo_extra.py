@@ -1,0 +1,122 @@
+"""Projections, buffering, road widths, k-ring kNN equivalence."""
+
+import numpy as np
+import pytest
+
+from robosat_ray.geo.buffer import buffer_polyline, buffer_ring
+from robosat_ray.geo.mercator import (
+    from_mercator_3395,
+    from_webmercator,
+    geodesic_area_m2,
+    to_mercator_3395,
+    to_mollweide,
+    to_webmercator,
+)
+from robosat_ray.geo.polygon import shoelace_area
+from robosat_ray.functions.roads import buffered_road_ring, road_width_m
+
+
+def test_webmercator_known_values():
+    # proj well-known test point: (lon=2, lat=48.8) ~ Paris-ish
+    x, y = to_webmercator(np.array([0.0, 2.0]), np.array([0.0, 48.8]))
+    assert x[0] == 0.0 and y[0] == 0.0
+    assert np.isclose(x[1], 222638.98158654713)
+    lon, lat = from_webmercator(x, y)
+    np.testing.assert_allclose(lon, [0.0, 2.0], atol=1e-12)
+    np.testing.assert_allclose(lat, [0.0, 48.8], atol=1e-12)
+
+
+def test_mercator_3395_roundtrip_and_sphere_gap():
+    lon = np.array([12.5, -70.0, 151.2])
+    lat = np.array([41.9, -33.4, -33.9])
+    x, y = to_mercator_3395(lon, lat)
+    lon2, lat2 = from_mercator_3395(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-12)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # ellipsoidal y differs from spherical by ~0.3-0.7%
+    _, ys = to_webmercator(lon, lat)
+    assert 0.001 < np.max(np.abs(ys - y) / np.abs(y)) < 0.01
+
+
+def test_mollweide_equal_area_property():
+    # a 1deg x 1deg cell at two latitudes: projected areas must match
+    # the cos(lat)-scaled true sphere areas closely (equal-area projection)
+    def cell_area(lat0):
+        lon = np.array([0.0, 1.0, 1.0, 0.0])
+        lat = np.array([lat0, lat0, lat0 + 1.0, lat0 + 1.0])
+        x, y = to_mollweide(lon, lat)
+        return abs(shoelace_area(x, y))
+
+    a_eq = cell_area(0.0)
+    a_60 = cell_area(60.0)
+    true_ratio = (np.sin(np.radians(61)) - np.sin(np.radians(60))) / (
+        np.sin(np.radians(1)) - 0.0
+    )
+    assert abs(a_60 / a_eq - true_ratio) < 0.01
+
+
+def test_geodesic_area_known():
+    # ~111.19km x ~111.19km square at the equator ≈ 1.236e10 m² (1°x1°)
+    lon = np.array([0.0, 1.0, 1.0, 0.0])
+    lat = np.array([0.0, 0.0, 1.0, 1.0])
+    a = geodesic_area_m2(lon, lat)
+    assert 1.2e10 < a < 1.25e10
+
+
+def test_buffer_polyline_area():
+    # straight segment of length 10, d=1: area = 10*2 + pi*1^2
+    xs = np.array([0.0, 10.0])
+    ys = np.array([0.0, 0.0])
+    bx, by = buffer_polyline(xs, ys, 1.0, arc_steps=256)
+    area = abs(shoelace_area(bx[:-1], by[:-1]))
+    assert abs(area - (20.0 + np.pi)) < 0.01
+
+
+def test_buffer_polyline_L_shape():
+    xs = np.array([0.0, 10.0, 10.0])
+    ys = np.array([0.0, 0.0, 10.0])
+    bx, by = buffer_polyline(xs, ys, 1.0, arc_steps=256)
+    area = abs(shoelace_area(bx[:-1], by[:-1]))
+    # union of two 10x2 strips (1x1 overlap at the elbow) + outer join
+    # quarter-disc + two half-disc end caps (analytic)
+    want = 40.0 - 1.0 + np.pi / 4.0 + np.pi
+    assert abs(area - want) < 0.01
+
+
+def test_buffer_ring_grows_square():
+    xs = np.array([0.0, 4.0, 4.0, 0.0])
+    ys = np.array([0.0, 0.0, 4.0, 4.0])
+    bx, by = buffer_ring(xs, ys, 1.0, arc_steps=256)
+    area = abs(shoelace_area(bx[:-1], by[:-1]))
+    want = 16.0 + 4 * 4.0 * 1.0 + np.pi  # core + side strips + corner arcs
+    assert abs(area - want) < 0.02
+
+
+def test_road_widths():
+    assert road_width_m("motorway") == 4 * 3.75
+    assert road_width_m("motorway", oneway=True) == 2 * 3.75
+    assert road_width_m("residential", lanes=3) == 3 * 2.75
+    assert road_width_m("primary", explicit_width=9.5) == 9.5
+    assert road_width_m("nonsense") == 2 * 2.75
+    bx, by = buffered_road_ring(np.array([0.0, 100.0]), np.array([0.0, 0.0]), 7.0)
+    area = abs(shoelace_area(bx[:-1], by[:-1]))
+    assert abs(area - (100 * 7 + np.pi * 3.5**2)) / area < 0.01
+
+
+def test_knn_kring_equals_brute(ray_session):
+    from robosat_ray import constants as C
+    from robosat_ray.pipelines.flagship import points_dataset
+    from robosat_ray.pipelines.queries import _query_points
+    from robosat_ray.stages.knn import knn_kring, knn_match
+
+    sf = "/root/testdata/sf0.01"
+    qids, qx, qy = _query_points(sf)
+    brute = knn_match(points_dataset(sf), qids, qx, qy).to_pandas()
+    kring = knn_kring(points_dataset(sf), qids, qx, qy)
+    cols = ["query_id", "rank", "neighbor_id"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        brute[cols].sort_values(cols).reset_index(drop=True),
+        kring[cols].sort_values(cols).reset_index(drop=True),
+    )
