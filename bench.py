@@ -86,7 +86,11 @@ def run_bench() -> dict:
     n_pages = n_docs * REPLICAS
 
     qtimes = {}
-    for name in () if SKIP_QUERIES else ("tile_assign", "cover", "spatial_join", "knn", "exact_dedup", "token_count"):
+    for name in () if SKIP_QUERIES else (
+        "tile_assign", "cover", "spatial_join", "knn", "exact_dedup",
+        "token_count", "rasterize_fg", "merge_components", "dedupe",
+        "near_dup", "ann", "events_window",
+    ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)
         if hasattr(res, "count"):

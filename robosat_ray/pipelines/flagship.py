@@ -54,6 +54,7 @@ def flagship(
     num_blocks: int | None = None,
     join_strategy: str = "auto",
     concurrency=(2, 16),
+    lineage: bool = False,
 ):
     """Returns the joined Dataset (url, doc_id, feature_id, kind, cell).
 
@@ -63,6 +64,8 @@ def flagship(
     join_strategy: 'broadcast' (small polygon side: ray.put + actor-pool
     probe, zero shuffle), 'shuffle' (both sides large: cell co-partition
     groupby with hot-cell salting), or 'auto' (by footprint row count).
+    lineage=True records per-batch lineage rows (stage, rows, checksum)
+    for the points and join stages into the collector actor.
     """
     import pyarrow.parquet as pq
 
@@ -80,12 +83,24 @@ def flagship(
         pts = points_dataset(sf_dir, z=z, replicas=replicas, num_blocks=num_blocks)
         pts = pts.select_columns(["doc_id", "url", "lon", "my", "cell"])
 
+    if lineage:
+        from robosat_ray.runtime.lineage import with_lineage
+
+        pts = with_lineage(pts, "points", checksum_columns=["doc_id", "cell"])
+
     if join_strategy == "auto":
         n_feet = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
         join_strategy = "broadcast" if n_feet <= BROADCAST_LIMIT else "shuffle"
 
     if join_strategy == "broadcast":
-        return broadcast_spatial_join(pts, footprints_table(sf_dir), z=z, concurrency=concurrency)
+        joined = broadcast_spatial_join(
+            pts, footprints_table(sf_dir), z=z, concurrency=concurrency
+        )
+        if lineage:
+            from robosat_ray.runtime.lineage import with_lineage
+
+            joined = with_lineage(joined, "joined", checksum_columns=["doc_id", "feature_id"])
+        return joined
 
     feet = footprints_dataset(sf_dir)
     hot = (
@@ -97,4 +112,9 @@ def flagship(
         if salt
         else {}
     )
-    return spatial_join(pts, feet, z=z, hot=hot)
+    joined = spatial_join(pts, feet, z=z, hot=hot)
+    if lineage:
+        from robosat_ray.runtime.lineage import with_lineage
+
+        joined = with_lineage(joined, "joined", checksum_columns=["doc_id", "feature_id"])
+    return joined

@@ -46,9 +46,11 @@ def _explode_to_tiles(batch: pa.Table, z: int) -> pa.Table:
 
 
 def _burn_group(group, z: int, size: int):
-    """All features covering one tile -> one (size, size) uint8 mask.
-    Geometry is projected into tile-local pixel space and burned with
-    the even-odd scanline kernel; multiple features max-merge."""
+    """All features covering one tile -> one (size, size) uint8 mask,
+    max-merged. Axis-aligned rects take a vectorized direct fill with
+    the SAME pixel-center rule as the scanline kernel (a = first
+    center >= edge); general rings go through geo.raster.fill_rings —
+    results are identical for rects (tested)."""
     import pandas as pd
 
     tx = int(group["tile_x"].iloc[0])
@@ -61,18 +63,19 @@ def _burn_group(group, z: int, size: int):
     sx = size / (east - west)
     sy = size / (south - north)
     mask = np.zeros((size, size), dtype=np.uint8)
-    has_geom = group["minx"].notna()
-    for _, r in group[has_geom].iterrows():
-        x0 = (r["minx"] - west) * sx
-        x1 = (r["maxx"] - west) * sx
-        y0 = (r["miny"] - north) * sy
-        y1 = (r["maxy"] - north) * sy
-        ring = (
-            np.array([x0, x1, x1, x0, x0]),
-            np.array([y0, y0, y1, y1, y0]),
-        )
-        m = fill_rings([ring], size)
-        np.maximum(mask, m, out=mask)
+    g = group[group["minx"].notna()]
+    if len(g):
+        x0 = np.ceil((g["minx"].to_numpy() - west) * sx - 0.5).astype(np.int64)
+        x1 = np.ceil((g["maxx"].to_numpy() - west) * sx - 0.5).astype(np.int64)
+        y0 = np.ceil((g["miny"].to_numpy() - north) * sy - 0.5).astype(np.int64)
+        y1 = np.ceil((g["maxy"].to_numpy() - north) * sy - 0.5).astype(np.int64)
+        x0 = np.clip(x0, 0, size)
+        x1 = np.clip(x1, 0, size)
+        y0 = np.clip(y0, 0, size)
+        y1 = np.clip(y1, 0, size)
+        for a, b, c, d in zip(x0, x1, y0, y1):
+            if b > a and d > c:
+                mask[c:d, a:b] = 1
     return pd.DataFrame(
         {
             "tile_x": [tx],

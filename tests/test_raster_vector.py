@@ -62,6 +62,25 @@ def test_fill_accumulate_is_union():
     assert m[1, 1] == 1 and m[6, 6] == 1 and m[4, 4] == 1 and m[9, 9] == 0
 
 
+def test_rect_fast_path_equals_scanline():
+    """stages/rasterize's direct rect fill must match the general
+    scanline kernel exactly (same pixel-center rule)."""
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        x0, y0 = rng.uniform(0, 20, 2)
+        x1 = x0 + rng.uniform(0.1, 10)
+        y1 = y0 + rng.uniform(0.1, 10)
+        want = fill_rings([rect_ring(x0, y0, x1, y1)], 32)
+        got = np.zeros((32, 32), dtype=np.uint8)
+        a = int(np.clip(np.ceil(x0 - 0.5), 0, 32))
+        b = int(np.clip(np.ceil(x1 - 0.5), 0, 32))
+        c = int(np.clip(np.ceil(y0 - 0.5), 0, 32))
+        d = int(np.clip(np.ceil(y1 - 0.5), 0, 32))
+        if b > a and d > c:
+            got[c:d, a:b] = 1
+        np.testing.assert_array_equal(got, want)
+
+
 # ---------- morphology ----------
 
 def test_open_removes_speckle_keeps_blob():
