@@ -35,10 +35,31 @@ def hash64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
+def _token_hash(t: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(t)
+    if h is None:
+        h = hash64(t)
+        if len(_TOKEN_HASH_CACHE) < 1_000_000:
+            _TOKEN_HASH_CACHE[t] = h
+    return h
+
+
 def shingle_hash_set(text: str, k: int = 3) -> np.ndarray:
-    """Distinct shingle hashes, sorted uint64."""
-    sh = set(shingles(tokenize(text), k))
-    return np.sort(np.fromiter((hash64(s) for s in sh), dtype=np.uint64, count=len(sh)))
+    """Distinct shingle hashes, sorted uint64. Shingle hash = rolling
+    polynomial combine of per-token hashes (token hashes cached — the
+    md5 runs once per vocabulary word, not once per shingle)."""
+    toks = tokenize(text)
+    n = len(toks) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * np.uint64(1099511628211) + th[j : j + n]
+    return np.sort(np.unique(acc))
 
 
 def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:

@@ -248,6 +248,29 @@ def q_top_tiles(sf_dir: str):
     return counts.sort(["n", "tile_x", "tile_y"], descending=[True, False, False]).limit(10)
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing end-to-end (synth media -> actor-pool decode
+    stub -> resize -> features). Rows-only check (fake decode)."""
+    from robosat_ray.stages.multimodal import media_pipeline
+
+    return media_pipeline(sf_dir)
+
+
+def q_ann_ivf(sf_dir: str):
+    """Approximate ANN (IVF coarse lists, nprobe=6). Rows-only check;
+    recall vs exact asserted in tests."""
+    import ray.data
+
+    from robosat_ray.stages.ann import ann_ivf_topk, train_centroids
+
+    qids, Q = _ann_queries(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.array(t.column("embedding").to_pylist()[:400], dtype=np.float64)
+    cent = train_centroids(sample, n_lists=16)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_ivf_topk(emb, qids, Q, cent, nprobe=6)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -270,6 +293,8 @@ QUERIES = {
     "events_window": q_events_window,
     "events_running": q_events_running,
     "top_tiles": q_top_tiles,
+    "media_features": q_media_features,
+    "ann_ivf": q_ann_ivf,
 }
 
 # simhash / langid are deterministic model-style scorers with no

@@ -25,6 +25,27 @@ from robosat_ray.geo.clip import iou
 from robosat_ray.stages.spatial_join import _ring_buffers
 
 
+def _rect_flags(fro, rpo, rxs, rys, minx, miny, maxx, maxy) -> np.ndarray:
+    """Which features are single-ring axis-aligned rects (ring == its
+    own bbox)? Those take the exact vectorized IoU path."""
+    n = len(fro) - 1
+    out = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if fro[i + 1] - fro[i] != 1:
+            continue
+        a, b = rpo[fro[i]], rpo[fro[i] + 1]
+        if b - a != 5:
+            continue
+        xs = rxs[a:b]
+        ys = rys[a:b]
+        if (
+            set(np.unique(xs)) == {minx[i], maxx[i]}
+            and set(np.unique(ys)) == {miny[i], maxy[i]}
+        ):
+            out[i] = True
+    return out
+
+
 class DedupeProber:
     """Broadcast per-cell index over reference footprints; per batch of
     predicted shapes computes max pairwise IoU and filters."""
@@ -41,6 +62,7 @@ class DedupeProber:
         self.maxy = feet.column("maxy").to_numpy()
         fro, rpo, rxs, rys = _ring_buffers(feet.column("rings"))
         self.rings = (fro, rpo, rxs, rys)
+        self.f_is_rect = _rect_flags(fro, rpo, rxs, rys, self.minx, self.miny, self.maxx, self.maxy)
         self.z = z + 3
         tx0, ty0, tx1, ty1 = T.tile_range(self.minx, self.miny, self.maxx, self.maxy, self.z)
         ny = (ty1 - ty0 + 1).astype(np.int64)
@@ -55,6 +77,21 @@ class DedupeProber:
         self.copy_feat = row[order]
         self.cell_uniq, first = np.unique(self.copy_cell, return_index=True)
         self.cell_off = np.append(first, len(self.copy_cell))
+
+    _pred_rect_cache: dict | None = None
+
+    def _pred_is_rect(self, pfro, prpo, prxs, prys, p_local: int) -> bool:
+        if self._pred_rect_cache is None or self._pred_rect_cache.get("fro") is not pfro:
+            n = len(pfro) - 1
+            minx = np.array([prxs[prpo[pfro[i]] : prpo[pfro[i] + 1]].min() for i in range(n)])
+            maxx = np.array([prxs[prpo[pfro[i]] : prpo[pfro[i] + 1]].max() for i in range(n)])
+            miny = np.array([prys[prpo[pfro[i]] : prpo[pfro[i] + 1]].min() for i in range(n)])
+            maxy = np.array([prys[prpo[pfro[i]] : prpo[pfro[i] + 1]].max() for i in range(n)])
+            self._pred_rect_cache = {
+                "fro": pfro,
+                "flags": _rect_flags(pfro, prpo, prxs, prys, minx, miny, maxx, maxy),
+            }
+        return bool(self._pred_rect_cache["flags"][p_local])
 
     def _feature_rings(self, fi: int):
         fro, rpo, rxs, rys = self.rings
@@ -111,14 +148,37 @@ class DedupeProber:
         _, ki = np.unique(key, return_index=True)
         pair_p, fi = pair_p[ki], fi[ki]
 
-        # exact IoU via the general polygon kernel per candidate pair
+        # IoU per candidate pair: an UPPER BOUND prunes first
+        # (inter <= bbox-inter, union >= max area => ub >= true IoU);
+        # only pairs whose bound reaches the threshold get the exact
+        # general-polygon kernel. For axis-aligned rects the bound IS
+        # exact, so the survivor set is identical either way (tested).
+        ix = np.maximum(
+            0.0,
+            np.minimum(pmaxx[pair_p], self.maxx[fi]) - np.maximum(pminx[pair_p], self.minx[fi]),
+        )
+        iy = np.maximum(
+            0.0,
+            np.minimum(pmaxy[pair_p], self.maxy[fi]) - np.maximum(pminy[pair_p], self.miny[fi]),
+        )
+        bbox_inter = ix * iy
+        area_p = (pmaxx[pair_p] - pminx[pair_p]) * (pmaxy[pair_p] - pminy[pair_p])
+        area_f = (self.maxx[fi] - self.minx[fi]) * (self.maxy[fi] - self.miny[fi])
+        ub = bbox_inter / np.maximum(np.maximum(area_p, area_f), 1e-300)
         max_iou = np.zeros(len(pid), dtype=np.float64)
-        for p_local, f_local in zip(pair_p, fi):
-            pr = [
-                (prxs[prpo[r] : prpo[r + 1]], prys[prpo[r] : prpo[r + 1]])
-                for r in range(pfro[p_local], pfro[p_local + 1])
-            ]
-            v = iou(pr, self._feature_rings(int(f_local)))
+        need = np.nonzero(ub >= self.threshold)[0]
+        for idx in need:
+            p_local = pair_p[idx]
+            f_local = fi[idx]
+            if self.f_is_rect[f_local] and self._pred_is_rect(pfro, prpo, prxs, prys, p_local):
+                inter = bbox_inter[idx]
+                v = inter / (area_p[idx] + area_f[idx] - inter)
+            else:
+                pr = [
+                    (prxs[prpo[r] : prpo[r + 1]], prys[prpo[r] : prpo[r + 1]])
+                    for r in range(pfro[p_local], pfro[p_local + 1])
+                ]
+                v = iou(pr, self._feature_rings(int(f_local)))
             if v > max_iou[p_local]:
                 max_iou[p_local] = v
         survivors = max_iou < self.threshold

@@ -1,0 +1,171 @@
+"""Multimodal columns: image/audio/video as opaque `binary` columns
+with typed metadata, processed by actor-pool map_batches stages.
+
+The sandbox has no image/audio codecs (no PIL/cv2/ffmpeg), so DECODE
+is stubbed two ways (task brief):
+  - decode_stub(strict=True)  -> raises NotImplementedError (the seam
+    where PIL.Image.open / soundfile.read drops in)
+  - decode_stub(strict=False) -> deterministic fake decode: the bytes
+    are hashed into a fixed-shape uint8 tensor, so every downstream
+    stage (resize, feature extract, frame sampling) runs real Arrow /
+    numpy plumbing with stable golden values.
+
+Schema (media table):
+  media_id: int64, kind: string {image,audio,video},
+  payload: binary, width: int32, height: int32, n_frames: int32
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),
+    ]
+)
+
+
+def synth_media_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> deterministic media rows (payload = utf-8
+    text bytes standing in for encoded media; dims from doc_id)."""
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    kinds = np.asarray(["image", "audio", "video"], dtype=object)[(ids % 3).astype(np.int64)]
+    w = (32 + (ids % 4) * 16).astype(np.int32)
+    h = (32 + (ids % 3) * 16).astype(np.int32)
+    nf = np.where(ids % 3 == 2, 8 + (ids % 5), 1).astype(np.int32)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array([t.encode() for t in texts], pa.binary()),
+            "width": pa.array(w),
+            "height": pa.array(h),
+            "n_frames": pa.array(nf),
+        }
+    )
+
+
+def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in decode: hash-seeded uint8 (h, w) tensor.
+    Replace with a real codec at deployment."""
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+
+
+class MediaDecoder:
+    """Actor-pool stage: decoder state (codec handles / model) would
+    load once per actor here. strict=True marks the undecodable seam."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "media decode requires an image/audio codec (PIL/cv2/ffmpeg), "
+                "not available in this environment — fake_decode is the test path"
+            )
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("width").to_numpy()
+        hs = batch.column("height").to_numpy()
+        pixels = [fake_decode(p, int(w), int(h)).tobytes() for p, w, h in zip(payloads, ws, hs)]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "width": batch.column("width"),
+                "height": batch.column("height"),
+                "n_frames": batch.column("n_frames"),
+                "pixels": pa.array(pixels, pa.binary()),
+            }
+        )
+
+
+def resize_batch(batch: pa.Table, out_w: int = 16, out_h: int = 16) -> pa.Table:
+    """Nearest-neighbor resize of decoded tensors (vectorized index
+    gather per row)."""
+    ws = batch.column("width").to_numpy()
+    hs = batch.column("height").to_numpy()
+    pixels = batch.column("pixels").to_pylist()
+    out = []
+    for p, w, h in zip(pixels, ws, hs):
+        img = np.frombuffer(p, dtype=np.uint8).reshape(int(h), int(w))
+        yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+        xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+        out.append(img[yi][:, xi].tobytes())
+    t = batch.drop_columns(["pixels"])
+    t = t.append_column("pixels", pa.array(out, pa.binary()))
+    t = t.set_column(t.schema.get_field_index("width"), "width", pa.array(np.full(len(out), out_w, np.int32)))
+    t = t.set_column(t.schema.get_field_index("height"), "height", pa.array(np.full(len(out), out_h, np.int32)))
+    return t
+
+
+def feature_batch(batch: pa.Table) -> pa.Table:
+    """Per-media features: mean/std/histogram-entropy of the decoded
+    tensor (the stand-in for a model embedding stage)."""
+    pixels = batch.column("pixels").to_pylist()
+    means, stds, ents = [], [], []
+    for p in pixels:
+        v = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+        means.append(float(v.mean()))
+        stds.append(float(v.std()))
+        hist = np.bincount(v.astype(np.int64), minlength=256) / len(v)
+        nz = hist[hist > 0]
+        ents.append(float(-(nz * np.log2(nz)).sum()))
+    return pa.table(
+        {
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "mean": pa.array(means),
+            "std": pa.array(stds),
+            "entropy": pa.array(ents),
+        }
+    )
+
+
+def frame_sample_batch(batch: pa.Table, every: int = 4) -> pa.Table:
+    """Video rows fan out to one row per sampled frame index (flat-map
+    shape; images/audio pass through as frame 0)."""
+    ids = batch.column("media_id").to_numpy()
+    kinds = batch.column("kind").to_pylist()
+    nf = batch.column("n_frames").to_numpy()
+    out_id, out_frame = [], []
+    for i, (mid, kind, n) in enumerate(zip(ids, kinds, nf)):
+        frames = range(0, int(n), every) if kind == "video" else [0]
+        for f in frames:
+            out_id.append(mid)
+            out_frame.append(f)
+    return pa.table(
+        {
+            "media_id": pa.array(out_id, pa.int64()),
+            "frame": pa.array(out_frame, pa.int64()),
+        }
+    )
+
+
+def media_pipeline(sf_dir: str, concurrency=(1, 4)):
+    """documents -> media -> decode (actor pool) -> resize -> features."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = docs.map_batches(synth_media_batch, batch_format="pyarrow")
+    decoded = media.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"strict": False},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    resized = decoded.map_batches(resize_batch, batch_format="pyarrow")
+    return resized.map_batches(feature_batch, batch_format="pyarrow")

@@ -47,30 +47,58 @@ def with_variants_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+NUM_LSH_BUCKETS = 4096
+
+
 def _band_rows(batch: pa.Table) -> pa.Table:
+    """Band keys fold the band index in, so plain key equality defines
+    LSH candidacy; rows are grouped by a COMPACT bucket (key % 4096)
+    rather than the raw key — a groupby over millions of singleton
+    buckets pays per-group overhead, a few thousand buckets don't."""
     ids = batch.column("doc_id").to_numpy()
     texts = batch.column("text").to_pylist()
     out_id = np.repeat(ids, N_BANDS)
-    out_band = np.tile(np.arange(N_BANDS, dtype=np.int64), len(ids))
     keys = np.empty(len(ids) * N_BANDS, dtype=np.int64)
+    bands = np.arange(N_BANDS, dtype=np.uint64)
     for i, t in enumerate(texts):
         sig = minhash_signature(shingle_hash_set(t))
-        keys[i * N_BANDS : (i + 1) * N_BANDS] = band_keys(sig)
+        combined = (
+            band_keys(sig).astype(np.uint64) * np.uint64(1099511628211) + bands
+        ) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        keys[i * N_BANDS : (i + 1) * N_BANDS] = combined.astype(np.int64)
     return pa.table(
         {
             "doc_id": pa.array(out_id),
-            "band_id": pa.array(out_band),
             "band_key": pa.array(keys),
+            "bucket": pa.array(keys % NUM_LSH_BUCKETS),
         }
     )
 
 
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(group["doc_id"].to_numpy())
-    if len(ids) < 2 or len(ids) > 200:  # cap pathological buckets
-        return pd.DataFrame({"a": [], "b": []})
-    ii, jj = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    """Within a compact bucket: sort by exact band_key, emit all pairs
+    of each equal-key run (vectorized, 200-doc cap per run)."""
+    keys = group["band_key"].to_numpy()
+    ids = group["doc_id"].to_numpy()
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    starts = np.concatenate([[0], np.nonzero(np.diff(keys))[0] + 1, [len(keys)]])
+    out_a, out_b = [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        n = e - s
+        if n < 2 or n > 200:  # cap pathological buckets
+            continue
+        run = np.unique(ids[s:e])
+        if len(run) < 2:
+            continue
+        ii, jj = np.triu_indices(len(run), k=1)
+        out_a.append(run[ii])
+        out_b.append(run[jj])
+    if not out_a:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+        )
+    return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
 def near_dup_pairs(docs_ds, threshold: float = 0.5) -> pd.DataFrame:
@@ -82,9 +110,7 @@ def near_dup_pairs(docs_ds, threshold: float = 0.5) -> pd.DataFrame:
     from ray.data.aggregate import Count
 
     bands = docs_ds.map_batches(_band_rows, batch_format="pyarrow")
-    cand = bands.groupby(["band_id", "band_key"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
+    cand = bands.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
     pairs = (
         cand.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
     )

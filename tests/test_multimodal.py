@@ -1,0 +1,75 @@
+"""Multimodal plumbing: schema, stubbed decode seam, resize/feature/
+frame-sample stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from robosat_ray.stages.multimodal import (
+    MediaDecoder,
+    fake_decode,
+    frame_sample_batch,
+    media_pipeline,
+    resize_batch,
+    synth_media_batch,
+)
+
+
+def _docs_batch():
+    return pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 5], pa.int64()),
+            "text": pa.array(["alpha beta", "gamma", "delta epsilon", "zeta"], pa.string()),
+        }
+    )
+
+
+def test_strict_decoder_raises():
+    media = synth_media_batch(_docs_batch())
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(strict=True)(media)
+
+
+def test_fake_decode_deterministic_shape():
+    a = fake_decode(b"payload", 8, 4)
+    b = fake_decode(b"payload", 8, 4)
+    c = fake_decode(b"other", 8, 4)
+    assert a.shape == (4, 8)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_decode_resize_shapes():
+    media = synth_media_batch(_docs_batch())
+    dec = MediaDecoder(strict=False)(media)
+    for r in dec.to_pylist():
+        assert len(r["pixels"]) == r["width"] * r["height"]
+    rs = resize_batch(dec, 16, 16)
+    for r in rs.to_pylist():
+        assert len(r["pixels"]) == 256 and r["width"] == 16
+
+
+def test_frame_sampling():
+    media = synth_media_batch(_docs_batch())
+    frames = frame_sample_batch(media, every=4).to_pandas()
+    kinds = dict(zip(media.column("media_id").to_pylist(), media.column("kind").to_pylist()))
+    for mid, grp in frames.groupby("media_id"):
+        if kinds[mid] == "video":
+            assert len(grp) >= 2
+        else:
+            assert list(grp["frame"]) == [0]
+
+
+def test_media_pipeline_end_to_end(ray_session):
+    out = media_pipeline("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500
+    assert {"media_id", "kind", "mean", "std", "entropy"} <= set(out.columns)
+    assert out["entropy"].between(0, 8).all()
+    # deterministic: same run twice -> identical frame
+    out2 = media_pipeline("/root/testdata/sf0.001").to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        out.sort_values("media_id").reset_index(drop=True),
+        out2.sort_values("media_id").reset_index(drop=True),
+    )
