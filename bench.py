@@ -54,8 +54,11 @@ def run_bench() -> dict:
     import pyarrow.parquet as pq
 
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
-    # blocks of ~8k rows (measured optimum at 32 cpus: enough waves for
-    # load balance, bounded candidate-pair memory per task)
+    # FIXED dataset partitioning (~8k rows/block) independent of
+    # cluster size: the fair scaling protocol — a real job's input
+    # partitioning doesn't change when the cluster grows, only the
+    # number of concurrent tasks does. 8k rows/block also bounds the
+    # probe's candidate-pair memory per task.
     num_blocks = max(NCPU * 4, (n_docs * REPLICAS) // 8000)
 
     # untimed warmup: spawns + warms the Ray worker pool and OS caches so
@@ -138,11 +141,17 @@ def run_scaling():
     # docs amortizes far more than this. Best-of-3 per level: this
     # sandbox shows up to +/-50% run-to-run noise from external load.
     os.environ.setdefault("GRAFT_PAGE_REPLICAS", "1000")
-    r_lo = min((_run_child(lo) for _ in range(3)), key=lambda r: r["value"])
-    r_hi = min((_run_child(hi) for _ in range(3)), key=lambda r: r["value"])
+    # interleaved lo/hi pairs; per-pair efficiency; median pair reported
+    # (a ratio of two independently-noisy minima is itself noisy)
+    pairs = []
+    for _ in range(3):
+        a = _run_child(lo)
+        b = _run_child(hi)
+        pairs.append((a, b, (b["rows_per_sec"] / a["rows_per_sec"]) / (hi / lo)))
+    pairs.sort(key=lambda p: p[2])
+    r_lo, r_hi, eff = pairs[len(pairs) // 2]
     tp_lo = r_lo["rows_per_sec"]
     tp_hi = r_hi["rows_per_sec"]
-    eff = (tp_hi / tp_lo) / (hi / lo)
     print(
         json.dumps(
             {
@@ -155,6 +164,7 @@ def run_scaling():
                 f"sec_{hi}": r_hi["value"],
                 f"rows_per_sec_{lo}": tp_lo,
                 f"rows_per_sec_{hi}": tp_hi,
+                "eff_all_pairs": [round(p[2], 3) for p in pairs],
                 "pages": r_hi["pages"],
                 "sf": SF_DIR,
             }
