@@ -111,6 +111,30 @@ def rasterize(footprints_ds, z: int = C.Z_JOIN, size: int = 256, tiles_ds=None):
             )
 
         exploded = exploded.union(tiles_ds.map_batches(pad, batch_format="pyarrow"))
-    return exploded.groupby(["tile_x", "tile_y"]).map_groups(
-        lambda g: _burn_group(g, z, size), batch_format="pandas"
+
+    # groupby a bucket of the tile key (64 groups) rather than the tile
+    # itself (thousands of single-tile pandas groups pay more per-group
+    # overhead than the burn); per-tile split happens inside the group
+    def tag(b: pa.Table) -> pa.Table:
+        tx = b.column("tile_x").to_numpy()
+        ty = b.column("tile_y").to_numpy()
+        bucket = (
+            (tx.astype(np.uint64) * np.uint64(2654435761) + ty.astype(np.uint64))
+            % np.uint64(64)
+        ).astype(np.int64)
+        return b.append_column("bucket", pa.array(bucket))
+
+    def burn_bucket(group, z=z, size=size):
+        import pandas as pd
+
+        outs = [
+            _burn_group(g, z, size)
+            for _, g in group.groupby(["tile_x", "tile_y"], sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        exploded.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(burn_bucket, batch_format="pandas")
     )

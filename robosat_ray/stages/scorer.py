@@ -94,14 +94,41 @@ def stitch_group(group: pd.DataFrame, overlap: int) -> pd.DataFrame:
     )
 
 
+_NBUCKET = 64
+_BMIX = 2654435761
+
+
+def _tile_bucket(tx: np.ndarray, ty: np.ndarray) -> np.ndarray:
+    return (
+        (tx.astype(np.uint64) * np.uint64(_BMIX) + ty.astype(np.uint64))
+        % np.uint64(_NBUCKET)
+    ).astype(np.int64)
+
+
+def _stitch_bucket(group: pd.DataFrame, overlap: int) -> pd.DataFrame:
+    """Many center tiles per group (bucketed key: thousands of
+    single-tile pandas groups cost more in per-group overhead than the
+    stitching itself); loop per tile inside."""
+    outs = [
+        stitch_group(g, overlap)
+        for _, g in group.groupby(["center_x", "center_y"], sort=False)
+    ]
+    return pd.concat(outs, ignore_index=True)
+
+
 def buffered_tiles(masks_ds, overlap: int = 8):
     """masks/images Dataset -> buffered-tile Dataset via flat-map halo
-    explode + groupby(center) stitch (shuffle)."""
-    exploded = masks_ds.map_batches(
-        lambda b: halo_explode(b, overlap), batch_format="pyarrow"
-    )
-    return exploded.groupby(["center_x", "center_y"]).map_groups(
-        lambda g: stitch_group(g, overlap), batch_format="pandas"
+    explode + groupby(bucket-of-center) stitch (shuffle)."""
+    def tag(b: pa.Table) -> pa.Table:
+        ex = halo_explode(b, overlap)
+        return ex.append_column(
+            "bucket",
+            pa.array(_tile_bucket(ex.column("center_x").to_numpy(), ex.column("center_y").to_numpy())),
+        )
+
+    exploded = masks_ds.map_batches(tag, batch_format="pyarrow")
+    return exploded.groupby("bucket").map_groups(
+        lambda g: _stitch_bucket(g, overlap), batch_format="pandas"
     )
 
 
@@ -190,22 +217,41 @@ def softvote_group(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _softvote_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    outs = [softvote_group(g) for _, g in group.groupby(["tile_x", "tile_y"], sort=False)]
+    return pd.concat(outs, ignore_index=True)
+
+
 def softvote(prob_datasets: list):
-    """Union K prob Datasets (tagged by position) -> groupby tile ->
-    weighted soft-vote masks."""
+    """Union K prob Datasets (tagged by position) -> groupby
+    bucket-of-tile -> weighted soft-vote masks."""
     ds = prob_datasets[0]
     for other in prob_datasets[1:]:
         ds = ds.union(other)
-    return ds.groupby(["tile_x", "tile_y"]).map_groups(
-        softvote_group, batch_format="pandas"
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket",
+            pa.array(_tile_bucket(b.column("tile_x").to_numpy(), b.column("tile_y").to_numpy())),
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("bucket").map_groups(
+        _softvote_bucket, batch_format="pandas"
     )
 
 
 def predict_pipeline(masks_ds, overlap: int = 8, kernel_sizes=(3, 5)):
     """labels-as-imagery -> halo -> K scorers -> softvote predicted
     masks, with labels carried for metrics: returns Dataset
-    (tile_x, tile_y, size, label_data, pred_data)."""
-    buffered = buffered_tiles(masks_ds, overlap)
+    (tile_x, tile_y, size, label_data, pred_data).
+
+    The mask and buffered-tile intermediates are materialized: they are
+    consumed by multiple downstream branches (K scorers + the label
+    side of the metrics join) and would otherwise re-execute the whole
+    upstream per branch. Both are small relative to the input (one row
+    per tile)."""
+    masks_ds = masks_ds.materialize()
+    buffered = buffered_tiles(masks_ds, overlap).materialize()
     probs = [score(buffered, k, overlap) for k in kernel_sizes]
     pred = softvote(probs)
 
@@ -213,7 +259,11 @@ def predict_pipeline(masks_ds, overlap: int = 8, kernel_sizes=(3, 5)):
     # key-join via groupby, not order coupling)
     def tag(ds, role):
         def f(b: pa.Table) -> pa.Table:
-            return b.append_column("role", pa.array([role] * len(b), pa.int8()))
+            b = b.append_column("role", pa.array([role] * len(b), pa.int8()))
+            return b.append_column(
+                "bucket",
+                pa.array(_tile_bucket(b.column("tile_x").to_numpy(), b.column("tile_y").to_numpy())),
+            )
 
         return ds.map_batches(f, batch_format="pyarrow")
 
@@ -221,19 +271,18 @@ def predict_pipeline(masks_ds, overlap: int = 8, kernel_sizes=(3, 5)):
         tag(pred.select_columns(["tile_x", "tile_y", "size", "data"]), 1)
     )
 
-    def pair(group: pd.DataFrame) -> pd.DataFrame:
-        lab = group[group["role"] == 0]
-        prd = group[group["role"] == 1]
-        if len(lab) != 1 or len(prd) != 1:
-            return pd.DataFrame({"tile_x": [], "tile_y": [], "size": [], "label_data": [], "pred_data": []})
-        return pd.DataFrame(
-            {
-                "tile_x": [int(group["tile_x"].iloc[0])],
-                "tile_y": [int(group["tile_y"].iloc[0])],
-                "size": [int(lab["size"].iloc[0])],
-                "label_data": [lab["data"].iloc[0]],
-                "pred_data": [prd["data"].iloc[0]],
-            }
-        )
+    def pair_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        rows = {"tile_x": [], "tile_y": [], "size": [], "label_data": [], "pred_data": []}
+        for (tx, ty), g in group.groupby(["tile_x", "tile_y"], sort=False):
+            lab = g[g["role"] == 0]
+            prd = g[g["role"] == 1]
+            if len(lab) != 1 or len(prd) != 1:
+                continue
+            rows["tile_x"].append(int(tx))
+            rows["tile_y"].append(int(ty))
+            rows["size"].append(int(lab["size"].iloc[0]))
+            rows["label_data"].append(lab["data"].iloc[0])
+            rows["pred_data"].append(prd["data"].iloc[0])
+        return pd.DataFrame(rows)
 
-    return both.groupby(["tile_x", "tile_y"]).map_groups(pair, batch_format="pandas")
+    return both.groupby("bucket").map_groups(pair_bucket, batch_format="pandas")
