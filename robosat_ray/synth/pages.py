@@ -137,12 +137,65 @@ def replicate_documents_batch(batch: pa.Table, replicas: int) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+_DOC_CACHE: dict = {}
+
+
+def _cached_documents(sf_dir: str, columns: tuple) -> pa.Table:
+    key = (sf_dir, columns)
+    t = _DOC_CACHE.get(key)
+    if t is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=list(columns))
+        _DOC_CACHE.clear()
+        _DOC_CACHE[key] = t
+    return t
+
+
 def documents_source(sf_dir: str, columns, replicas: int = 1, num_blocks: int | None = None):
+    """Streaming documents source. With replicas>1 + num_blocks, the
+    source is a range-of-block-ids generator: each task materializes
+    its slice of the replicated id space from a per-worker cached
+    parquet table — no repartition barrier, no input shuffle, blocks
+    are born parallel. (Plain read + repartition otherwise; NOTE:
+    read_parquet(override_num_blocks=N) is 2.5x slower here because
+    the testdata is one single-row-group file, so N read tasks each
+    decode the whole file.)"""
     import ray.data
 
-    # NOTE: repartition (not read override_num_blocks): the testdata is
-    # one single-row-group parquet file, so N read tasks would each
-    # decode the whole file (measured 2.5x slower at 625 blocks)
+    if replicas > 1 and num_blocks:
+        cols = tuple(columns)
+        total = None  # resolved lazily inside tasks
+
+        import pyarrow.parquet as pq
+
+        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        total_rows = n_docs * replicas
+        chunk = (total_rows + num_blocks - 1) // num_blocks
+
+        def gen(batch: pa.Table) -> pa.Table:
+            docs = _cached_documents(sf_dir, cols)
+            idc = docs.schema.get_field_index("doc_id")
+            out = []
+            for bid in batch.column("id").to_pylist():
+                lo = bid * chunk
+                hi = min(lo + chunk, total_rows)
+                if hi <= lo:
+                    continue
+                r = np.arange(lo, hi, dtype=np.int64)
+                doc_idx = r % n_docs
+                replica = r // n_docs
+                part = docs.take(pa.array(doc_idx))
+                ids = pa.compute.add(
+                    part.column("doc_id"),
+                    pa.array(replica * REPLICA_OFFSET),
+                )
+                out.append(part.set_column(idc, "doc_id", ids))
+            return pa.concat_tables(out) if out else docs.slice(0, 0)
+
+        base = ray.data.range(num_blocks, override_num_blocks=num_blocks)
+        return base.map_batches(gen, batch_format="pyarrow")
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
     if num_blocks:
         ds = ds.repartition(num_blocks)
