@@ -215,6 +215,33 @@ UNION ALL
 SELECT 1, c1, ROUND(1.0 / ln(1.02 + CAST(c1 AS DOUBLE) / (c0 + c1)), 8) FROM totals
 """
 
+# reference tools/compare.py:44-49: keep tiles whose foreground share
+# is inside a range (engine filters on the rasterize fg column)
+COMPARE_FILTER = f"""
+WITH fgq AS ({RASTERIZE_FG})
+SELECT tile_x, tile_y, fg FROM fgq
+WHERE fg > 0 AND fg <= {_RS * _RS} * 0.25
+"""
+
+# reference tools/subset.py:26-30: keep tiles whose id is in a side
+# set — here: tiles covered by at least one 'building' footprint
+SUBSET = f"""
+WITH fgq AS ({RASTERIZE_FG}),
+{feet_cte()},
+bt AS (
+  SELECT DISTINCT {tile_x('f.minx')} + gx.i AS tile_x,
+                  {tile_y('f.miny')} + gy.j AS tile_y
+  FROM feet f
+  CROSS JOIN generate_series(0, 8) gx(i)
+  CROSS JOIN generate_series(0, 8) gy(j)
+  WHERE f.kind = 'building'
+    AND gx.i <= {tile_x('f.maxx')} - {tile_x('f.minx')}
+    AND gy.j <= {tile_y('f.maxy')} - {tile_y('f.miny')}
+)
+SELECT q.tile_x, q.tile_y, q.fg FROM fgq q
+JOIN bt ON bt.tile_x = q.tile_x AND bt.tile_y = q.tile_y
+"""
+
 EXACT_DEDUP = """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
 FROM documents GROUP BY md5(text)

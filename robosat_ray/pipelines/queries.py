@@ -271,6 +271,62 @@ def q_ann_ivf(sf_dir: str):
     return ann_ivf_topk(emb, qids, Q, cent, nprobe=6)
 
 
+def q_compare_filter(sf_dir: str):
+    """J5/A6: fg-share range filter over rasterized tiles (reference
+    tools/compare.py keep-range semantics)."""
+    import pyarrow.compute as pc
+
+    from robosat_ray.stages.rasterize import rasterize
+
+    masks = rasterize(footprints_dataset(sf_dir), size=64)
+    lim = 64 * 64 * 0.25
+
+    def keep(b: pa.Table) -> pa.Table:
+        fg = b.column("fg")
+        m = pc.and_(pc.greater(fg, 0), pc.less_equal(pc.cast(fg, pa.float64()), lim))
+        return b.filter(m)
+
+    return masks.map_batches(keep, batch_format="pyarrow").select_columns(
+        ["tile_x", "tile_y", "fg"]
+    )
+
+
+def q_subset(sf_dir: str):
+    """J4/O3/S10: semi-join subset — keep rasterized tiles covered by
+    at least one 'building' footprint (broadcast tile-id set filter)."""
+    import ray
+
+    from robosat_ray.stages.cover import explode_cover_batch
+    from robosat_ray.stages.rasterize import rasterize
+    from robosat_ray.synth.footprints import footprints_table
+
+    feet = footprints_table(sf_dir)
+    bmask = pa.compute.equal(feet.column("kind"), "building")
+    bfeet = feet.filter(bmask)
+    cov = explode_cover_batch(bfeet, C.Z_JOIN)
+    keys = set(
+        (int(x) << 26) | int(y)
+        for x, y in zip(cov.column("tile_x").to_pylist(), cov.column("tile_y").to_pylist())
+    )
+    ref = ray.put(keys)
+
+    def keep(b: pa.Table) -> pa.Table:
+        allowed = ray.get(ref)
+        tx = b.column("tile_x").to_numpy()
+        ty = b.column("tile_y").to_numpy()
+        m = np.fromiter(
+            (((int(x) << 26) | int(y)) in allowed for x, y in zip(tx, ty)),
+            dtype=bool,
+            count=len(tx),
+        )
+        return b.filter(pa.array(m))
+
+    masks = rasterize(footprints_dataset(sf_dir), size=64)
+    return masks.map_batches(keep, batch_format="pyarrow").select_columns(
+        ["tile_x", "tile_y", "fg"]
+    )
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -295,6 +351,8 @@ QUERIES = {
     "top_tiles": q_top_tiles,
     "media_features": q_media_features,
     "ann_ivf": q_ann_ivf,
+    "compare_filter": q_compare_filter,
+    "subset": q_subset,
 }
 
 # simhash / langid are deterministic model-style scorers with no
@@ -315,6 +373,8 @@ ORACLES = {
     "quality": oracle.QUALITY,
     "ann": oracle.ANN,
     "class_weights": oracle.CLASS_WEIGHTS,
+    "compare_filter": oracle.COMPARE_FILTER,
+    "subset": oracle.SUBSET,
     "events_window": oracle.EVENTS_WINDOW,
     "events_running": oracle.EVENTS_RUNNING,
     "top_tiles": oracle.TOP_TILES,

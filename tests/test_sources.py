@@ -22,3 +22,23 @@ def test_tiles_csv_roundtrip(ray_session, tmp_path):
     with open(out) as f:
         lines = [l.strip() for l in f if l.strip()]
     assert lines == ["655,1583,12", "69623,104945,18"]
+
+
+def test_range_source_equals_plain_replication(ray_session):
+    """The range-of-block-ids synthetic source must produce the same
+    multiset of rows as plain read+replicate."""
+    import pandas as pd
+
+    from robosat_ray.synth.pages import documents_source
+
+    a = documents_source(
+        "/root/testdata/sf0.001", ["doc_id", "text", "lang"], replicas=3, num_blocks=7
+    ).to_pandas()
+    b = documents_source(
+        "/root/testdata/sf0.001", ["doc_id", "text", "lang"], replicas=3
+    ).to_pandas()
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+    )
