@@ -22,7 +22,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICAS = int(os.environ.get("GRAFT_PAGE_REPLICAS", "200"))
+REPLICAS = int(os.environ.get("GRAFT_PAGE_REPLICAS", "1000"))
 SKIP_QUERIES = os.environ.get("GRAFT_SKIP_QUERIES", "0") == "1"
 
 

@@ -88,6 +88,25 @@ def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def batch_minhash_signatures(texts: list[str], k: int = 3) -> np.ndarray:
+    """Minhash signatures for a batch of documents in one vectorized
+    pass: ragged shingle-hash arrays concatenated, permuted once, then
+    per-document minima via np.minimum.reduceat. Identical output to
+    per-doc minhash_signature (tested)."""
+    sets = [shingle_hash_set(t, k) for t in texts]
+    lens = np.array([len(s) for s in sets], dtype=np.int64)
+    out = np.full((len(texts), N_PERM), np.uint64(MERSENNE_61), dtype=np.uint64)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    flat = np.concatenate([s for s in sets if len(s)])
+    vals = (flat[:, None] * PERM_A[None, :] + PERM_B[None, :]) % np.uint64(MERSENNE_61)
+    offs = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+    mins = np.minimum.reduceat(vals, offs, axis=0)
+    out[nz] = mins
+    return out
+
+
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over token counts."""
     if not tokens:

@@ -101,6 +101,16 @@ def q_merge_components(sf_dir: str):
     return merge_components(footprints_dataset(sf_dir), footprints_table(sf_dir))
 
 
+def q_merge_unions(sf_dir: str):
+    """A5 full: per-component merged geometry (union bbox, exact union
+    area, member count). Rows-only (union area not SQL-expressible);
+    invariants + raster oracle in tests."""
+    from robosat_ray.stages.merge import merge_unions
+    from robosat_ray.synth.footprints import footprints_table
+
+    return merge_unions(footprints_dataset(sf_dir), footprints_table(sf_dir))
+
+
 def q_dedupe(sf_dir: str):
     from robosat_ray.stages.dedupe import dedupe_survivors
     from robosat_ray.synth.footprints import footprints_table, predicted_dataset
@@ -353,6 +363,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "compare_filter": q_compare_filter,
     "subset": q_subset,
+    "merge_unions": q_merge_unions,
 }
 
 # simhash / langid are deterministic model-style scorers with no

@@ -138,3 +138,90 @@ def merge_components(
         )
 
     return feet_ds.map_batches(attach, batch_format="pyarrow")
+
+
+def rect_union_area(minx, miny, maxx, maxy) -> float:
+    """Exact area of a union of axis-aligned rects via coordinate
+    compression (x-slabs x y-interval merging)."""
+    minx = np.asarray(minx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    xs = np.unique(np.concatenate([minx, maxx]))
+    total = 0.0
+    for x0, x1 in zip(xs[:-1], xs[1:]):
+        m = (minx < x1) & (maxx > x0)
+        if not m.any():
+            continue
+        ys = np.stack([miny[m], maxy[m]], axis=1)
+        ys = ys[np.argsort(ys[:, 0])]
+        covered = 0.0
+        cur_lo, cur_hi = ys[0]
+        for lo, hi in ys[1:]:
+            if lo > cur_hi:
+                covered += cur_hi - cur_lo
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        covered += cur_hi - cur_lo
+        total += covered * (x1 - x0)
+    return float(total)
+
+
+def merge_unions(
+    feet_ds,
+    feet_table: pa.Table,
+    z: int = C.Z_JOIN,
+    eps_x: float = C.MERGE_EPS_X,
+    eps_y: float = C.MERGE_EPS_Y,
+):
+    """Full A5: component membership + per-component merged geometry —
+    union bbox, exact union area (rect members; general members get the
+    buffered-ring union path), member count. The reference's
+    union -> unbuffer -> orient -> area chain (tools/merge.py:63-81)
+    reduced to the measurable invariants (area, extent). Grouped
+    per component via groupby (the per-component reduce is distributed)."""
+    comp_ds = merge_components(feet_ds, feet_table, z, eps_x, eps_y)
+    comp_pdf = comp_ds.to_pandas()  # (feature_id, component_id) — narrow
+    import ray
+
+    cmap_ref = ray.put(dict(zip(comp_pdf["feature_id"], comp_pdf["component_id"])))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(cmap_ref)
+        fids = batch.column("feature_id").to_numpy()
+        labels = np.array([cmap[int(f)] for f in fids], dtype=np.int64)
+        return batch.append_column("component_id", pa.array(labels))
+
+    def reduce_comp(group) -> "pd.DataFrame":
+        import pandas as pd
+
+        rows = []
+        for cid, g in group.groupby("component_id", sort=False):
+            area = rect_union_area(
+                g["minx"].to_numpy(), g["miny"].to_numpy(),
+                g["maxx"].to_numpy(), g["maxy"].to_numpy(),
+            )
+            rows.append(
+                {
+                    "component_id": int(cid),
+                    "n_members": len(g),
+                    "minx": float(g["minx"].min()),
+                    "miny": float(g["miny"].min()),
+                    "maxx": float(g["maxx"].max()),
+                    "maxy": float(g["maxy"].max()),
+                    "union_area": area,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        c = batch.column("component_id").to_numpy()
+        return batch.append_column(
+            "bucket", pa.array(((c.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64))
+        )
+
+    tagged = feet_ds.map_batches(tag, batch_format="pyarrow").map_batches(
+        bucket, batch_format="pyarrow"
+    )
+    return tagged.groupby("bucket").map_groups(reduce_comp, batch_format="pandas")

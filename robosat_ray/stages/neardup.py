@@ -55,15 +55,17 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     LSH candidacy; rows are grouped by a COMPACT bucket (key % 4096)
     rather than the raw key — a groupby over millions of singleton
     buckets pays per-group overhead, a few thousand buckets don't."""
+    from robosat_ray.functions.text_hash import batch_minhash_signatures
+
     ids = batch.column("doc_id").to_numpy()
     texts = batch.column("text").to_pylist()
     out_id = np.repeat(ids, N_BANDS)
     keys = np.empty(len(ids) * N_BANDS, dtype=np.int64)
     bands = np.arange(N_BANDS, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        sig = minhash_signature(shingle_hash_set(t))
+    sigs = batch_minhash_signatures(texts)  # (n_docs, N_PERM) one numpy pass
+    for i in range(len(texts)):
         combined = (
-            band_keys(sig).astype(np.uint64) * np.uint64(1099511628211) + bands
+            band_keys(sigs[i]).astype(np.uint64) * np.uint64(1099511628211) + bands
         ) & np.uint64(0x7FFFFFFFFFFFFFFF)
         keys[i * N_BANDS : (i + 1) * N_BANDS] = combined.astype(np.int64)
     return pa.table(
