@@ -73,3 +73,19 @@ def test_flagship_through_html_equals_points_path():
         a[cols].sort_values(cols).reset_index(drop=True),
         b[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+def test_join_invariant_under_partitioning():
+    """Distributed invariant (SURVEY §5.2): the flagship join output is
+    identical whatever the input block structure."""
+    import pandas as pd
+
+    from robosat_ray.pipelines.flagship import flagship
+
+    a = flagship(SF, through_html=False, num_blocks=1).to_pandas()
+    b = flagship(SF, through_html=False, num_blocks=16).to_pandas()
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+    )
