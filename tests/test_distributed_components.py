@@ -1,0 +1,83 @@
+"""Distributed connected components vs the driver union-find — the
+10^12-scale replacement for merge's driver-side step."""
+
+import numpy as np
+import pytest
+
+
+def _run(nodes, edges_a, edges_b):
+    import ray.data
+
+    from robosat_ray.runtime.components import distributed_components
+
+    nodes_ds = ray.data.from_arrow(
+        __import__("pyarrow").table({"node": list(map(int, nodes))})
+    )
+    edges_ds = ray.data.from_arrow(
+        __import__("pyarrow").table(
+            {"a": list(map(int, edges_a)), "b": list(map(int, edges_b))}
+        )
+    )
+    out = distributed_components(nodes_ds, edges_ds).to_pandas()
+    return dict(zip(out["node"], out["label"]))
+
+
+def test_chain_and_isolated(ray_session):
+    # path graph 0-1-2-...-19 (diameter 19: exercises pointer jumping)
+    nodes = np.arange(25)
+    ea = np.arange(0, 19)
+    eb = np.arange(1, 20)
+    got = _run(nodes, ea, eb)
+    for n in range(20):
+        assert got[n] == 0, (n, got[n])
+    for n in range(20, 25):
+        assert got[n] == n
+
+
+def test_random_graph_matches_union_find(ray_session):
+    from robosat_ray.geo.graph import min_label_propagation
+
+    rng = np.random.default_rng(17)
+    n = 150
+    ea = rng.integers(0, n, 200)
+    eb = rng.integers(0, n, 200)
+    got = _run(np.arange(n), ea, eb)
+    want = min_label_propagation(np.arange(n), ea.astype(np.int64), eb.astype(np.int64))
+    assert got == want
+
+
+def test_matches_driver_union_find_on_footprints(ray_session):
+    import ray.data
+
+    from robosat_ray.geo.graph import min_label_propagation
+    from robosat_ray.stages.merge import EdgeFinder
+    from robosat_ray.runtime.components import distributed_components
+    from robosat_ray.synth.footprints import footprints_dataset, footprints_table
+    from robosat_ray import constants as C
+
+    sf = "/root/testdata/sf0.001"
+    feet_t = footprints_table(sf)
+    ref = ray.put(feet_t)
+    edges = footprints_dataset(sf).map_batches(
+        EdgeFinder,
+        fn_constructor_args=(ref, C.Z_JOIN, C.MERGE_EPS_X, C.MERGE_EPS_Y),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    ).materialize()
+    import pyarrow as pa
+
+    nodes_ds = ray.data.from_arrow(
+        pa.table({"node": feet_t.column("feature_id")})
+    )
+    got = distributed_components(nodes_ds, edges).to_pandas()
+    got_map = dict(zip(got["node"], got["label"]))
+
+    et = edges.to_pandas()
+    ids = feet_t.column("feature_id").to_numpy()
+    want = min_label_propagation(
+        ids, et["a"].to_numpy(np.int64), et["b"].to_numpy(np.int64)
+    )
+    assert len(got_map) == len(want)
+    for n, l in want.items():
+        assert got_map[n] == l, (n, got_map[n], l)
