@@ -94,6 +94,17 @@ def q_rasterize_fg(sf_dir: str):
     return masks.select_columns(["tile_x", "tile_y", "fg"])
 
 
+def q_featurize(sf_dir: str):
+    """Masks -> vector polygons (threshold/contours/simplify/px->world;
+    reference rs features). Rows-only: geometry round-trips are
+    pixel-exact in tests (tests/test_featurize.py)."""
+    from robosat_ray.stages.featurize import featurize
+    from robosat_ray.stages.rasterize import rasterize
+
+    masks = rasterize(footprints_dataset(sf_dir), size=64)
+    return featurize(masks).drop_columns(["rings"])
+
+
 def q_merge_components(sf_dir: str):
     from robosat_ray.stages.merge import merge_components
     from robosat_ray.synth.footprints import footprints_table
@@ -364,6 +375,7 @@ QUERIES = {
     "compare_filter": q_compare_filter,
     "subset": q_subset,
     "merge_unions": q_merge_unions,
+    "featurize": q_featurize,
 }
 
 # simhash / langid are deterministic model-style scorers with no
