@@ -209,10 +209,10 @@ WITH fgq AS ({RASTERIZE_FG}),
 totals AS (
   SELECT SUM(fg) AS c1, SUM({_RS * _RS} - fg) AS c0 FROM fgq
 )
-SELECT 0 AS class_idx, c0 AS pixel_count,
+SELECT CAST(0 AS BIGINT) AS class_idx, CAST(c0 AS BIGINT) AS pixel_count,
        ROUND(1.0 / ln(1.02 + CAST(c0 AS DOUBLE) / (c0 + c1)), 8) AS weight FROM totals
 UNION ALL
-SELECT 1, c1, ROUND(1.0 / ln(1.02 + CAST(c1 AS DOUBLE) / (c0 + c1)), 8) FROM totals
+SELECT 1, CAST(c1 AS BIGINT), ROUND(1.0 / ln(1.02 + CAST(c1 AS DOUBLE) / (c0 + c1)), 8) FROM totals
 """
 
 # reference tools/compare.py:44-49: keep tiles whose foreground share

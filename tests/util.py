@@ -40,4 +40,12 @@ def assert_frames_match(ray_result, duck_df: pd.DataFrame):
     b = normalize(duck_df)
     assert list(a.columns) == list(b.columns), (list(a.columns), list(b.columns))
     assert len(a) == len(b), (len(a), len(b))
+    # the driver hashes raw values, where int64 5 != float64 5.0 — so
+    # dtype *kind* must match too (int vs float vs object)
+    kinds_a = [a[c].dtype.kind for c in a.columns]
+    kinds_b = [b[c].dtype.kind for c in b.columns]
+    assert kinds_a == kinds_b, (
+        list(zip(a.columns, kinds_a, kinds_b)),
+        "dtype-kind mismatch: driver value-hash would fail",
+    )
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
