@@ -159,6 +159,104 @@ def polygons_intersection_area(rings_a, rings_b) -> float:
     return max(total, 0.0)
 
 
+def _ring_tris(rings):
+    """rings [(xs, ys), ...] -> [(sign, [CCW tri arrays])] per ring."""
+    out = []
+    for i, (xs, ys) in enumerate(rings):
+        tris = []
+        for t in ear_clip(*_open_ring(xs, ys)):
+            if shoelace_area(t[:, 0], t[:, 1]) < 0:
+                t = t[::-1]
+            tris.append(t)
+        out.append((1.0 if i == 0 else -1.0, tris))
+    return out
+
+
+def _chain_area(pieces, tri_lists) -> float:
+    """Σ|piece ∩ tris_1 ∩ ... ∩ tris_m| — pieces stay convex under
+    successive Sutherland–Hodgman clips by CCW triangles."""
+    for tris in tri_lists:
+        new = []
+        for p in pieces:
+            p_minx, p_miny = p.min(axis=0)
+            p_maxx, p_maxy = p.max(axis=0)
+            for t in tris:
+                if (
+                    t[:, 0].min() >= p_maxx
+                    or p_minx >= t[:, 0].max()
+                    or t[:, 1].min() >= p_maxy
+                    or p_miny >= t[:, 1].max()
+                ):
+                    continue
+                c = clip_convex(p, t)
+                if len(c) >= 3:
+                    new.append(c)
+        pieces = new
+        if not pieces:
+            return 0.0
+    return float(sum(abs(shoelace_area(p[:, 0], p[:, 1])) for p in pieces))
+
+
+def polyset_intersection_area(ring_sets) -> float:
+    """|P_1 ∩ ... ∩ P_m| for polygons-with-holes: the indicator of each
+    polygon is the signed sum of its ring indicators, so the m-way
+    intersection integrates to a signed sum over per-polygon ring
+    choices of the plain ring-intersection areas."""
+    from itertools import product
+
+    per_poly = [_ring_tris(rings) for rings in ring_sets]
+    total = 0.0
+    for choice in product(*per_poly):
+        sign = 1.0
+        for s, _ in choice:
+            sign *= s
+        pieces = list(choice[0][1])
+        area = _chain_area(pieces, [tris for _, tris in choice[1:]])
+        total += sign * area
+    return max(total, 0.0)
+
+
+def union_iou(pred_rings, intersector_ring_sets, max_k: int = 20) -> float:
+    """Reference dedupe rule (robosat/tools/dedupe.py:56-67):
+    IoU(pred, union(intersecting reference shapes)). Union areas via
+    inclusion-exclusion over subsets of intersectors, pruned: a subset
+    whose intersection is empty kills all supersets."""
+    from itertools import combinations
+
+    k = len(intersector_ring_sets)
+    if k == 0:
+        return 0.0
+    if k > max_k:
+        raise ValueError(f"union_iou: {k} intersectors exceeds max_k={max_k}")
+    area_p = polygon_area(pred_rings)
+    area_u = 0.0
+    inter_u = 0.0
+    dead: set = set()
+    for size in range(1, k + 1):
+        any_alive = False
+        for T in combinations(range(k), size):
+            if size > 1 and any(
+                frozenset(t for t in T if t != d) in dead for d in T
+            ):
+                dead.add(frozenset(T))
+                continue
+            a = polyset_intersection_area([intersector_ring_sets[i] for i in T])
+            if a <= 0.0:
+                dead.add(frozenset(T))
+                continue
+            any_alive = True
+            sign = 1.0 if size % 2 == 1 else -1.0
+            area_u += sign * a
+            b = polyset_intersection_area(
+                [pred_rings] + [intersector_ring_sets[i] for i in T]
+            )
+            inter_u += sign * b
+        if not any_alive:
+            break
+    union = area_p + area_u - inter_u
+    return inter_u / union if union > 0 else 0.0
+
+
 def iou(rings_a, rings_b) -> float:
     """Intersection-over-union, matching the reference's
     project→intersection.area / union.area (spatial/core.py:56-77) —

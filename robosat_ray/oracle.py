@@ -138,23 +138,62 @@ preds AS (
 )"""
 
 
+# Reference union rule (robosat/tools/dedupe.py:56-67): keep a pred
+# iff no positively-intersecting reference shape, or
+# IoU(pred, union(intersectors)) < threshold. Union area of axis-
+# aligned rects via x-slab scanline + y-interval islands; the
+# pred-clipped variant of the same scanline gives |pred ∩ U|.
 DEDUPE = f"""
-WITH {feet_cte()}, {preds_cte()}
-SELECT p.pred_id FROM preds p
-WHERE NOT EXISTS (
-  SELECT 1 FROM feet f
-  WHERE f.minx < p.maxx AND p.minx < f.maxx
-    AND f.miny < p.maxy AND p.miny < f.maxy
-    AND (
-      GREATEST(LEAST(p.maxx, f.maxx) - GREATEST(p.minx, f.minx), 0)
-      * GREATEST(LEAST(p.maxy, f.maxy) - GREATEST(p.miny, f.miny), 0)
-    ) / (
-      (p.maxx - p.minx) * (p.maxy - p.miny)
-      + (f.maxx - f.minx) * (f.maxy - f.miny)
-      - GREATEST(LEAST(p.maxx, f.maxx) - GREATEST(p.minx, f.minx), 0)
-        * GREATEST(LEAST(p.maxy, f.maxy) - GREATEST(p.miny, f.miny), 0)
-    ) >= {C.DEDUPE_IOU_THRESHOLD!r}
+WITH {feet_cte()}, {preds_cte()},
+pairs AS (
+  SELECT p.pred_id, p.minx AS px0, p.miny AS py0, p.maxx AS px1, p.maxy AS py1,
+         f.minx AS fx0, f.miny AS fy0, f.maxx AS fx1, f.maxy AS fy1
+  FROM preds p JOIN feet f
+    ON f.minx < p.maxx AND p.minx < f.maxx
+   AND f.miny < p.maxy AND p.miny < f.maxy
+),
+slabs AS (
+  SELECT pred_id, x AS x0,
+         LEAD(x) OVER (PARTITION BY pred_id ORDER BY x) AS x1
+  FROM (SELECT DISTINCT pred_id, fx0 AS x FROM pairs
+        UNION SELECT DISTINCT pred_id, fx1 FROM pairs)
+),
+cover AS (
+  SELECT s.pred_id, s.x0, s.x1, f.fy0, f.fy1,
+         f.px0, f.py0, f.px1, f.py1
+  FROM slabs s JOIN pairs f
+    ON f.pred_id = s.pred_id AND f.fx0 <= s.x0 AND f.fx1 >= s.x1
+  WHERE s.x1 IS NOT NULL
+),
+marked AS (
+  SELECT *, CASE WHEN fy0 > COALESCE(MAX(fy1) OVER (
+           PARTITION BY pred_id, x0 ORDER BY fy0, fy1
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), fy0 - 1.0)
+         THEN 1 ELSE 0 END AS brk
+  FROM cover
+),
+grp AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY pred_id, x0 ORDER BY fy0, fy1
+           ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+),
+seg AS (
+  SELECT pred_id, x0, x1, g, MIN(fy0) AS y0, MAX(fy1) AS y1,
+         MIN(px0) AS px0, MIN(py0) AS py0, MIN(px1) AS px1, MIN(py1) AS py1
+  FROM grp GROUP BY pred_id, x0, x1, g
+),
+areas AS (
+  SELECT pred_id,
+         SUM((x1 - x0) * (y1 - y0)) AS area_u,
+         SUM(GREATEST(LEAST(x1, px1) - GREATEST(x0, px0), 0)
+           * GREATEST(LEAST(y1, py1) - GREATEST(y0, py0), 0)) AS inter_u,
+         MIN((px1 - px0) * (py1 - py0)) AS area_p
+  FROM seg GROUP BY pred_id
 )
+SELECT p.pred_id FROM preds p
+LEFT JOIN areas a ON a.pred_id = p.pred_id
+WHERE a.pred_id IS NULL
+   OR a.inter_u / (a.area_p + a.area_u - a.inter_u) < {C.DEDUPE_IOU_THRESHOLD!r}
 """
 
 MERGE_COMPONENTS = f"""

@@ -4,14 +4,19 @@ robosat/tools/dedupe.py:30-73 — rtree over ALL OSM shapes in driver
 RAM, per predicted shape keep iff no bbox hit, no intersection, or
 IoU < threshold).
 
-Engine semantics: keep a predicted shape iff its max pairwise IoU
-against any bbox-intersecting reference shape is < threshold (equal to
-the reference's IoU-vs-union when intersectors don't overlap each
-other, which the synthetic corpus guarantees; the union variant is
-available via geo.clip inclusion-exclusion). IoU is computed with the
-general polygon kernel (ear-clip triangulation + convex clipping) on
-the ring geometry — not a rect fast path — so the code path matches
-arbitrary polygons.
+Engine semantics (matches the reference rule): keep a predicted shape
+iff it has no positively-intersecting reference shapes, or
+IoU(pred, union(intersecting reference shapes)) < threshold
+(reference tools/dedupe.py:56-67: `functools.reduce(union,
+intersecting)` then `iou(pred, union)`). "Intersecting" here means
+positive-area overlap; the reference's shapely `.intersects` also
+counts measure-zero boundary touches, which cannot change the IoU
+numerator but can enlarge the union denominator — the synthetic
+corpus has no exact boundary touches, so the two predicates agree on
+it. Union areas: coordinate-compression scanline for all-rect
+neighborhoods (exact, any k), inclusion-exclusion over intersector
+subsets with empty-subset pruning for general polygons
+(geo/clip.union_iou).
 """
 
 from __future__ import annotations
@@ -21,8 +26,42 @@ import pyarrow as pa
 
 from robosat_ray import constants as C
 from robosat_ray.geo import tiles as T
-from robosat_ray.geo.clip import iou
+from robosat_ray.geo.clip import polygons_intersection_area, union_iou
 from robosat_ray.stages.spatial_join import _ring_buffers
+
+
+def _feature_areas(fro, rpo, rxs, rys) -> np.ndarray:
+    """Vectorized per-feature polygon area (exterior minus holes) from
+    the flat ring buffers: per-ring shoelace via a prefix sum of cross
+    terms, then signed reduceat by feature."""
+    if len(fro) <= 1:
+        return np.zeros(0, dtype=np.float64)
+    cross = rxs[:-1] * rys[1:] - rxs[1:] * rys[:-1]
+    cs = np.concatenate([[0.0], np.cumsum(cross)])
+    # rings are closed (first == last): sum cross over [a, b-2]
+    ring_area = 0.5 * (cs[rpo[1:] - 1] - cs[rpo[:-1]])
+    sgn = np.full(len(ring_area), -1.0)
+    sgn[fro[:-1]] = 1.0  # first ring of each feature is the exterior
+    return np.add.reduceat(np.abs(ring_area) * sgn, fro[:-1])
+
+
+def _rect_union_areas(px0, py0, px1, py1, fx0, fy0, fx1, fy1):
+    """(area(U), area(pred ∩ U)) for a rect pred and rect intersectors
+    via coordinate-compression: exact for any k, O(k^2) cells."""
+    xs = np.unique(np.concatenate([fx0, fx1]))
+    ys = np.unique(np.concatenate([fy0, fy1]))
+    i0 = np.searchsorted(xs, fx0)
+    i1 = np.searchsorted(xs, fx1)
+    j0 = np.searchsorted(ys, fy0)
+    j1 = np.searchsorted(ys, fy1)
+    cov = np.zeros((len(xs) - 1, len(ys) - 1), dtype=bool)
+    for a, b, c, d in zip(i0, i1, j0, j1):
+        cov[a:b, c:d] = True
+    area_u = float((np.outer(np.diff(xs), np.diff(ys))[cov]).sum())
+    cwx = np.maximum(np.minimum(xs[1:], px1) - np.maximum(xs[:-1], px0), 0.0)
+    cwy = np.maximum(np.minimum(ys[1:], py1) - np.maximum(ys[:-1], py0), 0.0)
+    inter = float((np.outer(cwx, cwy)[cov]).sum())
+    return area_u, inter
 
 
 def _rect_flags(fro, rpo, rxs, rys, minx, miny, maxx, maxy) -> np.ndarray:
@@ -62,6 +101,7 @@ class DedupeProber:
         self.maxy = feet.column("maxy").to_numpy()
         fro, rpo, rxs, rys = _ring_buffers(feet.column("rings"))
         self.rings = (fro, rpo, rxs, rys)
+        self.f_area = _feature_areas(fro, rpo, rxs, rys)
         self.f_is_rect = _rect_flags(fro, rpo, rxs, rys, self.minx, self.miny, self.maxx, self.maxy)
         self.z = z + 3
         tx0, ty0, tx1, ty1 = T.tile_range(self.minx, self.miny, self.maxx, self.maxy, self.z)
@@ -148,11 +188,11 @@ class DedupeProber:
         _, ki = np.unique(key, return_index=True)
         pair_p, fi = pair_p[ki], fi[ki]
 
-        # IoU per candidate pair: an UPPER BOUND prunes first
-        # (inter <= bbox-inter, union >= max area => ub >= true IoU);
-        # only pairs whose bound reaches the threshold get the exact
-        # general-polygon kernel. For axis-aligned rects the bound IS
-        # exact, so the survivor set is identical either way (tested).
+        # Union-IoU rule, pruned first with a vectorized per-pred upper
+        # bound: inter(pred, U) <= Σ_i min(bbox_inter_i, |f_i|) and
+        # <= |pred|; union(pred, U) >= |pred|. ub < threshold => the
+        # true IoU is < threshold => keep without the exact kernel.
+        n = len(pid)
         ix = np.maximum(
             0.0,
             np.minimum(pmaxx[pair_p], self.maxx[fi]) - np.maximum(pminx[pair_p], self.minx[fi]),
@@ -162,26 +202,47 @@ class DedupeProber:
             np.minimum(pmaxy[pair_p], self.maxy[fi]) - np.maximum(pminy[pair_p], self.miny[fi]),
         )
         bbox_inter = ix * iy
-        area_p = (pmaxx[pair_p] - pminx[pair_p]) * (pmaxy[pair_p] - pminy[pair_p])
-        area_f = (self.maxx[fi] - self.minx[fi]) * (self.maxy[fi] - self.miny[fi])
-        ub = bbox_inter / np.maximum(np.maximum(area_p, area_f), 1e-300)
-        max_iou = np.zeros(len(pid), dtype=np.float64)
-        need = np.nonzero(ub >= self.threshold)[0]
-        for idx in need:
-            p_local = pair_p[idx]
-            f_local = fi[idx]
-            if self.f_is_rect[f_local] and self._pred_is_rect(pfro, prpo, prxs, prys, p_local):
-                inter = bbox_inter[idx]
-                v = inter / (area_p[idx] + area_f[idx] - inter)
+        p_area = _feature_areas(pfro, prpo, prxs, prys)
+        cap = np.minimum(bbox_inter, self.f_area[fi])
+        sum_cap = np.bincount(pair_p, weights=cap, minlength=n)
+        ub = np.minimum(sum_cap, p_area) / np.maximum(p_area, 1e-300)
+        iou_val = np.zeros(n, dtype=np.float64)
+        # pair_p is sorted ascending (np.unique on pred-major keys)
+        starts = np.searchsorted(pair_p, np.arange(n))
+        ends = np.searchsorted(pair_p, np.arange(n), side="right")
+        for p_local in np.nonzero(ub >= self.threshold)[0]:
+            sl = slice(starts[p_local], ends[p_local])
+            fis = fi[sl]
+            binter = bbox_inter[sl]
+            if self._pred_is_rect(pfro, prpo, prxs, prys, p_local) and bool(
+                self.f_is_rect[fis].all()
+            ):
+                # rect x rect: bbox intersection IS the intersection
+                m = binter > 0.0
+                if not m.any():
+                    continue
+                sel = fis[m]
+                area_u, inter_u = _rect_union_areas(
+                    pminx[p_local], pminy[p_local], pmaxx[p_local], pmaxy[p_local],
+                    self.minx[sel], self.miny[sel], self.maxx[sel], self.maxy[sel],
+                )
             else:
                 pr = [
                     (prxs[prpo[r] : prpo[r + 1]], prys[prpo[r] : prpo[r + 1]])
                     for r in range(pfro[p_local], pfro[p_local + 1])
                 ]
-                v = iou(pr, self._feature_rings(int(f_local)))
-            if v > max_iou[p_local]:
-                max_iou[p_local] = v
-        survivors = max_iou < self.threshold
+                inters = [
+                    self._feature_rings(int(f))
+                    for f, bi in zip(fis, binter)
+                    if bi > 0.0 and polygons_intersection_area(pr, self._feature_rings(int(f))) > 0.0
+                ]
+                if not inters:
+                    continue
+                iou_val[p_local] = union_iou(pr, inters)
+                continue
+            union = p_area[p_local] + area_u - inter_u
+            iou_val[p_local] = inter_u / union if union > 0 else 0.0
+        survivors = iou_val < self.threshold
         return pa.table(
             {
                 "pred_id": pa.array(pid[survivors]),

@@ -119,10 +119,10 @@ def test_general_polygon_join_vs_brute_force(ray_session, strategy):
 
 def test_general_polygon_dedupe_iou_path(ray_session):
     """Non-rect predicted shapes force dedupe's general clip-kernel
-    fallback; survivors must match a brute-force IoU computation."""
+    fallback; survivors must match a brute-force union-IoU computation
+    (grid-sampled, independent of the clip kernels)."""
     import ray.data
 
-    from robosat_ray.geo.clip import iou
     from robosat_ray.stages.dedupe import dedupe_survivors
 
     polys = _general_polys()
@@ -138,15 +138,19 @@ def test_general_polygon_dedupe_iou_path(ray_session):
     ).drop_columns(["kind"])
     pred_ds = ray.data.from_arrow(pred_t)
     got = sorted(r["pred_id"] for r in dedupe_survivors(pred_ds, feet).take_all())
-    # brute force: survivor iff max IoU vs any bbox-overlapping ref < 0.5
+    # brute force: survivor iff IoU(pred, union(intersecting refs)) <
+    # threshold, grid-sampled independently of the clip kernels
+    from tests.test_union_iou import _grid_union_iou
+
     want = []
-    for (pid, _, prings), (fid0, _, _) in zip(preds, polys):
-        max_iou = 0.0
-        for fid, _, frings in polys:
-            pr = [(np.asarray(x), np.asarray(y)) for x, y in prings]
-            fr = [(np.asarray(x), np.asarray(y)) for x, y in frings]
-            v = iou(pr, fr)
-            max_iou = max(max_iou, v)
-        if max_iou < C.DEDUPE_IOU_THRESHOLD:
+    for pid, _, prings in preds:
+        pr = [(np.asarray(x), np.asarray(y)) for x, y in prings]
+        v = _grid_union_iou(
+            pr,
+            [[(np.asarray(x), np.asarray(y)) for x, y in fr] for _, _, fr in polys],
+        )
+        assert abs(v - C.DEDUPE_IOU_THRESHOLD) > 0.03, (
+            pid, v, "fixture IoU too close to threshold for a grid check")
+        if v < C.DEDUPE_IOU_THRESHOLD:
             want.append(pid)
     assert got == sorted(want)
