@@ -3,11 +3,15 @@ verification (the classic shingle -> minhash -> band -> bucket-groupby
 -> candidate-pairs -> verify pipeline; SNIPPETS/ray-guide pattern).
 
 Scale shape: the banding pass and the bucket groupby are fully
-distributed; candidate pairs are a tiny fraction of the corpus, so the
-verify step broadcasts only the CANDIDATE documents' shingle sets
-(at 10^12 scale the verify becomes a co-partition join of pairs with
-shingle sets on doc_id instead of a driver gather — same semantics).
-"""
+distributed, and the exact-Jaccard verify is a doc_id co-partition
+join executed in map_groups — the driver never sees shingle sets or
+candidate pairs, only the final verified (a, b) rows. The shingle
+computation for the verify has a strategy switch like the spatial
+join: when the candidate set is small its distinct doc ids are
+broadcast (ray.put of a sorted int64 array) and shingles are computed
+only for members; above the cap every document's shingles flow into
+the co-partition join (full-corpus payload but no driver involvement
+— the 10^12-doc path)."""
 
 from __future__ import annotations
 
@@ -103,48 +107,177 @@ def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
-def near_dup_pairs(docs_ds, threshold: float = 0.5) -> pd.DataFrame:
-    """-> DataFrame (a, b) of document pairs with exact shingle-set
+NUM_JOIN_BUCKETS = 64
+BROADCAST_PAIR_CAP = 500_000
+
+
+def _shingle_rows(batch: pa.Table, ids_ref=None) -> pa.Table:
+    """(doc_id, text) -> (doc_id, hashes); with ids_ref, only for docs
+    in the broadcast sorted candidate-id array (np.searchsorted)."""
+    import ray
+
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    if ids_ref is not None:
+        want = ray.get(ids_ref[0]) if not isinstance(ids_ref[0], np.ndarray) else ids_ref[0]
+        pos = np.searchsorted(want, ids)
+        member = (pos < len(want)) & (want[np.clip(pos, 0, len(want) - 1)] == ids)
+        keep = np.nonzero(member)[0]
+    else:
+        keep = np.arange(len(ids))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[keep]),
+            "hashes": pa.array(
+                [shingle_hash_set(texts[i]).tolist() for i in keep],
+                pa.list_(pa.uint64()),
+            ),
+        }
+    )
+
+
+def _attach_hashes(group: pd.DataFrame) -> pd.DataFrame:
+    """Within one doc_id-hash bucket: rows are either shingle carriers
+    (a == -1) or pair-need rows; emit each pair-need row with its
+    doc's hashes attached, keyed for the pair-bucket regroup."""
+    is_sh = group["a"].to_numpy() < 0
+    sh = group[is_sh]
+    lookup = dict(zip(sh["doc_id"].to_numpy(), sh["hashes"].to_numpy()))
+    pr = group[~is_sh]
+    a = pr["a"].to_numpy()
+    b = pr["b"].to_numpy()
+    hashes = [lookup[d] for d in pr["doc_id"].to_numpy()]
+    return pd.DataFrame(
+        {
+            "a": a,
+            "b": b,
+            "hashes": hashes,
+            "pbucket": (a * 31 + b) % NUM_JOIN_BUCKETS,
+        }
+    )
+
+
+def _verify_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Within one pair bucket: each (a, b) has exactly two rows (the a
+    side and the b side); exact sorted-set Jaccard decides."""
+    a = group["a"].to_numpy()
+    b = group["b"].to_numpy()
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    hashes = group["hashes"].to_numpy()[order]
+    keep_a, keep_b = [], []
+    for i in range(0, len(a) - 1, 2):
+        assert a[i] == a[i + 1] and b[i] == b[i + 1], "pair side missing"
+        ha = np.asarray(hashes[i], dtype=np.uint64)
+        hb = np.asarray(hashes[i + 1], dtype=np.uint64)
+        if jaccard_sorted(ha, hb) >= threshold:
+            keep_a.append(a[i])
+            keep_b.append(b[i])
+    return pd.DataFrame(
+        {
+            "a": pd.Series(keep_a, dtype=np.int64),
+            "b": pd.Series(keep_b, dtype=np.int64),
+        }
+    )
+
+
+def near_dup_pairs_ds(docs_ds, threshold: float = 0.5):
+    """-> Dataset (a, b) of document pairs with exact shingle-set
     Jaccard >= threshold, found via LSH (64 bands x 2 rows: recall at
     j >= 0.5 is 1 - (1 - j^2)^64 > 0.98, and > 1 - 1e-9 for the
-    synthetic variants at j ~ 0.8)."""
+    synthetic variants at j ~ 0.8). Verify runs as a distributed
+    co-partition join; see module docstring for the scale shape."""
     import ray
+    import ray.data
     from ray.data.aggregate import Count
 
     bands = docs_ds.map_batches(_band_rows, batch_format="pyarrow")
-    cand = bands.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
-    pairs = (
-        cand.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
-    )
-    pdf = pairs.to_pandas()  # candidates << corpus
-    if len(pdf) == 0:
-        return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
-    cand_ids = set(pdf["a"].tolist()) | set(pdf["b"].tolist())
-    cand_ref = ray.put(cand_ids)
+    cand = bands.groupby("bucket").map_groups(
+        _bucket_pairs, batch_format="pandas"
+    ).materialize()  # small; consumed by strategy decision + need-rows
 
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        want = ray.get(cand_ref)
-        ids = batch.column("doc_id").to_numpy()
-        texts = batch.column("text").to_pylist()
-        keep = [i for i, d in enumerate(ids) if int(d) in want]
+    n_cand = cand.count()
+    empty = pd.DataFrame(
+        {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+    )
+    if n_cand == 0:
+        return ray.data.from_pandas(empty)
+
+    if n_cand <= BROADCAST_PAIR_CAP:
+        # small candidate set: dedup pairs on the driver (they must be
+        # gathered anyway for the id broadcast) — saves the groupby
+        # all-to-all — and broadcast sorted distinct doc ids so
+        # shingles are computed (and shuffled) only for members
+        pdf = cand.to_pandas()
+        ab = np.unique(
+            np.stack([pdf["a"].to_numpy(), pdf["b"].to_numpy()], axis=1), axis=0
+        )
+        pairs = ray.data.from_arrow(
+            pa.table({"a": pa.array(ab[:, 0]), "b": pa.array(ab[:, 1])})
+        )
+        ids_ref = ray.put(np.unique(ab))
+        shingles = docs_ds.map_batches(
+            _shingle_rows, fn_kwargs={"ids_ref": [ids_ref]}, batch_format="pyarrow"
+        )
+    else:
+        # 10^12-doc path: no driver gather. Pairs MUST be deduped
+        # before the join here (a true near-dup matches ~tens of
+        # bands; shipping its shingles once per band would inflate the
+        # pair-bucket shuffle by that factor), and every doc's
+        # shingles flow into the co-partition join.
+        pairs = (
+            cand.groupby(["a", "b"])
+            .aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"])
+        )
+        shingles = docs_ds.map_batches(_shingle_rows, batch_format="pyarrow")
+
+    def need_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        doc = np.concatenate([a, b])
         return pa.table(
             {
-                "doc_id": pa.array(ids[keep] if keep else np.array([], np.int64)),
-                "hashes": pa.array(
-                    [shingle_hash_set(texts[i]).tolist() for i in keep],
-                    pa.list_(pa.uint64()),
-                ),
+                "doc_id": pa.array(doc),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([b, b])),
+                "hashes": pa.nulls(len(doc), pa.list_(pa.uint64())),
+                "dbucket": pa.array(doc % NUM_JOIN_BUCKETS),
             }
         )
 
-    sh_rows = docs_ds.map_batches(shingle_rows, batch_format="pyarrow").take_all()
-    sets = {int(r["doc_id"]): np.asarray(r["hashes"], dtype=np.uint64) for r in sh_rows}
-    keep_a, keep_b = [], []
-    for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
-        if jaccard_sorted(sets[int(a)], sets[int(b)]) >= threshold:
-            keep_a.append(int(a))
-            keep_b.append(int(b))
-    return pd.DataFrame({"a": pd.Series(keep_a, dtype=np.int64), "b": pd.Series(keep_b, dtype=np.int64)})
+    def sh_tagged(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        neg = np.full(len(ids), -1, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "a": pa.array(neg),
+                "b": pa.array(neg),
+                "hashes": batch.column("hashes"),
+                "dbucket": pa.array(ids % NUM_JOIN_BUCKETS),
+            }
+        )
+
+    both = pairs.map_batches(need_rows, batch_format="pyarrow").union(
+        shingles.map_batches(sh_tagged, batch_format="pyarrow")
+    )
+    attached = both.groupby("dbucket").map_groups(_attach_hashes, batch_format="pandas")
+    verified = attached.groupby("pbucket").map_groups(
+        lambda g: _verify_pairs(g, threshold), batch_format="pandas"
+    )
+    return verified
+
+
+def near_dup_pairs(docs_ds, threshold: float = 0.5) -> pd.DataFrame:
+    """DataFrame wrapper over near_dup_pairs_ds (verified pairs are a
+    tiny result set — materializing THEM is fine)."""
+    out = near_dup_pairs_ds(docs_ds, threshold).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+        )
+    return out.astype({"a": np.int64, "b": np.int64})
 
 
 def simhash_table(docs_ds):

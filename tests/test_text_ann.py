@@ -91,3 +91,18 @@ def test_near_dup_finds_all_variants(ray_session):
     for d, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
         if d % 5 == 0 and len(txt.split(" ")) >= 13:  # j=(S-1)/(S+1) > 0.5 needs S >= 4; margin
             assert (d, d + VARIANT_OFFSET) in got, d
+
+
+def test_near_dup_copartition_path_equals_broadcast(ray_session, monkeypatch):
+    """Forcing BROADCAST_PAIR_CAP=0 routes the verify through the
+    full co-partition join (the 10^12-doc path, no driver gather of
+    candidate ids); the verified pair set must be identical."""
+    import robosat_ray.stages.neardup as nd
+    from robosat_ray.pipelines.queries import q_near_dup
+
+    base = q_near_dup("/root/testdata/sf0.001")
+    monkeypatch.setattr(nd, "BROADCAST_PAIR_CAP", 0)
+    full = q_near_dup("/root/testdata/sf0.001")
+    key = lambda df: sorted(zip(df["a"].astype(int), df["b"].astype(int)))
+    assert key(base) == key(full)
+    assert len(base) > 0
