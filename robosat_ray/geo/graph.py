@@ -45,6 +45,25 @@ def connected_components_from_edges(n: int, ea: np.ndarray, eb: np.ndarray) -> n
     return uf.components()
 
 
+def min_label_arrays(ids: np.ndarray, ea: np.ndarray, eb: np.ndarray):
+    """Vectorized variant of min_label_propagation: returns
+    (sorted_unique_ids, labels) numpy pair — the broadcast-and-
+    searchsorted representation (no Python dict in any hot path)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    ea = np.asarray(ea, dtype=np.int64)
+    eb = np.asarray(eb, dtype=np.int64)
+    uniq = np.unique(np.concatenate([ids, ea, eb])) if len(ea) else np.unique(ids)
+    uf = UnionFind(len(uniq))
+    ia = np.searchsorted(uniq, ea)
+    ib = np.searchsorted(uniq, eb)
+    for a, b in zip(ia, ib):
+        uf.union(int(a), int(b))
+    comp = uf.components()
+    # roots are minimal dense indices and uniq is ascending, so the
+    # root's original id IS the component min id
+    return uniq, uniq[comp]
+
+
 def min_label_propagation(ids: np.ndarray, ea: np.ndarray, eb: np.ndarray, rounds: int = 0):
     """Component labels for arbitrary int64 node ids given edges
     (ea[i] -- eb[i]), by mapping ids to dense indices + union-find.

@@ -51,8 +51,8 @@ feet AS (
              list_extract({_CITY_MY}, CAST(p_partkey % 8 AS INTEGER) + 1)
                + (((p_partkey * {C.G2_MUL} + {C.G2_ADD}) % {C.MOD32}) / {float(C.MOD32)!r} - 0.5) * {C.CITY_MY_SPAN!r}
            ELSE {C.BG_MY_LO!r} + (((p_partkey * {C.G2_MUL} + {C.G2_ADD}) % {C.MOD32}) / {float(C.MOD32)!r}) * {C.BG_MY_RANGE!r} END AS cy,
-           {C.FOOT_HW_BASE!r} + (p_size % 10) * {C.FOOT_HW_STEP!r} AS hw,
-           {C.FOOT_HH_BASE!r} + (p_size % 10) * {C.FOOT_HH_STEP!r} AS hh
+           CAST({C.FOOT_HW_BASE!r} AS DOUBLE) + (p_size % 10) * CAST({C.FOOT_HW_STEP!r} AS DOUBLE) AS hw,
+           CAST({C.FOOT_HH_BASE!r} AS DOUBLE) + (p_size % 10) * CAST({C.FOOT_HH_STEP!r} AS DOUBLE) AS hh
     FROM part
   )
 )"""
@@ -131,8 +131,8 @@ preds AS (
   SELECT feature_id AS pred_id,
          minx + shift AS minx, miny, maxx + shift AS maxx, maxy
   FROM (
-    SELECT f.*, list_extract([0.2, 0.8, 2.5], CAST(f.feature_id % 3 AS INTEGER) + 1)
-           * ({C.FOOT_HW_BASE!r} + (p.p_size % 10) * {C.FOOT_HW_STEP!r}) AS shift
+    SELECT f.*, CAST(list_extract([0.2, 0.8, 2.5], CAST(f.feature_id % 3 AS INTEGER) + 1) AS DOUBLE)
+           * (CAST({C.FOOT_HW_BASE!r} AS DOUBLE) + (p.p_size % 10) * CAST({C.FOOT_HW_STEP!r} AS DOUBLE)) AS shift
     FROM feet f JOIN part p ON p.p_partkey = f.feature_id
   )
 )"""
@@ -212,6 +212,74 @@ reach(n, l) AS (
   SELECT e.fb, r.l FROM reach r JOIN edges e ON e.fa = r.n WHERE r.l < e.fb
 )
 SELECT n AS feature_id, MIN(l) AS component_id FROM reach GROUP BY n
+"""
+
+# A5 invariants: per component, member count + extent + exact rect-
+# union area via the same x-slab + y-island scanline as DEDUPE,
+# quantized to an int64 at 1e-10 so engine/DuckDB summation orders
+# cannot flip a compared bit.
+MERGE_UNIONS = f"""
+WITH RECURSIVE {feet_cte()},
+edges AS (
+  SELECT a.feature_id AS fa, b.feature_id AS fb
+  FROM feet a JOIN feet b ON a.feature_id <> b.feature_id
+   AND a.minx - {C.MERGE_EPS_X!r} <= b.maxx + {C.MERGE_EPS_X!r}
+   AND b.minx - {C.MERGE_EPS_X!r} <= a.maxx + {C.MERGE_EPS_X!r}
+   AND a.miny - {C.MERGE_EPS_Y!r} <= b.maxy + {C.MERGE_EPS_Y!r}
+   AND b.miny - {C.MERGE_EPS_Y!r} <= a.maxy + {C.MERGE_EPS_Y!r}
+),
+reach(n, l) AS (
+  SELECT feature_id, feature_id FROM feet
+  UNION
+  SELECT e.fb, r.l FROM reach r JOIN edges e ON e.fa = r.n WHERE r.l < e.fb
+),
+comp AS (SELECT n AS feature_id, MIN(l) AS component_id FROM reach GROUP BY n),
+m AS (
+  SELECT c.component_id, f.minx, f.miny, f.maxx, f.maxy
+  FROM comp c JOIN feet f ON f.feature_id = c.feature_id
+),
+slabs AS (
+  SELECT component_id, x AS x0,
+         LEAD(x) OVER (PARTITION BY component_id ORDER BY x) AS x1
+  FROM (SELECT DISTINCT component_id, minx AS x FROM m
+        UNION SELECT DISTINCT component_id, maxx FROM m)
+),
+cover AS (
+  SELECT s.component_id, s.x0, s.x1, r.miny AS y0, r.maxy AS y1
+  FROM slabs s JOIN m r
+    ON r.component_id = s.component_id AND r.minx <= s.x0 AND r.maxx >= s.x1
+  WHERE s.x1 IS NOT NULL
+),
+marked AS (
+  SELECT *, CASE WHEN y0 > COALESCE(MAX(y1) OVER (
+           PARTITION BY component_id, x0 ORDER BY y0, y1
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), y0 - 1.0)
+         THEN 1 ELSE 0 END AS brk
+  FROM cover
+),
+grp AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY component_id, x0 ORDER BY y0, y1
+           ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+),
+seg AS (
+  SELECT component_id, x0, x1, g, MIN(y0) AS y0, MAX(y1) AS y1
+  FROM grp GROUP BY component_id, x0, x1, g
+),
+areas AS (
+  SELECT component_id, SUM((x1 - x0) * (y1 - y0)) AS area_u
+  FROM seg GROUP BY component_id
+),
+agg AS (
+  SELECT component_id, COUNT(*) AS n_members,
+         MIN(minx) AS minx, MIN(miny) AS miny,
+         MAX(maxx) AS maxx, MAX(maxy) AS maxy
+  FROM m GROUP BY component_id
+)
+SELECT a.component_id, CAST(a.n_members AS BIGINT) AS n_members,
+       a.minx, a.miny, a.maxx, a.maxy,
+       CAST(ROUND(ar.area_u * 1e10) AS BIGINT) AS union_area_q
+FROM agg a JOIN areas ar USING (component_id)
 """
 
 _RS = 64  # oracle rasterization size (pixel grid per tile)

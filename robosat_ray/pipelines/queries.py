@@ -113,13 +113,26 @@ def q_merge_components(sf_dir: str):
 
 
 def q_merge_unions(sf_dir: str):
-    """A5 full: per-component merged geometry (union bbox, exact union
-    area, member count). Rows-only (union area not SQL-expressible);
-    invariants + raster oracle in tests."""
+    """A5 invariants: per-component member count, bbox extent, exact
+    rect-union area (1e-10-quantized int64) — oracle-checked against a
+    DuckDB scanline over the recursive component CTE."""
     from robosat_ray.stages.merge import merge_unions
     from robosat_ray.synth.footprints import footprints_table
 
     return merge_unions(footprints_dataset(sf_dir), footprints_table(sf_dir))
+
+
+def q_merge_geometry(sf_dir: str):
+    """Reference merge chain output (tools/merge.py:63-81): per
+    component the MERGED ring geometry (buffer-union-erode closing,
+    oriented), with area/ring-count invariants. Geometry columns are
+    not SQL-expressible (rows-only); exactness is tested in
+    tests/test_merge_union.py (singleton == original rect bit-exact,
+    ring area == grid area, gap-closure invariants)."""
+    from robosat_ray.stages.merge import merge_geometry
+    from robosat_ray.synth.footprints import footprints_table
+
+    return merge_geometry(footprints_dataset(sf_dir), footprints_table(sf_dir))
 
 
 def q_dedupe(sf_dir: str):
@@ -375,6 +388,7 @@ QUERIES = {
     "compare_filter": q_compare_filter,
     "subset": q_subset,
     "merge_unions": q_merge_unions,
+    "merge_geometry": q_merge_geometry,
     "featurize": q_featurize,
 }
 
@@ -401,4 +415,5 @@ ORACLES = {
     "events_window": oracle.EVENTS_WINDOW,
     "events_running": oracle.EVENTS_RUNNING,
     "top_tiles": oracle.TOP_TILES,
+    "merge_unions": oracle.MERGE_UNIONS,
 }

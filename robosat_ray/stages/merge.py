@@ -7,21 +7,26 @@ graph/core.py:14-15).
 
 Engine shape: edge detection runs distributed (broadcast per-cell
 index, probe per batch — every touching pair shares at least one cell
-of either bbox, so per-cell detection finds all edges); the edge LIST
-(much smaller than the data) is reduced to the driver for the final
-union-find, and the resulting {feature -> component} map is broadcast
-back. At 10^12 scale the driver union-find is replaced by iterative
-min-label-propagation groupby rounds over the same edge table.
+of either bbox, so per-cell detection finds all edges). Components:
+below DRIVER_CC_EDGE_CAP edges, an array union-find on the driver
+(edge list << data) whose (ids, labels) numpy pair is broadcast and
+attached with np.searchsorted; above the cap,
+runtime.components.distributed_components (min-label propagation +
+pointer jumping, all groupby shuffles) and a doc-bucket co-partition
+join attach — the driver never materializes the component map.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from robosat_ray import constants as C
 from robosat_ray.geo import tiles as T
-from robosat_ray.geo.graph import min_label_propagation
+from robosat_ray.geo.graph import min_label_arrays
+
+DRIVER_CC_EDGE_CAP = 2_000_000
 
 
 class EdgeFinder:
@@ -114,30 +119,106 @@ def merge_components(
     eps_y: float = C.MERGE_EPS_Y,
 ):
     """-> Dataset (feature_id, component_id = min feature_id in its
-    buffered-overlap component)."""
+    buffered-overlap component). Strategy switch on edge count: driver
+    union-find + broadcast searchsorted attach below
+    DRIVER_CC_EDGE_CAP, distributed label propagation + co-partition
+    attach above (skew-safe: one giant component can't OOM a driver
+    that never gathers the label map)."""
+    mode, payload = _component_labels(feet_ds, feet_table, z, eps_x, eps_y)
+    if mode == "arrays":
+        import ray
+
+        pair_ref = ray.put(payload)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            s, lab = ray.get(pair_ref)
+            fids = batch.column("feature_id").to_numpy()
+            out = lab[np.searchsorted(s, fids)]
+            return pa.table(
+                {"feature_id": pa.array(fids), "component_id": pa.array(out)}
+            )
+
+        return feet_ds.map_batches(attach, batch_format="pyarrow")
+    return _copartition_attach(feet_ds, payload)
+
+
+def _component_labels(feet_ds, feet_table, z, eps_x, eps_y):
+    """Edge detection + connected components. Returns
+    ('arrays', (sorted_ids, labels)) when the edge list fits the
+    driver cap (the (ids, labels) numpy pair is the same size as the
+    already-broadcast feet table), else ('ds', labels_dataset) from
+    the fully distributed path."""
     import ray
 
     ref = ray.put(feet_table)
     edges = feet_ds.map_batches(
         EdgeFinder, fn_constructor_args=(ref, z, eps_x, eps_y),
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
-    )
-    et = edges.take_all()  # edge list << data; see module docstring
-    ea = np.array([r["a"] for r in et], dtype=np.int64)
-    eb = np.array([r["b"] for r in et], dtype=np.int64)
-    ids = feet_table.column("feature_id").to_numpy()
-    comp = min_label_propagation(ids, ea, eb)
-    comp_ref = ray.put(comp)
+    ).materialize()  # edge list << data
 
-    def attach(batch: pa.Table) -> pa.Table:
-        cmap = ray.get(comp_ref)
-        fids = batch.column("feature_id").to_numpy()
-        labels = np.array([cmap[int(f)] for f in fids], dtype=np.int64)
+    if edges.count() <= DRIVER_CC_EDGE_CAP:
+        et = edges.to_pandas()
+        ids = feet_table.column("feature_id").to_numpy()
+        return "arrays", min_label_arrays(ids, et["a"].to_numpy(), et["b"].to_numpy())
+
+    from robosat_ray.runtime.components import distributed_components
+
+    nodes = feet_ds.map_batches(
+        lambda b: pa.table({"node": b.column("feature_id")}),
+        batch_format="pyarrow",
+    )
+    return "ds", distributed_components(nodes, edges)
+
+
+_ATTACH_BUCKETS = 64
+
+
+def _copartition_attach(feet_ds, labels_ds):
+    """(feature_id, ...) x (node, label) -> (feature_id, component_id)
+    via a feature-bucket groupby join — no driver, no broadcast map."""
+
+    def feet_rows(b: pa.Table) -> pa.Table:
+        f = b.column("feature_id").to_numpy()
         return pa.table(
-            {"feature_id": pa.array(fids), "component_id": pa.array(labels)}
+            {
+                "fid": pa.array(f),
+                "label": pa.array(np.full(len(f), -1, np.int64)),
+                "bucket": pa.array(
+                    ((f.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(_ATTACH_BUCKETS)).astype(np.int64)
+                ),
+            }
         )
 
-    return feet_ds.map_batches(attach, batch_format="pyarrow")
+    def label_rows(b: pa.Table) -> pa.Table:
+        n = b.column("node").to_numpy()
+        return pa.table(
+            {
+                "fid": pa.array(n),
+                "label": b.column("label"),
+                "bucket": pa.array(
+                    ((n.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(_ATTACH_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    both = feet_ds.map_batches(feet_rows, batch_format="pyarrow").union(
+        labels_ds.map_batches(label_rows, batch_format="pyarrow")
+    )
+
+    def join(group: pd.DataFrame) -> pd.DataFrame:
+        lab = group[group["label"] >= 0]
+        s = lab["fid"].to_numpy()
+        order = np.argsort(s, kind="stable")
+        s, lv = s[order], lab["label"].to_numpy()[order]
+        f = group.loc[group["label"] < 0, "fid"].to_numpy()
+        return pd.DataFrame(
+            {
+                "feature_id": pd.Series(f, dtype=np.int64),
+                "component_id": pd.Series(lv[np.searchsorted(s, f)], dtype=np.int64),
+            }
+        )
+
+    return both.groupby("bucket").map_groups(join, batch_format="pandas")
 
 
 def rect_union_area(minx, miny, maxx, maxy) -> float:
@@ -168,6 +249,78 @@ def rect_union_area(minx, miny, maxx, maxy) -> float:
     return float(total)
 
 
+def _tagged_feet(feet_ds, feet_table, z, eps_x, eps_y, columns):
+    """feet Dataset with component_id appended, plus a component-hash
+    bucket for the per-component groupby. Broadcast searchsorted tag
+    below the edge cap; co-partition join above it (no driver map)."""
+    mode, payload = _component_labels(feet_ds, feet_table, z, eps_x, eps_y)
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        c = batch.column("component_id").to_numpy()
+        return batch.append_column(
+            "bucket",
+            pa.array(((c.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)),
+        )
+
+    if mode == "arrays":
+        import ray
+
+        pair_ref = ray.put(payload)
+
+        def tag(batch: pa.Table) -> pa.Table:
+            s, lab = ray.get(pair_ref)
+            fids = batch.column("feature_id").to_numpy()
+            out = lab[np.searchsorted(s, fids)]
+            return batch.select(columns).append_column("component_id", pa.array(out))
+
+        tagged = feet_ds.map_batches(tag, batch_format="pyarrow")
+        return tagged.map_batches(bucketed, batch_format="pyarrow")
+
+    comp = _copartition_attach(feet_ds, payload)
+
+    # co-partition join of feet rows with their component labels on a
+    # feature-hash bucket, carrying the passthrough columns
+    def feet_rows(b: pa.Table) -> pa.Table:
+        f = b.column("feature_id").to_numpy()
+        t = b.select(columns)
+        t = t.append_column("component_id", pa.array(np.full(len(f), -1, np.int64)))
+        return t.append_column(
+            "jbucket",
+            pa.array(((f.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(_ATTACH_BUCKETS)).astype(np.int64)),
+        )
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        f = b.column("feature_id").to_numpy()
+        cols = {c: pa.array(np.zeros(len(f))) for c in columns if c != "feature_id"}
+        t = pa.table({"feature_id": pa.array(f), **cols})
+        t = t.select(columns)
+        t = t.append_column("component_id", b.column("component_id"))
+        return t.append_column(
+            "jbucket",
+            pa.array(((f.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(_ATTACH_BUCKETS)).astype(np.int64)),
+        )
+
+    both = feet_ds.map_batches(feet_rows, batch_format="pyarrow").union(
+        comp.map_batches(label_rows, batch_format="pyarrow")
+    )
+
+    def join(group: pd.DataFrame) -> pd.DataFrame:
+        lab = group[group["component_id"] >= 0]
+        s = lab["feature_id"].to_numpy()
+        order = np.argsort(s, kind="stable")
+        s, lv = s[order], lab["component_id"].to_numpy()[order]
+        out = group[group["component_id"] < 0].drop(columns=["component_id"]).copy()
+        out["component_id"] = lv[np.searchsorted(s, out["feature_id"].to_numpy())]
+        return out
+
+    import ray.data  # noqa: F401
+
+    joined = both.groupby("jbucket").map_groups(join, batch_format="pandas")
+    return joined.map_batches(
+        lambda b: b.drop_columns(["jbucket"]), batch_format="pyarrow"
+    ).map_batches(bucketed, batch_format="pyarrow")
+
+
 def merge_unions(
     feet_ds,
     feet_table: pa.Table,
@@ -175,27 +328,17 @@ def merge_unions(
     eps_x: float = C.MERGE_EPS_X,
     eps_y: float = C.MERGE_EPS_Y,
 ):
-    """Full A5: component membership + per-component merged geometry —
-    union bbox, exact union area (rect members; general members get the
-    buffered-ring union path), member count. The reference's
-    union -> unbuffer -> orient -> area chain (tools/merge.py:63-81)
-    reduced to the measurable invariants (area, extent). Grouped
-    per component via groupby (the per-component reduce is distributed)."""
-    comp_ds = merge_components(feet_ds, feet_table, z, eps_x, eps_y)
-    comp_pdf = comp_ds.to_pandas()  # (feature_id, component_id) — narrow
-    import ray
+    """A5 invariants, oracle-checkable: per component — member count,
+    member-bbox extent, exact union area of the member rects (as an
+    int64 quantized at 1e-10, so the engine's slab-scan and the SQL
+    oracle's island-scan summation orders can't flip a compared bit).
+    Distributed per component via groupby; no driver materialization."""
+    tagged = _tagged_feet(
+        feet_ds, feet_table, z, eps_x, eps_y,
+        ["feature_id", "minx", "miny", "maxx", "maxy"],
+    )
 
-    cmap_ref = ray.put(dict(zip(comp_pdf["feature_id"], comp_pdf["component_id"])))
-
-    def tag(batch: pa.Table) -> pa.Table:
-        cmap = ray.get(cmap_ref)
-        fids = batch.column("feature_id").to_numpy()
-        labels = np.array([cmap[int(f)] for f in fids], dtype=np.int64)
-        return batch.append_column("component_id", pa.array(labels))
-
-    def reduce_comp(group) -> "pd.DataFrame":
-        import pandas as pd
-
+    def reduce_comp(group: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for cid, g in group.groupby("component_id", sort=False):
             area = rect_union_area(
@@ -210,18 +353,76 @@ def merge_unions(
                     "miny": float(g["miny"].min()),
                     "maxx": float(g["maxx"].max()),
                     "maxy": float(g["maxy"].max()),
-                    "union_area": area,
+                    "union_area_q": int(np.round(area * 1e10)),
                 }
             )
-        return pd.DataFrame(rows)
-
-    def bucket(batch: pa.Table) -> pa.Table:
-        c = batch.column("component_id").to_numpy()
-        return batch.append_column(
-            "bucket", pa.array(((c.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64))
+        return pd.DataFrame(rows).astype(
+            {"component_id": np.int64, "n_members": np.int64, "union_area_q": np.int64}
         )
 
-    tagged = feet_ds.map_batches(tag, batch_format="pyarrow").map_batches(
-        bucket, batch_format="pyarrow"
-    )
     return tagged.groupby("bucket").map_groups(reduce_comp, batch_format="pandas")
+
+
+def merge_geometry(
+    feet_ds,
+    feet_table: pa.Table,
+    z: int = C.Z_JOIN,
+    eps_x: float = C.MERGE_EPS_X,
+    eps_y: float = C.MERGE_EPS_Y,
+):
+    """Full reference merge output (tools/merge.py:63-81): per
+    component, the MERGED GEOMETRY — union of member rects buffered by
+    the edge threshold (2*eps: EdgeFinder expands both sides by eps,
+    so features join iff their gap <= 2*eps, the reference's
+    `buffered(i).intersects(j)` with threshold 2*eps), eroded back by
+    the same amount (exact rectilinear closing on compressed grids),
+    rings oriented exterior-positive / holes-negative like the
+    reference's `orient(merged, sign=1.0)`. Emits the ring geometry
+    (same nested list layout as the footprints table) plus area and
+    ring-count invariants. Runs per component inside map_groups —
+    distributed, driver-free."""
+    from robosat_ray.geo.rectilinear import closing_grid, rings_area, trace_rings
+
+    tagged = _tagged_feet(
+        feet_ds, feet_table, z, eps_x, eps_y,
+        ["feature_id", "minx", "miny", "maxx", "maxy"],
+    )
+    tx, ty = 2.0 * eps_x, 2.0 * eps_y
+
+    def geom_comp(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, g in group.groupby("component_id", sort=False):
+            xs, ys, cov = closing_grid(
+                g["minx"].to_numpy(), g["miny"].to_numpy(),
+                g["maxx"].to_numpy(), g["maxy"].to_numpy(), tx, ty,
+            )
+            rings = trace_rings(xs, ys, cov)
+            signed = [
+                0.5 * float(np.sum(rx[:-1] * ry[1:] - rx[1:] * ry[:-1]))
+                for rx, ry in rings
+            ]
+            rows.append(
+                {
+                    "component_id": int(cid),
+                    "n_members": len(g),
+                    "n_polys": sum(1 for s in signed if s > 0),
+                    "n_holes": sum(1 for s in signed if s < 0),
+                    "n_vertices": sum(len(rx) - 1 for rx, _ in rings),
+                    "merged_area": rings_area(rings),
+                    "rings": [
+                        [{"x": float(x), "y": float(y)} for x, y in zip(rx, ry)]
+                        for rx, ry in rings
+                    ],
+                }
+            )
+        return pd.DataFrame(rows).astype(
+            {
+                "component_id": np.int64,
+                "n_members": np.int64,
+                "n_polys": np.int64,
+                "n_holes": np.int64,
+                "n_vertices": np.int64,
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(geom_comp, batch_format="pandas")

@@ -81,3 +81,28 @@ def test_matches_driver_union_find_on_footprints(ray_session):
     assert len(got_map) == len(want)
     for n, l in want.items():
         assert got_map[n] == l, (n, got_map[n], l)
+
+
+def test_merge_components_distributed_path_equal(ray_session, monkeypatch):
+    """Forcing DRIVER_CC_EDGE_CAP=0 routes merge through
+    distributed_components + the co-partition attach; labels and
+    merge_unions invariants must match the broadcast union-find path."""
+    import robosat_ray.stages.merge as mg
+    from robosat_ray.synth.footprints import footprints_dataset, footprints_table
+
+    sf = "/root/testdata/sf0.001"
+    feet_t = footprints_table(sf)
+    base = mg.merge_components(footprints_dataset(sf), feet_t).to_pandas()
+    base_u = mg.merge_unions(footprints_dataset(sf), feet_t).to_pandas()
+    monkeypatch.setattr(mg, "DRIVER_CC_EDGE_CAP", 0)
+    dist = mg.merge_components(footprints_dataset(sf), feet_t).to_pandas()
+    dist_u = mg.merge_unions(footprints_dataset(sf), feet_t).to_pandas()
+    key = lambda df: df.sort_values(list(df.columns)).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        key(base[sorted(base.columns)]), key(dist[sorted(dist.columns)])
+    )
+    pd.testing.assert_frame_equal(
+        key(base_u[sorted(base_u.columns)]), key(dist_u[sorted(dist_u.columns)])
+    )
