@@ -1,0 +1,32 @@
+"""Exact local top-k selection with (value, id) tie order.
+
+np.partition prunes each row to the k-boundary value in O(B), then
+only the <= k+ties candidate set pays the lexsort — replacing the
+full-row lexsort per query (O(B log B)) flagged in the round-1 review.
+Tie handling is EXACT: every element equal to the kth value enters the
+candidate set, so the (value asc, id asc) winners match a full sort
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def topk_indices(vals: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k smallest (val, id) pairs, non-finite vals
+    dropped. vals: (B,) float64; ids: (B,) int64."""
+    B = len(vals)
+    if B == 0 or k <= 0:
+        return np.array([], dtype=np.int64)
+    if B <= max(64, 4 * k):
+        order = np.lexsort((ids, vals))[:k]
+    else:
+        kth = np.partition(vals, k - 1)[k - 1]
+        if not np.isfinite(kth):
+            cand = np.nonzero(np.isfinite(vals))[0]
+        else:
+            cand = np.nonzero(vals <= kth)[0]
+        sub = np.lexsort((ids[cand], vals[cand]))[:k]
+        order = cand[sub]
+    return order[np.isfinite(vals[order])]

@@ -63,3 +63,41 @@ def max_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def fg_pixel_count(mask: np.ndarray) -> int:
     return int(np.count_nonzero(mask))
+
+
+def binary_views(col) -> list:
+    """Zero-copy numpy uint8 views into an Arrow binary column's flat
+    buffer (one view per row) — replaces to_pylist() bytes copies in
+    mask-consuming stages."""
+    import pyarrow as pa
+
+    out = []
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for chunk in chunks:
+        odt = np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
+        offs = np.frombuffer(
+            chunk.buffers()[1], dtype=odt, count=len(chunk) + 1,
+            offset=chunk.offset * np.dtype(odt).itemsize,
+        )
+        data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+        for i in range(len(chunk)):
+            out.append(data[offs[i]:offs[i + 1]])
+    return out
+
+
+def binary_flat_chunks(col):
+    """Zero-copy flat uint8 array per chunk of an Arrow binary column
+    (all rows concatenated) — for whole-column reductions (bincount)."""
+    import pyarrow as pa
+
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for chunk in chunks:
+        if len(chunk) == 0:
+            continue
+        odt = np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
+        offs = np.frombuffer(
+            chunk.buffers()[1], dtype=odt, count=len(chunk) + 1,
+            offset=chunk.offset * np.dtype(odt).itemsize,
+        )
+        data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+        yield data[offs[0]:offs[-1]]

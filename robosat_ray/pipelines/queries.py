@@ -338,21 +338,19 @@ def q_subset(sf_dir: str):
     bmask = pa.compute.equal(feet.column("kind"), "building")
     bfeet = feet.filter(bmask)
     cov = explode_cover_batch(bfeet, C.Z_JOIN)
-    keys = set(
-        (int(x) << 26) | int(y)
-        for x, y in zip(cov.column("tile_x").to_pylist(), cov.column("tile_y").to_pylist())
+    keys = np.unique(
+        (cov.column("tile_x").to_numpy().astype(np.int64) << 26)
+        | cov.column("tile_y").to_numpy().astype(np.int64)
     )
     ref = ray.put(keys)
 
     def keep(b: pa.Table) -> pa.Table:
-        allowed = ray.get(ref)
-        tx = b.column("tile_x").to_numpy()
-        ty = b.column("tile_y").to_numpy()
-        m = np.fromiter(
-            (((int(x) << 26) | int(y)) in allowed for x, y in zip(tx, ty)),
-            dtype=bool,
-            count=len(tx),
-        )
+        allowed = ray.get(ref)  # sorted int64 keys — searchsorted filter
+        tx = b.column("tile_x").to_numpy().astype(np.int64)
+        ty = b.column("tile_y").to_numpy().astype(np.int64)
+        k = (tx << 26) | ty
+        pos = np.clip(np.searchsorted(allowed, k), 0, len(allowed) - 1)
+        m = allowed[pos] == k
         return b.filter(pa.array(m))
 
     masks = rasterize(footprints_dataset(sf_dir), size=64)

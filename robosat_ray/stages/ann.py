@@ -44,10 +44,11 @@ class CosineTopK:
         self_m = ids[None, :] == self.qids[:, None]
         sims[self_m] = -np.inf
         k = min(self.k, sims.shape[1])
+        from robosat_ray.functions.topk import topk_indices
+
         out_q, out_n, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            order = np.lexsort((ids, -sims[qi]))[:k]
-            order = order[np.isfinite(sims[qi][order])]
+            order = topk_indices(-sims[qi], ids, k)
             out_q.append(np.full(len(order), self.qids[qi], dtype=np.int64))
             out_n.append(ids[order])
             out_s.append(sims[qi][order])

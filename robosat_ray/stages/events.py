@@ -36,16 +36,37 @@ def tumbling_window_agg(events_ds, window_us: int = HOUR_US):
     )
 
 
-def _running(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values(["ts", "event_id"], kind="stable")
-    g["running_value"] = g["value"].cumsum()
-    g["seq"] = np.arange(1, len(g) + 1, dtype=np.int64)
+def _running_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """One user-hash bucket: vectorized per-user cumsum/cumcount over
+    the (user, ts, event_id)-sorted rows — pandas' C groupby kernels,
+    not a Python loop over thousands of single-user groups."""
+    g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    by = g.groupby("user_id", sort=False)
+    g["running_value"] = by["value"].cumsum()
+    g["seq"] = by.cumcount().to_numpy() + 1
     return g[["event_id", "user_id", "running_value", "seq"]]
+
+
+NUM_USER_BUCKETS = 64
 
 
 def running_totals(events_ds):
     """-> per-event running sum + sequence number within its user's
-    ts-ordered stream (the sorted-group window pattern)."""
-    return events_ds.select_columns(["event_id", "user_id", "ts", "value"]).groupby(
-        "user_id"
-    ).map_groups(_running, batch_format="pandas")
+    ts-ordered stream. Grouped by a compact user-hash bucket (a raw
+    user_id groupby makes millions of tiny pandas groups; 64 buckets
+    amortize the per-group overhead while the in-bucket kernels stay
+    vectorized)."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy()
+        return b.append_column(
+            "ubucket",
+            pa.array(((u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(NUM_USER_BUCKETS)).astype(np.int64)),
+        )
+
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts", "value"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(_running_bucket, batch_format="pandas")
+    )

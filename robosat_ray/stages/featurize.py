@@ -103,8 +103,10 @@ def featurize_batch(
     rings)."""
     txs = batch.column("tile_x").to_numpy()
     tys = batch.column("tile_y").to_numpy()
+    from robosat_ray.geo.raster import binary_views
+
     sizes = batch.column("size").to_numpy()
-    datas = batch.column("data").to_pylist()
+    datas = binary_views(batch.column("data"))  # zero-copy views
     rows = {k: [] for k in ("tile_x", "tile_y", "poly_idx", "n_rings", "n_vertices", "area_px", "minx", "miny", "maxx", "maxy")}
     all_rings = []
     for tx, ty, size, data in zip(txs, tys, sizes, datas):

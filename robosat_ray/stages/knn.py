@@ -44,10 +44,11 @@ class LocalTopK:
         d[self_m] = np.inf
         k = min(self.k, d.shape[1])
         # local top-k with (distance, id) tie-break
+        from robosat_ray.functions.topk import topk_indices
+
         out_q, out_n, out_d = [], [], []
         for qi in range(d.shape[0]):
-            order = np.lexsort((ids, d[qi]))[:k]
-            keep = order[np.isfinite(d[qi][order])]
+            keep = topk_indices(d[qi], ids, k)
             out_q.append(np.full(len(keep), self.qid[qi], dtype=np.int64))
             out_n.append(ids[keep])
             out_d.append(d[qi][keep])

@@ -37,28 +37,34 @@ def halo_explode(batch: pa.Table, overlap: int) -> pa.Table:
     """Each tile row -> up to 9 (center, dx, dy, data) slot rows: the
     Ray-idiomatic replacement for the reference's adjacent-tile
     filesystem lookups (tiles.py:139-227)."""
+    import pyarrow.compute as pc
+
     txs = batch.column("tile_x").to_numpy()
     tys = batch.column("tile_y").to_numpy()
-    sizes = batch.column("size").to_numpy()
-    datas = batch.column("data").to_pylist()
-    out = {"center_x": [], "center_y": [], "dx": [], "dy": [], "size": [], "data": []}
-    for tx, ty, size, data in zip(txs, tys, sizes, datas):
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                out["center_x"].append(int(tx + dx))
-                out["center_y"].append(int(ty + dy))
-                out["dx"].append(-dx)  # position of THIS tile rel. to center
-                out["dy"].append(-dy)
-                out["size"].append(int(size))
-                out["data"].append(data)
+    n = len(txs)
+    # vectorized 9-way replication: numpy for the coordinate columns,
+    # one Arrow take (C kernel) for the mask payload
+    DX = np.repeat(np.array([-1, 0, 1], dtype=np.int64), 3)
+    DY = np.tile(np.array([-1, 0, 1], dtype=np.int64), 3)
+    idx = np.repeat(np.arange(n, dtype=np.int64), 9)
+    tdx = np.tile(DX, n)
+    tdy = np.tile(DY, n)
+    out = {
+        "center_x": txs[idx] + tdx,
+        "center_y": tys[idx] + tdy,
+        "dx": -tdx,  # position of THIS tile rel. to center
+        "dy": -tdy,
+        "size": batch.column("size").to_numpy()[idx],
+        "data": pc.take(batch.column("data"), pa.array(idx)),
+    }
     return pa.table(
         {
             "center_x": pa.array(out["center_x"], pa.int64()),
             "center_y": pa.array(out["center_y"], pa.int64()),
-            "dx": pa.array(out["dx"], pa.int8()),
-            "dy": pa.array(out["dy"], pa.int8()),
+            "dx": pa.array(out["dx"].astype(np.int8), pa.int8()),
+            "dy": pa.array(out["dy"].astype(np.int8), pa.int8()),
             "size": pa.array(out["size"], pa.int64()),
-            "data": pa.array(out["data"], pa.binary()),
+            "data": out["data"],
         }
     )
 
@@ -163,8 +169,10 @@ class Scorer:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from robosat_ray.geo.raster import binary_views
+
         sizes = batch.column("size").to_numpy()
-        datas = batch.column("data").to_pylist()
+        datas = binary_views(batch.column("data"))  # zero-copy views
         out_data = []
         for size, data in zip(sizes, datas):
             size = int(size)

@@ -12,12 +12,13 @@ import pyarrow as pa
 
 
 def partial_bincount(batch: pa.Table, n_classes: int = 2) -> pa.Table:
-    sizes = batch.column("size").to_numpy()
-    datas = batch.column("data").to_pylist()
+    from robosat_ray.geo.raster import binary_flat_chunks
+
     counts = np.zeros(n_classes, dtype=np.int64)
-    for size, data in zip(sizes, datas):
-        m = np.frombuffer(data, dtype=np.uint8)
-        counts += np.bincount(m, minlength=n_classes)[:n_classes]
+    # zero-copy flat view over ALL masks in the batch: one bincount per
+    # Arrow chunk, no per-row Python loop
+    for flat in binary_flat_chunks(batch.column("data")):
+        counts += np.bincount(flat, minlength=n_classes)[:n_classes]
     return pa.table({f"c{i}": pa.array([counts[i]]) for i in range(n_classes)})
 
 
