@@ -284,6 +284,198 @@ FROM agg a JOIN areas ar USING (component_id)
 
 _RS = 64  # oracle rasterization size (pixel grid per tile)
 
+# Featurize invariants, per 8-connected mask component: pixel count
+# (the corner-polygon shoelace == pixel count) and world bbox
+# (west + I0*fx ... exactly the engine's px->world affine). Components
+# are computed over per-rect pixel SPANS (a rect's covered pixels form
+# a solid box) with an 8-connectivity touch relation + recursive
+# min-label CTE — equivalent to pixel-level CC of the union.
+FEATURIZE_STATS_TEMPLATE = """
+WITH RECURSIVE {feet},
+cov AS (
+  SELECT f.*, {tx_minx} + gx.i AS tx, {ty_miny} + gy.j AS ty
+  FROM feet f
+  CROSS JOIN generate_series(0, 8) gx(i)
+  CROSS JOIN generate_series(0, 8) gy(j)
+  WHERE gx.i <= {tx_maxx} - {tx_minx}
+    AND gy.j <= {ty_maxy} - {ty_miny}
+),
+pxf AS (
+  SELECT c.tx, c.ty, c.feature_id, gi.i, gj.j
+  FROM cov c
+  CROSS JOIN generate_series(0, {rs1}) gi(i)
+  CROSS JOIN generate_series(0, {rs1}) gj(j)
+  WHERE (c.tx + (gi.i + 0.5) / {rsf}) / {nf} * 360.0 - 180.0 >= c.minx
+    AND (c.tx + (gi.i + 0.5) / {rsf}) / {nf} * 360.0 - 180.0 < c.maxx
+    AND (c.ty + (gj.j + 0.5) / {rsf}) / {nf} >= c.miny
+    AND (c.ty + (gj.j + 0.5) / {rsf}) / {nf} < c.maxy
+),
+spans AS (
+  SELECT tx, ty, feature_id, MIN(i) AS i0, MAX(i) AS i1,
+         MIN(j) AS j0, MAX(j) AS j1
+  FROM pxf GROUP BY tx, ty, feature_id
+),
+edges AS (
+  SELECT a.tx, a.ty, a.feature_id AS fa, b.feature_id AS fb
+  FROM spans a JOIN spans b
+    ON a.tx = b.tx AND a.ty = b.ty AND a.feature_id <> b.feature_id
+   AND b.i0 <= a.i1 + 1 AND a.i0 <= b.i1 + 1
+   AND b.j0 <= a.j1 + 1 AND a.j0 <= b.j1 + 1
+),
+reach(tx, ty, n, l) AS (
+  SELECT tx, ty, feature_id, feature_id FROM spans
+  UNION
+  SELECT e.tx, e.ty, e.fb, r.l
+  FROM reach r JOIN edges e ON e.tx = r.tx AND e.ty = r.ty AND e.fa = r.n
+  WHERE r.l < e.fb
+),
+comp AS (
+  SELECT tx, ty, n AS feature_id, MIN(l) AS cid
+  FROM reach GROUP BY tx, ty, n
+),
+cpx AS (
+  SELECT DISTINCT p.tx, p.ty, c.cid, p.i, p.j
+  FROM pxf p JOIN comp c
+    ON c.tx = p.tx AND c.ty = p.ty AND c.feature_id = p.feature_id
+),
+stats AS (
+  SELECT tx, ty, cid, COUNT(*) AS area_px,
+         MIN(i) AS i0, MAX(i) AS i1, MIN(j) AS j0, MAX(j) AS j1
+  FROM cpx GROUP BY tx, ty, cid
+)
+SELECT tx AS tile_x, ty AS tile_y, CAST(area_px AS BIGINT) AS area_px,
+  (tx / {nf} * 360.0 - 180.0)
+    + i0 * ((((tx + 1) / {nf} * 360.0 - 180.0) - (tx / {nf} * 360.0 - 180.0)) / {rsf}) AS minx,
+  (ty / {nf}) + j0 * ((((ty + 1) / {nf}) - (ty / {nf})) / {rsf}) AS miny,
+  (tx / {nf} * 360.0 - 180.0)
+    + (i1 + 1) * ((((tx + 1) / {nf} * 360.0 - 180.0) - (tx / {nf} * 360.0 - 180.0)) / {rsf}) AS maxx,
+  (ty / {nf}) + (j1 + 1) * ((((ty + 1) / {nf}) - (ty / {nf})) / {rsf}) AS maxy
+FROM stats
+"""
+
+# Prediction pipeline (halo -> box-conv scorers k=3,5 -> sigmoid ->
+# quantize -> softvote average -> threshold) reduced to exact SQL:
+# every pred pixel is a function of the two integer window counts
+# (c3, c5) over the GLOBAL set-pixel grid (halo stitching zero-fills
+# absent tiles, edge-pad never reaches the core), so a 260-row lookup
+# table of quantization buckets reproduces the float chain bit-for-bit
+# (all combos verified >= 4.5e-5 from every anchor boundary; the
+# avg>=0.5 compare uses the identical IEEE expression both sides).
+SEGMENTATION_METRICS_TEMPLATE = """
+WITH {feet},
+cov AS (
+  SELECT f.*, {tx_minx} + gx.i AS tx, {ty_miny} + gy.j AS ty
+  FROM feet f
+  CROSS JOIN generate_series(0, 8) gx(i)
+  CROSS JOIN generate_series(0, 8) gy(j)
+  WHERE gx.i <= {tx_maxx} - {tx_minx}
+    AND gy.j <= {ty_maxy} - {ty_miny}
+),
+tiles AS (SELECT DISTINCT tx, ty FROM cov),
+px AS (
+  SELECT DISTINCT c.tx * {rs} + gi.i AS gx, c.ty * {rs} + gj.j AS gy
+  FROM cov c
+  CROSS JOIN generate_series(0, {rs1}) gi(i)
+  CROSS JOIN generate_series(0, {rs1}) gj(j)
+  WHERE (c.tx + (gi.i + 0.5) / {rsf}) / {nf} * 360.0 - 180.0 >= c.minx
+    AND (c.tx + (gi.i + 0.5) / {rsf}) / {nf} * 360.0 - 180.0 < c.maxx
+    AND (c.ty + (gj.j + 0.5) / {rsf}) / {nf} >= c.miny
+    AND (c.ty + (gj.j + 0.5) / {rsf}) / {nf} < c.maxy
+),
+offs AS (
+  SELECT dx.v AS dx, dy.v AS dy
+  FROM generate_series(-2, 2) dx(v) CROSS JOIN generate_series(-2, 2) dy(v)
+),
+contrib AS (
+  SELECT p.gx + o.dx AS gx, p.gy + o.dy AS gy,
+         CASE WHEN ABS(o.dx) <= 1 AND ABS(o.dy) <= 1 THEN 1 ELSE 0 END AS in3
+  FROM px p CROSS JOIN offs o
+),
+cnts AS (
+  SELECT c.gx, c.gy, SUM(c.in3) AS c3, COUNT(*) AS c5
+  FROM contrib c
+  JOIN tiles t ON t.tx = c.gx // {rs} AND t.ty = c.gy // {rs}
+  GROUP BY c.gx, c.gy
+),
+anchors AS (
+  SELECT i, CASE WHEN i = 255 THEN CAST(1.0 AS DOUBLE)
+                 ELSE i * (CAST(1.0 AS DOUBLE) / CAST(255.0 AS DOUBLE)) END AS a
+  FROM generate_series(0, 255) t(i)
+),
+lut AS (
+  SELECT v3.v AS c3, v5.v AS c5,
+    (SELECT COUNT(*) - 1 FROM anchors
+      WHERE a <= CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        + exp(CAST(-6.0 AS DOUBLE) * (v3.v / CAST(9.0 AS DOUBLE) - CAST(0.5 AS DOUBLE))))) AS b3,
+    (SELECT COUNT(*) - 1 FROM anchors
+      WHERE a <= CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        + exp(CAST(-6.0 AS DOUBLE) * (v5.v / CAST(25.0 AS DOUBLE) - CAST(0.5 AS DOUBLE))))) AS b5
+  FROM generate_series(0, 9) v3(v) CROSS JOIN generate_series(0, 25) v5(v)
+),
+vals AS (
+  SELECT (s.gx IS NOT NULL) AS label,
+         (l.b3 * (CAST(1.0 AS DOUBLE) / CAST(255.0 AS DOUBLE))
+          + l.b5 * (CAST(1.0 AS DOUBLE) / CAST(255.0 AS DOUBLE)))
+         / CAST(2.0 AS DOUBLE) >= CAST(0.5 AS DOUBLE) AS pred
+  FROM cnts c
+  JOIN lut l ON l.c3 = c.c3 AND l.c5 = c.c5
+  LEFT JOIN px s ON s.gx = c.gx AND s.gy = c.gy
+),
+conf AS (
+  SELECT
+    CAST(SUM(CASE WHEN label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn_in,
+    CAST(COUNT(*) AS BIGINT) AS n_cand
+  FROM vals
+),
+final AS (
+  SELECT tp, fp, fn,
+         (SELECT COUNT(*) FROM tiles) * {rs} * {rs} - n_cand + tn_in AS tn
+  FROM conf
+)
+SELECT tn, fp, fn, tp,
+  CASE WHEN tp + fp + fn > 0
+       THEN CAST(tp AS DOUBLE) / CAST(tp + fp + fn AS DOUBLE) ELSE 0.0 END AS iou_fg,
+  CASE WHEN tn + fp + fn > 0
+       THEN CAST(tn AS DOUBLE) / CAST(tn + fp + fn AS DOUBLE) ELSE 0.0 END AS iou_bg,
+  (CASE WHEN tp + fp + fn > 0
+        THEN CAST(tp AS DOUBLE) / CAST(tp + fp + fn AS DOUBLE) ELSE 0.0 END
+   + CASE WHEN tn + fp + fn > 0
+          THEN CAST(tn AS DOUBLE) / CAST(tn + fp + fn AS DOUBLE) ELSE 0.0 END) / 2.0 AS miou,
+  CASE WHEN sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                 * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) > 0
+       THEN CAST(tp * tn - fp * fn AS DOUBLE)
+            / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                   * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+       ELSE 0.0 END AS mcc
+FROM final
+"""
+
+SEGMENTATION_METRICS = SEGMENTATION_METRICS_TEMPLATE.format(
+    feet=feet_cte(),
+    tx_minx=tile_x("f.minx"),
+    ty_miny=tile_y("f.miny"),
+    tx_maxx=tile_x("f.maxx"),
+    ty_maxy=tile_y("f.maxy"),
+    rs=_RS,
+    rs1=_RS - 1,
+    rsf=repr(float(_RS)),
+    nf=repr(_N),
+)
+
+FEATURIZE_STATS = FEATURIZE_STATS_TEMPLATE.format(
+    feet=feet_cte(),
+    tx_minx=tile_x("f.minx"),
+    ty_miny=tile_y("f.miny"),
+    tx_maxx=tile_x("f.maxx"),
+    ty_maxy=tile_y("f.maxy"),
+    rs1=_RS - 1,
+    rsf=repr(float(_RS)),
+    nf=repr(_N),
+)
+
 RASTERIZE_FG = f"""
 WITH {feet_cte()},
 cov AS (
@@ -396,6 +588,92 @@ SELECT doc_id,
        CAST(length(text) AS DOUBLE)
          / CAST(GREATEST(len(string_split_regex(text, '[ ]+')), 1) AS DOUBLE) AS avg_token_len
 FROM documents
+"""
+
+# SimHash (Charikar 2002) mirrored exactly: token hash = low 8 bytes
+# of md5 little-endian == md5_number(t) mod 2^64 (HUGEINT, sign-fixed);
+# per-bit vote sum over token counts; bit 63 masked off like the
+# engine's `& 0x7FFFFFFFFFFFFFFF`.
+_U64 = "18446744073709551616"
+SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+h AS (
+  SELECT doc_id, n,
+         ((md5_number(tok) % {_U64}) + {_U64}) % {_U64} AS th
+  FROM cnt
+),
+bits AS (
+  SELECT doc_id, b.b,
+         SUM(n * (2 * CAST((th // CAST(power(2, b.b) AS HUGEINT)) % 2 AS BIGINT) - 1)) AS v
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN sh s USING (doc_id)
+"""
+
+# Language-ID stopword heuristic mirrored exactly: words =
+# [a-zäöüéèêàçñ]+ over lower(text); pred = the unique argmax language
+# by stopword hit count (ties or zero hits -> 'und'); stop_ratio =
+# max hits / word count.
+_PROFILE_VALUES = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang in ("de", "en", "es", "fr")
+    for w in sorted(
+        {
+            "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+            "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für", "von"],
+            "fr": ["le", "la", "et", "les", "des", "est", "pas", "pour", "que", "dans"],
+            "es": ["el", "la", "que", "de", "los", "es", "una", "por", "con", "para"],
+        }[lang]
+    )
+)
+LANGID = f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zäöüéèêàçñ]+')) AS w
+  FROM documents
+),
+wc AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
+prof(lang, w) AS (VALUES {_PROFILE_VALUES}),
+langs AS (SELECT DISTINCT lang FROM prof),
+hit AS (
+  SELECT w.doc_id, p.lang, COUNT(*) AS n
+  FROM words w JOIN prof p ON p.w = w.w
+  GROUP BY w.doc_id, p.lang
+),
+full_hits AS (
+  SELECT d.doc_id, l.lang, COALESCE(h.n, 0) AS n
+  FROM documents d CROSS JOIN langs l
+  LEFT JOIN hit h ON h.doc_id = d.doc_id AND h.lang = l.lang
+),
+winh AS (
+  SELECT doc_id, lang, n, MAX(n) OVER (PARTITION BY doc_id) AS mx
+  FROM full_hits
+),
+agg AS (
+  SELECT doc_id, MAX(n) AS mx,
+         COUNT(*) FILTER (WHERE n = mx) AS n_at_max,
+         MIN(lang) FILTER (WHERE n = mx) AS best
+  FROM winh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN wc.n_words IS NULL THEN 'und'
+            WHEN a.mx > 0 AND a.n_at_max = 1 THEN a.best
+            ELSE 'und' END AS pred_lang,
+       CASE WHEN wc.n_words IS NULL THEN 0.0
+            ELSE CAST(a.mx AS DOUBLE) / CAST(wc.n_words AS DOUBLE) END AS stop_ratio
+FROM documents d
+JOIN agg a USING (doc_id)
+LEFT JOIN wc USING (doc_id)
 """
 
 NEAR_DUP = """

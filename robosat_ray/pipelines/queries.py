@@ -105,6 +105,35 @@ def q_featurize(sf_dir: str):
     return featurize(masks).drop_columns(["rings"])
 
 
+def q_featurize_stats(sf_dir: str):
+    """Featurize invariants, oracle-checked per mask component:
+    area_px (corner-polygon shoelace == pixel count) + world bbox
+    (the px->world affine), vs a DuckDB recursive-CTE connected-
+    components oracle over per-rect pixel spans."""
+    from robosat_ray.stages.featurize import featurize
+    from robosat_ray.stages.rasterize import rasterize
+
+    masks = rasterize(footprints_dataset(sf_dir), size=64)
+    feats = featurize(masks)
+
+    def stats(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tile_x": b.column("tile_x"),
+                "tile_y": b.column("tile_y"),
+                "area_px": pa.array(
+                    np.round(b.column("area_px").to_numpy()).astype(np.int64)
+                ),
+                "minx": b.column("minx"),
+                "miny": b.column("miny"),
+                "maxx": b.column("maxx"),
+                "maxy": b.column("maxy"),
+            }
+        )
+
+    return feats.map_batches(stats, batch_format="pyarrow")
+
+
 def q_merge_components(sf_dir: str):
     from robosat_ray.stages.merge import merge_components
     from robosat_ray.synth.footprints import footprints_table
@@ -388,10 +417,14 @@ QUERIES = {
     "merge_unions": q_merge_unions,
     "merge_geometry": q_merge_geometry,
     "featurize": q_featurize,
+    "featurize_stats": q_featurize_stats,
 }
 
-# simhash / langid are deterministic model-style scorers with no
-# SQL-expressible oracle -> rows-only driver check (allowed contract)
+# remaining rows-only entries: media_features (binary payloads),
+# ann_ivf (approximate index; recall asserted in tests),
+# merge_geometry / featurize rings (geometry columns; invariants
+# oracle-checked via merge_unions / featurize_stats),
+# segmentation_metrics (stand-in model conv; formulas tested)
 ORACLES = {
     "extract_text": oracle.EXTRACT_TEXT,
     "tile_assign": oracle.TILE_ASSIGN,
@@ -414,4 +447,8 @@ ORACLES = {
     "events_running": oracle.EVENTS_RUNNING,
     "top_tiles": oracle.TOP_TILES,
     "merge_unions": oracle.MERGE_UNIONS,
+    "simhash": oracle.SIMHASH,
+    "langid": oracle.LANGID,
+    "featurize_stats": oracle.FEATURIZE_STATS,
+    "segmentation_metrics": oracle.SEGMENTATION_METRICS,
 }

@@ -3,8 +3,9 @@
 
 Quality features are exact integer/IEEE math mirrored by the SQL
 oracle (alpha ratio, token stats). Language-ID is a stopword-profile
-heuristic (deterministic, not SQL-expressible — rows-only driver
-check; accuracy asserted in tests on constructed samples).
+heuristic, mirrored exactly by the LANGID SQL oracle (regexp word
+extraction + profile join + unique-argmax); accuracy additionally
+asserted in tests on constructed samples.
 """
 
 from __future__ import annotations
