@@ -319,19 +319,48 @@ def q_media_features(sf_dir: str):
     return media_pipeline(sf_dir)
 
 
-def q_ann_ivf(sf_dir: str):
-    """Approximate ANN (IVF coarse lists, nprobe=6). Rows-only check;
-    recall vs exact asserted in tests."""
-    import ray.data
+def _ivf_centroids(sf_dir: str):
+    from robosat_ray.stages.ann import train_centroids
 
-    from robosat_ray.stages.ann import ann_ivf_topk, train_centroids
-
-    qids, Q = _ann_queries(sf_dir)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     sample = np.array(t.column("embedding").to_pylist()[:400], dtype=np.float64)
-    cent = train_centroids(sample, n_lists=16)
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ann_ivf_topk(emb, qids, Q, cent, nprobe=6)
+    return train_centroids(sample, n_lists=16)
+
+
+def ivf_index_dir(sf_dir: str, force: bool = False) -> str:
+    """Build (once) the list-partitioned IVF index for an sf dir under
+    /tmp; testdata is immutable so the cache is keyed by path."""
+    import hashlib
+    import os
+    import shutil
+
+    from robosat_ray.stages.ann import build_ivf_index
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = f"/tmp/robosat_ray_ivf/{key}"
+    if force and os.path.isdir(out):
+        shutil.rmtree(out)
+    if not os.path.isdir(out):
+        import ray.data
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        build_ivf_index(emb, _ivf_centroids(sf_dir), out)
+    return out
+
+
+def q_ann_ivf(sf_dir: str):
+    """Approximate ANN over a list-partitioned Parquet IVF index —
+    the nprobe pruning happens at the READ (only the selected
+    list_id=... directories are opened), not as a post-scan filter.
+    Rows-only check; recall vs exact + equality with the in-memory
+    IVF asserted in tests."""
+    from robosat_ray.stages.ann import ann_ivf_partitioned
+
+    qids, Q = _ann_queries(sf_dir)
+    cent = _ivf_centroids(sf_dir)
+    return ann_ivf_partitioned(ivf_index_dir(sf_dir), qids, Q, cent, nprobe=6)
 
 
 def q_compare_filter(sf_dir: str):

@@ -126,3 +126,65 @@ def ann_ivf_topk(emb_ds, qids, Q, centroids, k: int = C.ANN_K, nprobe: int = 4):
     return local.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pandas"
     )
+
+
+# ---------------- IVF with READ pruning (the real scale path) ----------------
+#
+# A scan-everything IVF only prunes COMPUTE. The scale path writes the
+# vectors ONCE as list-partitioned Parquet (hive layout,
+# list_id=<n>/...), so a query set touching nprobe lists reads a
+# strict subset of the files — the other lists never leave storage.
+
+def build_ivf_index(emb_ds, centroids, out_dir: str):
+    """Assign each vector to its coarse list and persist as
+    list-partitioned Parquet. One-time build, reused across query
+    sets (assignment is NOT recomputed per query)."""
+    cent = np.asarray(centroids, np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids, E = _emb_matrix(batch)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        a = np.argmax(En @ cent.T, axis=1)
+        return batch.append_column("list_id", pa.array(a.astype(np.int64)))
+
+    emb_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["list_id"]
+    )
+    return out_dir
+
+
+def allowed_lists(Q, centroids, nprobe: int) -> np.ndarray:
+    Qn = np.asarray(Q, np.float64)
+    Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
+    cent = np.asarray(centroids, np.float64)
+    sims = Qn @ cent.T
+    nprobe = min(nprobe, cent.shape[0])
+    return np.unique(np.argsort(-sims, axis=1)[:, :nprobe].ravel())
+
+
+def ann_ivf_partitioned(
+    index_dir: str, qids, Q, centroids, k: int = C.ANN_K, nprobe: int = 4
+):
+    """Top-k over ONLY the nprobe-nearest list partitions of a
+    persisted IVF index — the read itself is pruned (pass
+    `columns=`-style dir selection, not a post-read filter)."""
+    import os
+
+    import ray.data
+
+    lists = allowed_lists(Q, centroids, nprobe)
+    paths = [
+        os.path.join(d, f)
+        for l in lists
+        if os.path.isdir(d := os.path.join(index_dir, f"list_id={int(l)}"))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        import pandas as pd
+
+        return ray.data.from_pandas(
+            pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
+        )
+    emb = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    return ann_brute_topk(emb, qids, Q, k)

@@ -78,6 +78,49 @@ def test_ann_ivf_recall(ray_session):
     assert recall >= 0.7, recall
 
 
+def test_ann_ivf_partitioned_prunes_reads_and_matches(ray_session):
+    """The persisted IVF index must (a) give results identical to the
+    in-memory IVF scan, (b) touch a STRICT subset of the list
+    partitions at nprobe=6 of 16 lists."""
+    import os
+
+    import ray.data
+
+    from robosat_ray import constants as C
+    from robosat_ray.stages.ann import (
+        allowed_lists, ann_ivf_partitioned, ann_ivf_topk, train_centroids,
+    )
+    from robosat_ray.pipelines.queries import ivf_index_dir
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    sel = ids % C.ANN_STRIDE == 0
+    qids, Q = ids[sel], E[sel]
+    cent = train_centroids(E[:400], n_lists=16)
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = ivf_index_dir(sf, force=True)
+    n_parts = len([d for d in os.listdir(idx) if d.startswith("list_id=")])
+
+    # a small query set (the per-query serving shape) touches a strict
+    # subset of the list partitions
+    q3, Q3 = qids[:3], Q[:3]
+    lists = allowed_lists(Q3, cent, nprobe=6)
+    assert len(lists) < n_parts, (len(lists), n_parts)
+    part3 = ann_ivf_partitioned(idx, q3, Q3, cent, nprobe=6).to_pandas()
+    mem3 = ann_ivf_topk(emb, q3, Q3, cent, nprobe=6).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["query_id", "neighbor_id", "rank"]].to_numpy()))
+    assert key(part3) == key(mem3)
+
+    # full query set: identical results through the persisted index
+    part = ann_ivf_partitioned(idx, qids, Q, cent, nprobe=6).to_pandas()
+    mem = ann_ivf_topk(emb, qids, Q, cent, nprobe=6).to_pandas()
+    assert key(part) == key(mem)
+
+
 def test_near_dup_finds_all_variants(ray_session):
     from robosat_ray.pipelines.queries import q_near_dup
     from robosat_ray.stages.neardup import VARIANT_OFFSET
