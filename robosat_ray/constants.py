@@ -69,3 +69,7 @@ DEDUPE_IOU_THRESHOLD = 0.5
 # merge: buffer threshold in the (lon, my) plane (x units; y scaled)
 MERGE_EPS_X = 0.0004
 MERGE_EPS_Y = 0.0000024
+
+# embedding-cosine near-dup: threshold between the corpus's max
+# off-pair cosine (~0.51) and the scaled-variant pairs (cosine 1.0)
+EMB_DUP_THRESHOLD = 0.8

@@ -590,6 +590,31 @@ SELECT doc_id,
 FROM documents
 """
 
+# Embedding-cosine near-dup (dedup family): base vectors + scaled
+# variants (cosine-identical by scale invariance); exact all-pairs
+# threshold join. Margin between variant pairs (1.0) and the corpus's
+# max off-pair cosine (~0.51) makes float-kernel differences
+# irrelevant at threshold 0.8.
+EMB_DUP = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+),
+vars AS (
+  SELECT v + 5000000 AS vec_id,
+         list_transform(embedding, x -> x * f) AS embedding
+  FROM (
+    SELECT vec_id AS v,
+           CAST(1.0 AS DOUBLE) + (CAST(vec_id % 5 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(100.0 AS DOUBLE) AS f,
+           CAST(embedding AS DOUBLE[]) AS embedding
+    FROM embeddings WHERE vec_id % 7 = 0
+  )
+),
+alls AS (SELECT * FROM base UNION ALL SELECT * FROM vars)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM alls a JOIN alls b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {C.EMB_DUP_THRESHOLD!r}
+"""
+
 # SimHash (Charikar 2002) mirrored exactly: token hash = low 8 bytes
 # of md5 little-endian == md5_number(t) mod 2^64 (HUGEINT, sign-fixed);
 # per-bit vote sum over token counts; bit 63 masked off like the

@@ -222,6 +222,25 @@ def q_ann(sf_dir: str):
     return ann_brute_topk(emb, qids, Q)
 
 
+def q_emb_dup(sf_dir: str):
+    """Embedding-cosine near-dup (dedup family): exact all-pairs
+    threshold join of base vectors + deterministic scaled variants.
+    Broadcast reference matrix + streaming probe batches; the
+    LSH-bucketed candidate pass (stages/neardup.py) is the scale path
+    when the reference side outgrows a worker heap."""
+    import ray.data
+
+    from robosat_ray.stages.ann import emb_dup_pairs, with_emb_variants_batch
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(with_emb_variants_batch, batch_format="pyarrow")
+    table = with_emb_variants_batch(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    )
+    return emb_dup_pairs(emb, table, threshold=C.EMB_DUP_THRESHOLD)
+
+
 def q_class_weights(sf_dir: str):
     """A1: global per-class pixel histogram over rasterized masks +
     the reference's 1/ln(1.02+p) weight rule."""
@@ -447,6 +466,7 @@ QUERIES = {
     "merge_geometry": q_merge_geometry,
     "featurize": q_featurize,
     "featurize_stats": q_featurize_stats,
+    "emb_dup": q_emb_dup,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -480,4 +500,5 @@ ORACLES = {
     "langid": oracle.LANGID,
     "featurize_stats": oracle.FEATURIZE_STATS,
     "segmentation_metrics": oracle.SEGMENTATION_METRICS,
+    "emb_dup": oracle.EMB_DUP,
 }

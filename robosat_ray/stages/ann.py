@@ -128,6 +128,79 @@ def ann_ivf_topk(emb_ds, qids, Q, centroids, k: int = C.ANN_K, nprobe: int = 4):
     )
 
 
+# ---------------- embedding-cosine near-dup (dedup family) ----------------
+
+EMB_VARIANT_OFFSET = 5_000_000
+
+
+def with_emb_variants_batch(batch: pa.Table) -> pa.Table:
+    """embeddings batch -> rows + deterministic near-dup variants:
+    every vec_id % 7 == 0 gets a copy (id + EMB_VARIANT_OFFSET) scaled
+    by 1 + (vec_id % 5 + 1)/100 — cosine-identical to its source
+    (scale invariance), far from every other vector (corpus max
+    off-pair cosine ~0.51). Mirrored in the SQL oracle."""
+    ids = batch.column("vec_id").to_numpy()
+    E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+    sel = ids % 7 == 0
+    v_ids = ids[sel] + EMB_VARIANT_OFFSET
+    factor = 1.0 + ((ids[sel] % 5).astype(np.float64) + 1.0) / 100.0
+    V = E[sel] * factor[:, None]
+    out_ids = np.concatenate([ids, v_ids])
+    out_E = np.concatenate([E, V], axis=0)
+    return pa.table(
+        {
+            "vec_id": pa.array(out_ids),
+            "embedding": pa.array(list(out_E), pa.list_(pa.float64())),
+        }
+    )
+
+
+class CosineDupPairs:
+    """Broadcast reference matrix; per batch emits (a < b) pairs with
+    cosine >= threshold — exact (no LSH recall loss). The broadcast
+    side is the small-side pattern (ray.put once, read per worker);
+    when the reference side outgrows a worker heap the LSH-bucketed
+    candidate pass (stages/neardup.py) is the scale path and this
+    kernel becomes its verify step."""
+
+    def __init__(self, ref, threshold: float):
+        import ray
+
+        tbl = ray.get(ref) if not isinstance(ref, pa.Table) else ref
+        self.all_ids = tbl.column("vec_id").to_numpy()
+        A = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        self.Alln = A / np.linalg.norm(A, axis=1, keepdims=True)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, E = _emb_matrix(batch)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        sims = En @ self.Alln.T
+        ii, jj = np.nonzero(
+            (sims >= self.threshold) & (ids[:, None] < self.all_ids[None, :])
+        )
+        return pa.table(
+            {
+                "a": pa.array(ids[ii]),
+                "b": pa.array(self.all_ids[jj]),
+            }
+        )
+
+
+def emb_dup_pairs(emb_ds, emb_table: pa.Table, threshold: float = 0.8):
+    """-> Dataset (a, b): vector pairs with cosine >= threshold."""
+    import ray
+
+    ref = ray.put(emb_table)
+    return emb_ds.map_batches(
+        CosineDupPairs,
+        fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
 # ---------------- IVF with READ pruning (the real scale path) ----------------
 #
 # A scan-everything IVF only prunes COMPUTE. The scale path writes the
