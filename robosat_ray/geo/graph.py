@@ -53,15 +53,29 @@ def min_label_arrays(ids: np.ndarray, ea: np.ndarray, eb: np.ndarray):
     ea = np.asarray(ea, dtype=np.int64)
     eb = np.asarray(eb, dtype=np.int64)
     uniq = np.unique(np.concatenate([ids, ea, eb])) if len(ea) else np.unique(ids)
-    uf = UnionFind(len(uniq))
-    ia = np.searchsorted(uniq, ea)
-    ib = np.searchsorted(uniq, eb)
-    for a, b in zip(ia, ib):
-        uf.union(int(a), int(b))
-    comp = uf.components()
-    # roots are minimal dense indices and uniq is ascending, so the
-    # root's original id IS the component min id
-    return uniq, uniq[comp]
+    n = len(uniq)
+    lab = np.arange(n, dtype=np.int64)
+    if len(ea):
+        ia = np.searchsorted(uniq, ea)
+        ib = np.searchsorted(uniq, eb)
+        # iterative min-propagation + pointer jumping (fully
+        # vectorized; O(log diameter) rounds) — replaces the Python
+        # edge loop of the union-find
+        while True:
+            m = np.minimum(lab[ia], lab[ib])
+            before = lab.sum()
+            np.minimum.at(lab, ia, m)
+            np.minimum.at(lab, ib, m)
+            while True:
+                nl = lab[lab]
+                if np.array_equal(nl, lab):
+                    break
+                lab = nl
+            if lab.sum() == before:
+                break
+    # labels are minimal dense indices and uniq is ascending, so the
+    # label's original id IS the component min id
+    return uniq, uniq[lab]
 
 
 def min_label_propagation(ids: np.ndarray, ea: np.ndarray, eb: np.ndarray, rounds: int = 0):

@@ -66,23 +66,48 @@ def _rect_union_areas(px0, py0, px1, py1, fx0, fy0, fx1, fy1):
 
 def _rect_flags(fro, rpo, rxs, rys, minx, miny, maxx, maxy) -> np.ndarray:
     """Which features are single-ring axis-aligned rects (ring == its
-    own bbox)? Those take the exact vectorized IoU path."""
+    own bbox)? Those take the exact vectorized IoU path. Fully
+    vectorized (no per-feature Python)."""
     n = len(fro) - 1
     out = np.zeros(n, dtype=bool)
-    for i in range(n):
-        if fro[i + 1] - fro[i] != 1:
-            continue
-        a, b = rpo[fro[i]], rpo[fro[i] + 1]
-        if b - a != 5:
-            continue
-        xs = rxs[a:b]
-        ys = rys[a:b]
-        if (
-            set(np.unique(xs)) == {minx[i], maxx[i]}
-            and set(np.unique(ys)) == {miny[i], maxy[i]}
-        ):
-            out[i] = True
+    if n == 0:
+        return out
+    fro = np.asarray(fro)
+    rpo = np.asarray(rpo)
+    nrings = np.diff(fro)
+    first = rpo[fro[:-1]]
+    npts = rpo[fro[:-1] + 1] - first
+    cand = np.nonzero((nrings == 1) & (npts == 5))[0]
+    if len(cand) == 0:
+        return out
+    offs = first[cand][:, None] + np.arange(5)[None, :]
+    X = rxs[offs]
+    Y = rys[offs]
+    mnx, mxx = minx[cand][:, None], maxx[cand][:, None]
+    mny, mxy = miny[cand][:, None], maxy[cand][:, None]
+    ok = (
+        ((X == mnx) | (X == mxx)).all(axis=1)
+        & ((Y == mny) | (Y == mxy)).all(axis=1)
+        & (X.min(axis=1) == minx[cand]) & (X.max(axis=1) == maxx[cand])
+        & (Y.min(axis=1) == miny[cand]) & (Y.max(axis=1) == maxy[cand])
+    )
+    out[cand] = ok
     return out
+
+
+def _feature_bboxes(fro, rpo, rxs, rys):
+    """Vectorized per-feature bbox from the flat ring buffers."""
+    fro = np.asarray(fro)
+    rpo = np.asarray(rpo)
+    if len(fro) <= 1:
+        z = np.zeros(0)
+        return z, z, z, z
+    starts = rpo[fro[:-1]]
+    minx = np.minimum.reduceat(rxs, starts)
+    maxx = np.maximum.reduceat(rxs, starts)
+    miny = np.minimum.reduceat(rys, starts)
+    maxy = np.maximum.reduceat(rys, starts)
+    return minx, miny, maxx, maxy
 
 
 class DedupeProber:
@@ -117,21 +142,6 @@ class DedupeProber:
         self.copy_feat = row[order]
         self.cell_uniq, first = np.unique(self.copy_cell, return_index=True)
         self.cell_off = np.append(first, len(self.copy_cell))
-
-    _pred_rect_cache: dict | None = None
-
-    def _pred_is_rect(self, pfro, prpo, prxs, prys, p_local: int) -> bool:
-        if self._pred_rect_cache is None or self._pred_rect_cache.get("fro") is not pfro:
-            n = len(pfro) - 1
-            minx = np.array([prxs[prpo[pfro[i]] : prpo[pfro[i] + 1]].min() for i in range(n)])
-            maxx = np.array([prxs[prpo[pfro[i]] : prpo[pfro[i] + 1]].max() for i in range(n)])
-            miny = np.array([prys[prpo[pfro[i]] : prpo[pfro[i] + 1]].min() for i in range(n)])
-            maxy = np.array([prys[prpo[pfro[i]] : prpo[pfro[i] + 1]].max() for i in range(n)])
-            self._pred_rect_cache = {
-                "fro": pfro,
-                "flags": _rect_flags(pfro, prpo, prxs, prys, minx, miny, maxx, maxy),
-            }
-        return bool(self._pred_rect_cache["flags"][p_local])
 
     def _feature_rings(self, fi: int):
         fro, rpo, rxs, rys = self.rings
@@ -190,7 +200,9 @@ class DedupeProber:
 
         # Union-IoU rule, pruned first with a vectorized per-pred upper
         # bound: inter(pred, U) <= Σ_i min(bbox_inter_i, |f_i|) and
-        # <= |pred|; union(pred, U) >= |pred|. ub < threshold => the
+        # <= |pred|; union(pred, U) >= |pred|, and for every PROVABLY
+        # intersecting pair (rect x rect with positive bbox overlap)
+        # also >= |pred| + |f_i| - inter_cap_i. ub < threshold => the
         # true IoU is < threshold => keep without the exact kernel.
         n = len(pid)
         ix = np.maximum(
@@ -203,9 +215,17 @@ class DedupeProber:
         )
         bbox_inter = ix * iy
         p_area = _feature_areas(pfro, prpo, prxs, prys)
+        bminx, bminy, bmaxx, bmaxy = _feature_bboxes(pfro, prpo, prxs, prys)
+        p_is_rect = _rect_flags(pfro, prpo, prxs, prys, bminx, bminy, bmaxx, bmaxy)
         cap = np.minimum(bbox_inter, self.f_area[fi])
         sum_cap = np.bincount(pair_p, weights=cap, minlength=n)
-        ub = np.minimum(sum_cap, p_area) / np.maximum(p_area, 1e-300)
+        # denominator: max over provable pairs of |p| + |f| - cap
+        denom = p_area.copy()
+        provable = p_is_rect[pair_p] & self.f_is_rect[fi] & (bbox_inter > 0.0)
+        if provable.any():
+            dp = p_area[pair_p[provable]] + self.f_area[fi[provable]] - cap[provable]
+            np.maximum.at(denom, pair_p[provable], dp)
+        ub = np.minimum(sum_cap, p_area) / np.maximum(denom, 1e-300)
         iou_val = np.zeros(n, dtype=np.float64)
         # pair_p is sorted ascending (np.unique on pred-major keys)
         starts = np.searchsorted(pair_p, np.arange(n))
@@ -214,18 +234,21 @@ class DedupeProber:
             sl = slice(starts[p_local], ends[p_local])
             fis = fi[sl]
             binter = bbox_inter[sl]
-            if self._pred_is_rect(pfro, prpo, prxs, prys, p_local) and bool(
-                self.f_is_rect[fis].all()
-            ):
+            if p_is_rect[p_local] and bool(self.f_is_rect[fis].all()):
                 # rect x rect: bbox intersection IS the intersection
                 m = binter > 0.0
                 if not m.any():
                     continue
                 sel = fis[m]
-                area_u, inter_u = _rect_union_areas(
-                    pminx[p_local], pminy[p_local], pmaxx[p_local], pmaxy[p_local],
-                    self.minx[sel], self.miny[sel], self.maxx[sel], self.maxy[sel],
-                )
+                if len(sel) == 1:
+                    # single intersector: closed form, no scanline
+                    area_u = self.f_area[sel[0]]
+                    inter_u = binter[m][0]
+                else:
+                    area_u, inter_u = _rect_union_areas(
+                        pminx[p_local], pminy[p_local], pmaxx[p_local], pmaxy[p_local],
+                        self.minx[sel], self.miny[sel], self.maxx[sel], self.maxy[sel],
+                    )
             else:
                 pr = [
                     (prxs[prpo[r] : prpo[r + 1]], prys[prpo[r] : prpo[r + 1]])

@@ -154,7 +154,8 @@ def _component_labels(feet_ds, feet_table, z, eps_x, eps_y):
     edges = feet_ds.map_batches(
         EdgeFinder, fn_constructor_args=(ref, z, eps_x, eps_y),
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
-    ).materialize()  # edge list << data
+    ).materialize()  # edge list << data (may carry cross-batch
+    # duplicate pairs — the min-label consumers are idempotent)
 
     if edges.count() <= DRIVER_CC_EDGE_CAP:
         et = edges.to_pandas()
