@@ -187,6 +187,50 @@ def trace_rings(xs, ys, cov):
     return rings
 
 
+def _box_count(m: np.ndarray, kx: int, ky: int) -> np.ndarray:
+    """Count of True cells in the (2kx+1, 2ky+1) window around each
+    cell (zero-padded), via integral image."""
+    ii = np.zeros((m.shape[0] + 1, m.shape[1] + 1), dtype=np.int64)
+    np.cumsum(m, axis=0, out=ii[1:, 1:])
+    np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
+    n0, n1 = m.shape
+    r0 = np.clip(np.arange(n0) + kx + 1, 0, n0)
+    l0 = np.clip(np.arange(n0) - kx, 0, n0)
+    r1 = np.clip(np.arange(n1) + ky + 1, 0, n1)
+    l1 = np.clip(np.arange(n1) - ky, 0, n1)
+    return ii[r0][:, r1] - ii[l0][:, r1] - ii[r0][:, l1] + ii[l0][:, l1]
+
+
+def raster_closing_grid(ring_groups, tx: float, ty: float, res: int = 256):
+    """APPROXIMATE closing for general polygon members (the exact
+    compressed-grid path covers axis-aligned rects only): rasterize
+    the member polygons onto a res x res grid over the expanded
+    component bbox (center rule), box-dilate by (tx, ty) in cells,
+    then box-erode — returns (xs, ys, cov) compatible with
+    trace_rings. Deterministic; error bounded by the cell size."""
+    from robosat_ray.geo.raster import fill_rings_accumulate
+
+    all_x = np.concatenate([np.asarray(r[0]) for rings in ring_groups for r in rings])
+    all_y = np.concatenate([np.asarray(r[1]) for rings in ring_groups for r in rings])
+    x0, x1 = all_x.min() - 2.0 * tx, all_x.max() + 2.0 * tx
+    y0, y1 = all_y.min() - 2.0 * ty, all_y.max() + 2.0 * ty
+    wx = (x1 - x0) / res
+    wy = (y1 - y0) / res
+    px_groups = [
+        [((np.asarray(xs) - x0) / wx, (np.asarray(ys) - y0) / wy) for xs, ys in rings]
+        for rings in ring_groups
+    ]
+    m = fill_rings_accumulate(px_groups, res).astype(bool).T  # (x, y) layout
+    kx = max(int(round(tx / wx)), 0)
+    ky = max(int(round(ty / wy)), 0)
+    dil = _box_count(m, kx, ky) > 0
+    full = (2 * kx + 1) * (2 * ky + 1)
+    ero = _box_count(dil, kx, ky) == full
+    xs = x0 + np.arange(res + 1) * wx
+    ys = y0 + np.arange(res + 1) * wy
+    return xs, ys, ero
+
+
 def rings_area(rings) -> float:
     """Signed shoelace sum over closed rings (exterior positive, holes
     negative under trace_rings orientation)."""

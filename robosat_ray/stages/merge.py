@@ -160,7 +160,9 @@ def _component_labels(feet_ds, feet_table, z, eps_x, eps_y):
     if edges.count() <= DRIVER_CC_EDGE_CAP:
         et = edges.to_pandas()
         ids = feet_table.column("feature_id").to_numpy()
-        return "arrays", min_label_arrays(ids, et["a"].to_numpy(), et["b"].to_numpy())
+        ea = et["a"].to_numpy() if "a" in et.columns else np.array([], np.int64)
+        eb = et["b"].to_numpy() if "b" in et.columns else np.array([], np.int64)
+        return "arrays", min_label_arrays(ids, ea, eb)
 
     from robosat_ray.runtime.components import distributed_components
 
@@ -381,8 +383,20 @@ def merge_geometry(
     reference's `orient(merged, sign=1.0)`. Emits the ring geometry
     (same nested list layout as the footprints table) plus area and
     ring-count invariants. Runs per component inside map_groups —
-    distributed, driver-free."""
-    from robosat_ray.geo.rectilinear import closing_grid, rings_area, trace_rings
+    distributed, driver-free.
+
+    All-rect components take the EXACT compressed-grid closing;
+    components with any general (non-rect) member fall back to a
+    deterministic raster closing over the member rings
+    (geo/rectilinear.raster_closing_grid; error bounded by the cell
+    size) and are flagged `exact = False`."""
+    import ray
+
+    from robosat_ray.geo.rectilinear import (
+        closing_grid, raster_closing_grid, rings_area, trace_rings,
+    )
+    from robosat_ray.stages.dedupe import _rect_flags
+    from robosat_ray.stages.spatial_join import _ring_buffers
 
     tagged = _tagged_feet(
         feet_ds, feet_table, z, eps_x, eps_y,
@@ -390,13 +404,45 @@ def merge_geometry(
     )
     tx, ty = 2.0 * eps_x, 2.0 * eps_y
 
+    # broadcast ring geometry for the general-member fallback: sorted
+    # ids + rect flags + flat ring buffers (rect components never
+    # touch them — the exact compressed-grid path uses bboxes only)
+    ft = feet_table.combine_chunks()
+    sids = ft.column("feature_id").to_numpy()
+    order = np.argsort(sids, kind="stable")
+    fro, rpo, rxs, rys = _ring_buffers(ft.column("rings"))
+    flags = _rect_flags(
+        fro, rpo, rxs, rys,
+        ft.column("minx").to_numpy(), ft.column("miny").to_numpy(),
+        ft.column("maxx").to_numpy(), ft.column("maxy").to_numpy(),
+    )
+    geo_ref = ray.put((sids[order], order, flags, fro, rpo, rxs, rys))
+
+    def _member_rings(prep, row_idx: int):
+        _, _, _, fro, rpo, rxs, rys = prep
+        return [
+            (rxs[rpo[r] : rpo[r + 1]], rys[rpo[r] : rpo[r + 1]])
+            for r in range(fro[row_idx], fro[row_idx + 1])
+        ]
+
     def geom_comp(group: pd.DataFrame) -> pd.DataFrame:
+        prep = ray.get(geo_ref)
+        s, order, flags = prep[0], prep[1], prep[2]
         rows = []
         for cid, g in group.groupby("component_id", sort=False):
-            xs, ys, cov = closing_grid(
-                g["minx"].to_numpy(), g["miny"].to_numpy(),
-                g["maxx"].to_numpy(), g["maxy"].to_numpy(), tx, ty,
-            )
+            fids = g["feature_id"].to_numpy()
+            ridx = order[np.searchsorted(s, fids)]
+            if bool(flags[ridx].all()):
+                exact = True
+                xs, ys, cov = closing_grid(
+                    g["minx"].to_numpy(), g["miny"].to_numpy(),
+                    g["maxx"].to_numpy(), g["maxy"].to_numpy(), tx, ty,
+                )
+            else:
+                exact = False
+                xs, ys, cov = raster_closing_grid(
+                    [_member_rings(prep, int(i)) for i in ridx], tx, ty
+                )
             rings = trace_rings(xs, ys, cov)
             signed = [
                 0.5 * float(np.sum(rx[:-1] * ry[1:] - rx[1:] * ry[:-1]))
@@ -410,6 +456,7 @@ def merge_geometry(
                     "n_holes": sum(1 for s in signed if s < 0),
                     "n_vertices": sum(len(rx) - 1 for rx, _ in rings),
                     "merged_area": rings_area(rings),
+                    "exact": exact,
                     "rings": [
                         [{"x": float(x), "y": float(y)} for x, y in zip(rx, ry)]
                         for rx, ry in rings

@@ -122,3 +122,64 @@ def test_merge_geometry_stage(ray_session):
             ry = np.array([p["y"] for p in ring])
             signed += 0.5 * float(np.sum(rx[:-1] * ry[1:] - rx[1:] * ry[:-1]))
         assert abs(signed - g["merged_area"]) <= 1e-9 * max(1.0, abs(g["merged_area"]))
+
+
+def test_merge_geometry_general_member_fallback(ray_session):
+    """A component containing a non-rect (L-shape) member routes
+    through the raster closing fallback (exact=False) and its merged
+    area matches a grid-sampled approximation; all-rect components
+    stay on the exact path (exact=True)."""
+    import ray.data
+
+    from robosat_ray.stages.merge import merge_geometry
+    from tests.test_general_polygons import _poly_table
+
+    def L(ox, oy, w, h):
+        xs = np.array([ox, ox + w, ox + w, ox + w / 2, ox + w / 2, ox, ox])
+        ys = np.array([oy, oy, oy + h / 2, oy + h / 2, oy + h, oy + h, oy])
+        return [(xs, ys)]
+
+    def R(ox, oy, w, h):
+        xs = np.array([ox, ox + w, ox + w, ox, ox])
+        ys = np.array([oy, oy, oy + h, oy + h, oy])
+        return [(xs, ys)]
+
+    from robosat_ray import constants as C
+
+    w, h = 0.01, 0.00003  # spans several merge-eps in both axes
+    polys = [
+        (1, "building", L(0.0, 0.5, w, h)),           # L + nearby rect => one
+        (2, "building", R(0.0106, 0.5, w, h)),        # general component
+        (3, "building", R(0.2, 0.52, w, h)),          # far-away rect singleton
+    ]
+    feet = _poly_table(polys)
+    geo = merge_geometry(ray.data.from_arrow(feet), feet).to_pandas()
+    geo = geo.set_index("component_id").sort_index()
+    assert len(geo) == 2
+    gen = geo.loc[1]
+    single = geo.loc[3]
+    assert not bool(gen["exact"]) and gen["n_members"] == 2
+    assert bool(single["exact"]) and single["n_members"] == 1
+    # grid-sample the closing of the general component independently
+    tx, ty = 2 * C.MERGE_EPS_X, 2 * C.MERGE_EPS_Y
+    n = 400
+    gx = np.linspace(-tx, 0.0106 + w + tx, n)
+    gy = np.linspace(0.5 - ty, 0.5 + h + ty, n)
+    PX, PY = np.meshgrid(gx, gy)
+    from robosat_ray.geo.polygon import point_in_rings
+
+    def inside(rings, px, py):
+        return point_in_rings(px, py, [(np.asarray(r[0])[:-1], np.asarray(r[1])[:-1]) for r in rings])
+
+    base = inside(polys[0][2], PX.ravel(), PY.ravel()) | inside(polys[1][2], PX.ravel(), PY.ravel())
+    base = base.reshape(n, n)
+    # closing via scipy-free box max/min on the sample grid
+    kx = max(int(round(tx / (gx[1] - gx[0]))), 1)
+    ky = max(int(round(ty / (gy[1] - gy[0]))), 1)
+    from robosat_ray.geo.rectilinear import _box_count
+
+    dil = _box_count(base.T, kx, ky) > 0
+    ero = _box_count(dil, kx, ky) == (2 * kx + 1) * (2 * ky + 1)
+    cell = (gx[1] - gx[0]) * (gy[1] - gy[0])
+    approx = ero.sum() * cell
+    assert abs(gen["merged_area"] - approx) / approx < 0.08, (gen["merged_area"], approx)
