@@ -55,8 +55,9 @@ def _emit(ds_or_df, out: str | None, key_col: str | None = None):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="robosat_ray")
     p.add_argument("cmd", choices=[
-        "cover", "rasterize", "features", "merge", "dedupe", "predict",
-        "weights", "join", "knn", "neardup", "ann", "lineage",
+        "cover", "rasterize", "features", "merge", "merge-geometry",
+        "dedupe", "predict", "weights", "join", "knn", "neardup",
+        "embdup", "ann", "lineage",
     ])
     p.add_argument("--sf", default="/root/testdata/sf0.001")
     p.add_argument("--out", default=None)
@@ -90,6 +91,10 @@ def main(argv=None):
         _emit(featurize(masks, z=z).drop_columns(["rings"]), args.out)
     elif args.cmd == "merge":
         _emit(Q.q_merge_components(sf), args.out)
+    elif args.cmd == "merge-geometry":
+        _emit(Q.q_merge_geometry(sf), args.out)
+    elif args.cmd == "embdup":
+        _emit(Q.q_emb_dup(sf), args.out)
     elif args.cmd == "dedupe":
         _emit(Q.q_dedupe(sf), args.out)
     elif args.cmd == "predict":
