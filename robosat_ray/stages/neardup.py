@@ -51,7 +51,11 @@ def with_variants_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-NUM_LSH_BUCKETS = 4096
+# compact bucket count: equal band keys co-locate for ANY modulus;
+# 256 buckets keep per-group pandas overhead amortized (4096 measured
+# ~2x slower at sf0.1 from tiny-group overhead) while staying well
+# above the executor's parallelism
+NUM_LSH_BUCKETS = 256
 
 
 def _band_rows(batch: pa.Table) -> pa.Table:
