@@ -361,7 +361,7 @@ FROM stats
 # table of quantization buckets reproduces the float chain bit-for-bit
 # (all combos verified >= 4.5e-5 from every anchor boundary; the
 # avg>=0.5 compare uses the identical IEEE expression both sides).
-SEGMENTATION_METRICS_TEMPLATE = """
+_SEG_PREFIX = """
 WITH {feet},
 cov AS (
   SELECT f.*, {tx_minx} + gx.i AS tx, {ty_miny} + gy.j AS ty
@@ -411,7 +411,9 @@ lut AS (
       WHERE a <= CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
         + exp(CAST(-6.0 AS DOUBLE) * (v5.v / CAST(25.0 AS DOUBLE) - CAST(0.5 AS DOUBLE))))) AS b5
   FROM generate_series(0, 9) v3(v) CROSS JOIN generate_series(0, 25) v5(v)
-),
+)"""
+
+SEGMENTATION_METRICS_TEMPLATE = _SEG_PREFIX + """,
 vals AS (
   SELECT (s.gx IS NOT NULL) AS label,
          (l.b3 * (CAST(1.0 AS DOUBLE) / CAST(255.0 AS DOUBLE))
@@ -453,7 +455,55 @@ SELECT tn, fp, fn, tp,
 FROM final
 """
 
+# A7 epoch loss: global mean binary cross-entropy of the softvote
+# probability vs the label — same CTE core; the LUT supplies the
+# probability per (c3, c5) combo, pixels aggregate to combo counts
+# before any float math (matching the engine's algebraic shape).
+EPOCH_LOSS_TEMPLATE = _SEG_PREFIX + """,
+combos AS (
+  SELECT l.b3 AS q0, l.b5 AS q1,
+         CASE WHEN s.gx IS NOT NULL THEN 1 ELSE 0 END AS y,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cnts c
+  JOIN lut l ON l.c3 = c.c3 AND l.c5 = c.c5
+  LEFT JOIN px s ON s.gx = c.gx AND s.gy = c.gy
+  GROUP BY 1, 2, 3
+),
+zero AS (
+  SELECT l.b3 AS q0, l.b5 AS q1, 0 AS y,
+         (SELECT COUNT(*) FROM tiles) * {rs} * {rs}
+           - (SELECT SUM(n) FROM combos) AS n
+  FROM lut l WHERE l.c3 = 0 AND l.c5 = 0
+),
+allc AS (SELECT * FROM combos UNION ALL SELECT * FROM zero),
+lossed AS (
+  SELECT y, n,
+    CASE WHEN y = 1
+         THEN -ln((a0.a + a1.a) / CAST(2.0 AS DOUBLE))
+         ELSE -ln(CAST(1.0 AS DOUBLE) - (a0.a + a1.a) / CAST(2.0 AS DOUBLE)) END AS lossv
+  FROM allc
+  JOIN anchors a0 ON a0.i = allc.q0
+  JOIN anchors a1 ON a1.i = allc.q1
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_pixels,
+       CAST(SUM(n) FILTER (WHERE y = 1) AS BIGINT) AS n_fg,
+       ROUND(SUM(n * lossv) / CAST(SUM(n) AS DOUBLE), 8) AS loss_mean
+FROM lossed
+"""
+
 SEGMENTATION_METRICS = SEGMENTATION_METRICS_TEMPLATE.format(
+    feet=feet_cte(),
+    tx_minx=tile_x("f.minx"),
+    ty_miny=tile_y("f.miny"),
+    tx_maxx=tile_x("f.maxx"),
+    ty_maxy=tile_y("f.maxy"),
+    rs=_RS,
+    rs1=_RS - 1,
+    rsf=repr(float(_RS)),
+    nf=repr(_N),
+)
+
+EPOCH_LOSS = EPOCH_LOSS_TEMPLATE.format(
     feet=feet_cte(),
     tx_minx=tile_x("f.minx"),
     ty_miny=tile_y("f.miny"),

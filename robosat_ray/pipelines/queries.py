@@ -264,6 +264,18 @@ def q_segmentation_metrics(sf_dir: str):
     return segmentation_metrics(pairs)
 
 
+def q_epoch_loss(sf_dir: str):
+    """A7: epoch mean binary cross-entropy of the softvote
+    probability vs labels — algebraic combo-count aggregate, LUT-based
+    SQL oracle (same CTE core as segmentation_metrics)."""
+    from robosat_ray.stages.metrics import epoch_loss
+    from robosat_ray.stages.rasterize import rasterize
+    from robosat_ray.stages.scorer import prob_pairs
+
+    labels = rasterize(footprints_dataset(sf_dir), size=64)
+    return epoch_loss(prob_pairs(labels))
+
+
 def q_events_window(sf_dir: str):
     import ray.data
 
@@ -467,6 +479,7 @@ QUERIES = {
     "featurize": q_featurize,
     "featurize_stats": q_featurize_stats,
     "emb_dup": q_emb_dup,
+    "epoch_loss": q_epoch_loss,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -501,4 +514,5 @@ ORACLES = {
     "featurize_stats": oracle.FEATURIZE_STATS,
     "segmentation_metrics": oracle.SEGMENTATION_METRICS,
     "emb_dup": oracle.EMB_DUP,
+    "epoch_loss": oracle.EPOCH_LOSS,
 }

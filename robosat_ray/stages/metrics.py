@@ -55,6 +55,60 @@ def finalize_metrics(tn: int, fp: int, fn: int, tp: int) -> dict:
     }
 
 
+def epoch_loss(prob_pairs_ds) -> pd.DataFrame:
+    """A7 (reference tools/train.py epoch running-mean losses):
+    global mean binary cross-entropy of the softvote probability
+    against the label, computed as an algebraic aggregate —
+    per-batch (q0, q1, label) combo COUNTS (bincount) -> groupby Sum
+    -> a <=131k-row driver finalize over the distinct combos. The
+    float loss is evaluated once per combo, not per pixel, so the
+    pipeline ships only integer counts."""
+    from ray.data.aggregate import Sum
+
+    from robosat_ray.geo.raster import binary_views
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[int, int] = {}
+        labs = binary_views(batch.column("label_data"))
+        q0s = binary_views(batch.column("q0_data"))
+        q1s = binary_views(batch.column("q1_data"))
+        acc = np.zeros(0, dtype=np.int64)
+        keys_all = []
+        for lab, q0, q1 in zip(labs, q0s, q1s):
+            y = (np.frombuffer(lab, np.uint8) != 0).astype(np.int64)
+            key = (
+                np.frombuffer(q0, np.uint8).astype(np.int64) * 512
+                + np.frombuffer(q1, np.uint8).astype(np.int64) * 2
+                + y
+            )
+            keys_all.append(key)
+        if not keys_all:
+            return pa.table({"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        flat = np.concatenate(keys_all)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pa.table({"key": pa.array(uniq), "n": pa.array(cnt)})
+
+    partials = prob_pairs_ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("key").aggregate(Sum("n", alias_name="n")).to_pandas()
+    from robosat_ray.stages.scorer import _ANCHORS
+
+    key = agg["key"].to_numpy()
+    n = agg["n"].to_numpy()
+    order = np.argsort(key)
+    key, n = key[order], n[order]
+    q0 = key // 512
+    q1 = (key // 2) % 256
+    y = key % 2
+    p = (_ANCHORS[q0] + _ANCHORS[q1]) / 2.0
+    loss = np.where(y == 1, -np.log(p), -np.log(1.0 - p))
+    total = int(n.sum())
+    n_fg = int(n[y == 1].sum())
+    mean = float(np.round((n * loss).sum() / total, 8))
+    return pd.DataFrame(
+        [{"n_pixels": total, "n_fg": n_fg, "loss_mean": mean}]
+    ).astype({"n_pixels": np.int64, "n_fg": np.int64})
+
+
 def segmentation_metrics(pairs_ds) -> pd.DataFrame:
     """pairs_ds rows: (label_data: binary, pred_data: binary) masks.
     -> single-row DataFrame of confusion counts + metric finalizers."""

@@ -294,3 +294,45 @@ def predict_pipeline(masks_ds, overlap: int = 8, kernel_sizes=(3, 5)):
         return pd.DataFrame(rows)
 
     return both.groupby("bucket").map_groups(pair_bucket, batch_format="pandas")
+
+
+def prob_pairs(masks_ds, overlap: int = 8, kernel_sizes=(3, 5)):
+    """Like predict_pipeline but keeps the QUANTIZED prob tiles of
+    each scorer alongside the label (for loss aggregation, A7):
+    rows (tile_x, tile_y, size, label_data, q0_data, q1_data, ...)."""
+    masks_ds = masks_ds.materialize()
+    buffered = buffered_tiles(masks_ds, overlap).materialize()
+    probs = [score(buffered, k, overlap) for k in kernel_sizes]
+
+    def tag(ds, role):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.append_column("role", pa.array([role] * len(b), pa.int8()))
+            return b.append_column(
+                "bucket",
+                pa.array(_tile_bucket(b.column("tile_x").to_numpy(), b.column("tile_y").to_numpy())),
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    both = tag(masks_ds.select_columns(["tile_x", "tile_y", "size", "data"]), 0)
+    for i, p in enumerate(probs):
+        both = both.union(tag(p.select_columns(["tile_x", "tile_y", "size", "data"]), i + 1))
+
+    n_k = len(kernel_sizes)
+
+    def pair_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cols = ["tile_x", "tile_y", "size", "label_data"] + [f"q{i}_data" for i in range(n_k)]
+        rows = {c: [] for c in cols}
+        for (tx, ty), g in group.groupby(["tile_x", "tile_y"], sort=False):
+            parts = {int(r): d for r, d in zip(g["role"], g["data"])}
+            if len(parts) != n_k + 1:
+                continue
+            rows["tile_x"].append(int(tx))
+            rows["tile_y"].append(int(ty))
+            rows["size"].append(int(g["size"].iloc[0]))
+            rows["label_data"].append(parts[0])
+            for i in range(n_k):
+                rows[f"q{i}_data"].append(parts[i + 1])
+        return pd.DataFrame(rows)
+
+    return both.groupby("bucket").map_groups(pair_bucket, batch_format="pandas")
