@@ -515,4 +515,5 @@ ORACLES = {
     "segmentation_metrics": oracle.SEGMENTATION_METRICS,
     "emb_dup": oracle.EMB_DUP,
     "epoch_loss": oracle.EPOCH_LOSS,
+    "media_features": oracle.MEDIA_FEATURES,
 }

@@ -55,12 +55,18 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+_DECODE_MUL = np.uint64(0x9E3779B97F4A7C15)
+
+
 def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic stand-in decode: hash-seeded uint8 (h, w) tensor.
-    Replace with a real codec at deployment."""
+    """Deterministic stand-in decode: md5-seeded Weyl sequence, top
+    byte per pixel — chosen to be SQL-expressible (md5_number mod 2^64
+    + HUGEINT arithmetic) so the media feature chain has an exact
+    DuckDB oracle. Replace with a real codec at deployment."""
     seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+    idx = np.arange(height * width, dtype=np.uint64) + np.uint64(1)
+    v = (np.uint64(seed) + idx * _DECODE_MUL) >> np.uint64(56)
+    return v.astype(np.uint8).reshape(height, width)
 
 
 class MediaDecoder:
@@ -114,15 +120,25 @@ def resize_batch(batch: pa.Table, out_w: int = 16, out_h: int = 16) -> pa.Table:
 def feature_batch(batch: pa.Table) -> pa.Table:
     """Per-media features: mean/std/histogram-entropy of the decoded
     tensor (the stand-in for a model embedding stage)."""
+    import math
+
     pixels = batch.column("pixels").to_pylist()
     means, stds, ents = [], [], []
     for p in pixels:
-        v = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
-        means.append(float(v.mean()))
-        stds.append(float(v.std()))
-        hist = np.bincount(v.astype(np.int64), minlength=256) / len(v)
-        nz = hist[hist > 0]
-        ents.append(float(-(nz * np.log2(nz)).sum()))
+        v = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+        n = len(v)
+        # integer moments -> identical IEEE expressions to the SQL
+        # oracle (exact int sums; float ops in the same order)
+        sx = int(v.sum())
+        sxx = int((v * v).sum())
+        mean = sx / n
+        var = sxx / n - mean * mean
+        means.append(mean)
+        stds.append(math.sqrt(max(var, 0.0)))
+        cnt = np.bincount(v, minlength=256)
+        nz = cnt[cnt > 0] / n
+        # log2 differs by 1 ulp numpy<->DuckDB: round to 8dp
+        ents.append(float(np.round(-(nz * np.log2(nz)).sum(), 8)))
     return pa.table(
         {
             "media_id": batch.column("media_id"),
