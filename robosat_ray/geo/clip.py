@@ -216,6 +216,32 @@ def polyset_intersection_area(ring_sets) -> float:
     return max(total, 0.0)
 
 
+def _raster_union_iou(pred_rings, intersector_ring_sets, res: int = 512) -> float:
+    """Deterministic grid approximation of IoU(pred, union(S)): burn
+    all shapes onto a res x res grid over the combined bbox (center
+    rule, even-odd) and count cells."""
+    from robosat_ray.geo.raster import fill_rings_accumulate, fill_rings
+
+    all_rings = [pred_rings] + list(intersector_ring_sets)
+    xs = np.concatenate([np.asarray(r[0]) for rings in all_rings for r in rings])
+    ys = np.concatenate([np.asarray(r[1]) for rings in all_rings for r in rings])
+    x0, x1 = xs.min(), xs.max()
+    y0, y1 = ys.min(), ys.max()
+    wx = max(x1 - x0, 1e-300) / res
+    wy = max(y1 - y0, 1e-300) / res
+
+    def to_px(rings):
+        return [((np.asarray(a) - x0) / wx, (np.asarray(b) - y0) / wy) for a, b in rings]
+
+    pred_m = fill_rings(to_px(pred_rings), res).astype(bool)
+    union_m = fill_rings_accumulate(
+        [to_px(r) for r in intersector_ring_sets], res
+    ).astype(bool)
+    inter = int((pred_m & union_m).sum())
+    union = int((pred_m | union_m).sum())
+    return inter / union if union else 0.0
+
+
 def union_iou(pred_rings, intersector_ring_sets, max_k: int = 20) -> float:
     """Reference dedupe rule (robosat/tools/dedupe.py:56-67):
     IoU(pred, union(intersecting reference shapes)). Union areas via
@@ -227,7 +253,10 @@ def union_iou(pred_rings, intersector_ring_sets, max_k: int = 20) -> float:
     if k == 0:
         return 0.0
     if k > max_k:
-        raise ValueError(f"union_iou: {k} intersectors exceeds max_k={max_k}")
+        # inclusion-exclusion is exponential in k; beyond the cap a
+        # deterministic raster union-IoU keeps a huge neighborhood
+        # from crashing the job (error bounded by the cell size)
+        return _raster_union_iou(pred_rings, intersector_ring_sets)
     area_p = polygon_area(pred_rings)
     area_u = 0.0
     inter_u = 0.0

@@ -134,3 +134,16 @@ def test_union_iou_hole_polygon():
     # inter = 12, union = 16 + 12 - 12 = 16
     assert abs(v - 12.0 / 16.0) < 1e-12
     assert abs(polygon_area(ref) - 12.0) < 1e-12
+
+
+def test_union_iou_high_k_raster_fallback():
+    """Above max_k the exact inclusion-exclusion hands off to the
+    deterministic raster approximation instead of failing — the
+    many-intersector value must track the exact small-k value."""
+    rects = [_rect_rings(0.1 * i, 0.0, 0.1 * i + 0.5, 1.0) for i in range(25)]
+    pred = _rect_rings(0.0, 0.0, 3.0, 1.0)
+    approx = union_iou(pred, rects)          # k=25 -> raster path
+    exact = union_iou(pred, rects[:6], max_k=20)  # overlapping chain subset
+    # union of all 25 rects = [0, 2.9]x[0,1]; inter = 2.9; union = 3.0
+    assert abs(approx - 2.9 / 3.0) < 0.02, approx
+    assert 0 < exact < 1
