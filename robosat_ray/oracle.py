@@ -606,6 +606,30 @@ SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
 FROM events GROUP BY 1, 2
 """
 
+# Gap-based sessionization: all-integer (no float parity concerns);
+# islands via LAG + running SUM of breaks, same (ts, event_id) order
+# as the engine's sorted-bucket kernel.
+EVENTS_SESSIONS = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= {30 * 60 * 1_000_000}
+            THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS s
+  FROM marked
+)
+SELECT user_id, CAST(MIN(ts) AS BIGINT) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(ts) - MIN(ts) AS BIGINT) AS duration_us
+FROM sid GROUP BY user_id, s
+"""
+
 EVENTS_RUNNING = """
 SELECT event_id, user_id,
        ROUND(SUM(value) OVER w, 6) AS running_value,

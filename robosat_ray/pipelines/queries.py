@@ -314,6 +314,20 @@ def q_events_running(sf_dir: str):
     return out.map_batches(round_col, batch_format="pyarrow")
 
 
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization per user (30-min inactivity gap) —
+    the classic streaming session window as a bucketed sorted-group
+    computation; all-integer output with an exact islands oracle."""
+    import ray.data
+
+    from robosat_ray.stages.events import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return sessionize(ev)
+
+
 def q_top_tiles(sf_dir: str):
     """Top-10 tiles by page count (partial per-batch counts -> groupby
     sum -> global sort + limit; deterministic (n desc, tile) order)."""
@@ -480,6 +494,7 @@ QUERIES = {
     "featurize_stats": q_featurize_stats,
     "emb_dup": q_emb_dup,
     "epoch_loss": q_epoch_loss,
+    "events_sessions": q_events_sessions,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -516,4 +531,5 @@ ORACLES = {
     "emb_dup": oracle.EMB_DUP,
     "epoch_loss": oracle.EPOCH_LOSS,
     "media_features": oracle.MEDIA_FEATURES,
+    "events_sessions": oracle.EVENTS_SESSIONS,
 }

@@ -70,3 +70,54 @@ def running_totals(events_ds):
         .groupby("ubucket")
         .map_groups(_running_bucket, batch_format="pandas")
     )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def _sessionize_bucket(group: pd.DataFrame, gap_us: int = SESSION_GAP_US) -> pd.DataFrame:
+    """One user-hash bucket: vectorized gap-based sessionization over
+    the (user, ts, event_id)-sorted rows — pure integer math, no
+    per-session Python."""
+    g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    uid = g["user_id"].to_numpy()
+    brk = np.ones(len(g), dtype=bool)
+    if len(g) > 1:
+        brk[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] >= gap_us)
+    sid = np.cumsum(brk)
+    df = pd.DataFrame({"user_id": uid, "ts": ts, "sid": sid})
+    out = df.groupby(["user_id", "sid"], sort=False).agg(
+        session_start=("ts", "min"),
+        session_end=("ts", "max"),
+        n_events=("ts", "size"),
+    ).reset_index()
+    out["duration_us"] = out["session_end"] - out["session_start"]
+    return out[["user_id", "session_start", "n_events", "duration_us"]].astype(
+        {
+            "user_id": np.int64,
+            "session_start": np.int64,
+            "n_events": np.int64,
+            "duration_us": np.int64,
+        }
+    )
+
+
+def sessionize(events_ds, gap_us: int = SESSION_GAP_US):
+    """Gap-based sessions per user (classic streaming sessionization,
+    expressed as a bucketed sorted-group computation): -> (user_id,
+    session_start us, n_events, duration_us). All-integer output."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy()
+        return b.append_column(
+            "ubucket",
+            pa.array(((u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(NUM_USER_BUCKETS)).astype(np.int64)),
+        )
+
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(lambda g: _sessionize_bucket(g, gap_us), batch_format="pandas")
+    )
