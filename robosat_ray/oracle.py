@@ -630,6 +630,22 @@ SELECT user_id, CAST(MIN(ts) AS BIGINT) AS session_start,
 FROM sid GROUP BY user_id, s
 """
 
+# Deterministic hash sampling: bounded-operand hash so HUGEINT SQL
+# and numpy uint64 agree at any key magnitude.
+SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang FROM documents
+WHERE ((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761 + 7) % 4294967296)
+      < {int(0.2 * 4294967296)}
+"""
+
+TOP_DOCS_PER_LANG = """
+SELECT lang, doc_id, n_chars, rank FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+) WHERE rank <= 5
+"""
+
 EVENTS_RUNNING = """
 SELECT event_id, user_id,
        ROUND(SUM(value) OVER w, 6) AS running_value,

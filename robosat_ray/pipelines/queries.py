@@ -328,6 +328,34 @@ def q_events_sessions(sf_dir: str):
     return sessionize(ev)
 
 
+def q_sample_stratified(sf_dir: str):
+    """Deterministic hash sampling of documents (rate 0.2, seed 7) —
+    reproducible across partitionings; exact WHERE-clause oracle."""
+    import ray.data
+
+    from robosat_ray.stages.sampling import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(docs, frac=0.2, seed=7)
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Per-group top-k curation: the 5 longest documents per lang
+    (ties broken by doc_id) — exact ROW_NUMBER oracle."""
+    import ray.data
+
+    from robosat_ray.stages.sampling import top_k_per_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return top_k_per_group(
+        docs, "lang", ["n_chars", "doc_id"], [False, True], k=5
+    )
+
+
 def q_top_tiles(sf_dir: str):
     """Top-10 tiles by page count (partial per-batch counts -> groupby
     sum -> global sort + limit; deterministic (n desc, tile) order)."""
@@ -495,6 +523,8 @@ QUERIES = {
     "emb_dup": q_emb_dup,
     "epoch_loss": q_epoch_loss,
     "events_sessions": q_events_sessions,
+    "sample_stratified": q_sample_stratified,
+    "top_docs_per_lang": q_top_docs_per_lang,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -532,4 +562,6 @@ ORACLES = {
     "epoch_loss": oracle.EPOCH_LOSS,
     "media_features": oracle.MEDIA_FEATURES,
     "events_sessions": oracle.EVENTS_SESSIONS,
+    "sample_stratified": oracle.SAMPLE_STRATIFIED,
+    "top_docs_per_lang": oracle.TOP_DOCS_PER_LANG,
 }
