@@ -118,3 +118,23 @@ def flagship(
 
         joined = with_lineage(joined, "joined", checksum_columns=["doc_id", "feature_id"])
     return joined
+
+
+def flagship_to_parquet(
+    sf_dir: str,
+    out_root: str,
+    num_partitions: int = 64,
+    resume: bool = True,
+    **flagship_kwargs,
+):
+    """The FULL job with checkpointed output (north rule): flagship ->
+    hash-partitioned parquet keyed by cell, per-partition _SUCCESS
+    manifests (rows + order-insensitive checksum). A rerun after a
+    partial failure skips completed partitions; the recovered output
+    is byte-equivalent to a single clean run (tested)."""
+    from robosat_ray.runtime.resume import write_partitioned
+
+    ds = flagship(sf_dir, **flagship_kwargs)
+    return write_partitioned(
+        ds, out_root, key_col="cell", num_partitions=num_partitions, resume=resume
+    )

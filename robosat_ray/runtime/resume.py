@@ -23,8 +23,14 @@ from robosat_ray.runtime.lineage import batch_checksum
 
 
 def partition_id(key: np.ndarray, num_partitions: int) -> np.ndarray:
-    h = (key.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(num_partitions)
-    return h.astype(np.int64)
+    """Mixed hash partitioning. NOTE: a bare `(key * odd) % 2^k`
+    degenerates to `key % 2^k` (any odd multiplier is ≡ some unit mod
+    2^k, and 2654435761 ≡ 1 mod 16) — clustered keys (city tiles)
+    then land in a handful of partitions. The xor-shift folds the
+    high bits back in before the modulus."""
+    h = key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(29)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
 def done_partitions(root: str) -> set[int]:
