@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from robosat_ray.functions.hashing import hash_bucket
+
 
 def _min_by_node(ds):
     from ray.data.aggregate import Min
@@ -78,10 +80,7 @@ def _edge_relax(labels_ds, edges_ds):
 
     def bucket(b: pa.Table) -> pa.Table:
         k = b.column("key").to_numpy()
-        return b.append_column(
-            "bucket",
-            pa.array(((k.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)),
-        )
+        return b.append_column("bucket", pa.array(hash_bucket(k, 64)))
 
     offered = (
         both.map_batches(bucket, batch_format="pyarrow")
@@ -133,10 +132,7 @@ def _pointer_jump(labels_ds):
 
     def bucket(b: pa.Table) -> pa.Table:
         k = b.column("key").to_numpy()
-        return b.append_column(
-            "bucket",
-            pa.array(((k.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)),
-        )
+        return b.append_column("bucket", pa.array(hash_bucket(k, 64)))
 
     answered = (
         both.map_batches(bucket, batch_format="pyarrow")

@@ -13,6 +13,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from robosat_ray.functions.hashing import hash_bucket
+
 HOUR_US = 3_600_000_000
 
 
@@ -59,10 +61,7 @@ def running_totals(events_ds):
 
     def bucket(b: pa.Table) -> pa.Table:
         u = b.column("user_id").to_numpy()
-        return b.append_column(
-            "ubucket",
-            pa.array(((u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(NUM_USER_BUCKETS)).astype(np.int64)),
-        )
+        return b.append_column("ubucket", pa.array(hash_bucket(u, NUM_USER_BUCKETS)))
 
     return (
         events_ds.select_columns(["event_id", "user_id", "ts", "value"])
@@ -110,10 +109,7 @@ def sessionize(events_ds, gap_us: int = SESSION_GAP_US):
 
     def bucket(b: pa.Table) -> pa.Table:
         u = b.column("user_id").to_numpy()
-        return b.append_column(
-            "ubucket",
-            pa.array(((u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(NUM_USER_BUCKETS)).astype(np.int64)),
-        )
+        return b.append_column("ubucket", pa.array(hash_bucket(u, NUM_USER_BUCKETS)))
 
     return (
         events_ds.select_columns(["event_id", "user_id", "ts"])

@@ -24,6 +24,7 @@ import pyarrow as pa
 
 from robosat_ray import constants as C
 from robosat_ray.geo import tiles as T
+from robosat_ray.functions.hashing import hash_bucket
 from robosat_ray.geo.graph import min_label_arrays
 
 DRIVER_CC_EDGE_CAP = 2_000_000
@@ -186,9 +187,7 @@ def _copartition_attach(feet_ds, labels_ds):
             {
                 "fid": pa.array(f),
                 "label": pa.array(np.full(len(f), -1, np.int64)),
-                "bucket": pa.array(
-                    ((f.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(_ATTACH_BUCKETS)).astype(np.int64)
-                ),
+                "bucket": pa.array(hash_bucket(f, _ATTACH_BUCKETS)),
             }
         )
 
@@ -198,9 +197,7 @@ def _copartition_attach(feet_ds, labels_ds):
             {
                 "fid": pa.array(n),
                 "label": b.column("label"),
-                "bucket": pa.array(
-                    ((n.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(_ATTACH_BUCKETS)).astype(np.int64)
-                ),
+                "bucket": pa.array(hash_bucket(n, _ATTACH_BUCKETS)),
             }
         )
 
@@ -260,10 +257,7 @@ def _tagged_feet(feet_ds, feet_table, z, eps_x, eps_y, columns):
 
     def bucketed(batch: pa.Table) -> pa.Table:
         c = batch.column("component_id").to_numpy()
-        return batch.append_column(
-            "bucket",
-            pa.array(((c.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)),
-        )
+        return batch.append_column("bucket", pa.array(hash_bucket(c, 64)))
 
     if mode == "arrays":
         import ray
@@ -287,10 +281,7 @@ def _tagged_feet(feet_ds, feet_table, z, eps_x, eps_y, columns):
         f = b.column("feature_id").to_numpy()
         t = b.select(columns)
         t = t.append_column("component_id", pa.array(np.full(len(f), -1, np.int64)))
-        return t.append_column(
-            "jbucket",
-            pa.array(((f.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(_ATTACH_BUCKETS)).astype(np.int64)),
-        )
+        return t.append_column("jbucket", pa.array(hash_bucket(f, _ATTACH_BUCKETS)))
 
     def label_rows(b: pa.Table) -> pa.Table:
         f = b.column("feature_id").to_numpy()
@@ -298,10 +289,7 @@ def _tagged_feet(feet_ds, feet_table, z, eps_x, eps_y, columns):
         t = pa.table({"feature_id": pa.array(f), **cols})
         t = t.select(columns)
         t = t.append_column("component_id", b.column("component_id"))
-        return t.append_column(
-            "jbucket",
-            pa.array(((f.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(_ATTACH_BUCKETS)).astype(np.int64)),
-        )
+        return t.append_column("jbucket", pa.array(hash_bucket(f, _ATTACH_BUCKETS)))
 
     both = feet_ds.map_batches(feet_rows, batch_format="pyarrow").union(
         comp.map_batches(label_rows, batch_format="pyarrow")

@@ -151,12 +151,14 @@ def _attach_hashes(group: pd.DataFrame) -> pd.DataFrame:
     a = pr["a"].to_numpy()
     b = pr["b"].to_numpy()
     hashes = [lookup[d] for d in pr["doc_id"].to_numpy()]
+    from robosat_ray.functions.hashing import hash_bucket2
+
     return pd.DataFrame(
         {
             "a": a,
             "b": b,
             "hashes": hashes,
-            "pbucket": (a * 31 + b) % NUM_JOIN_BUCKETS,
+            "pbucket": hash_bucket2(a, b, NUM_JOIN_BUCKETS),
         }
     )
 

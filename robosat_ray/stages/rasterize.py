@@ -118,10 +118,9 @@ def rasterize(footprints_ds, z: int = C.Z_JOIN, size: int = 256, tiles_ds=None):
     def tag(b: pa.Table) -> pa.Table:
         tx = b.column("tile_x").to_numpy()
         ty = b.column("tile_y").to_numpy()
-        bucket = (
-            (tx.astype(np.uint64) * np.uint64(2654435761) + ty.astype(np.uint64))
-            % np.uint64(64)
-        ).astype(np.int64)
+        from robosat_ray.functions.hashing import hash_bucket2
+
+        bucket = hash_bucket2(tx, ty, 64)
         return b.append_column("bucket", pa.array(bucket))
 
     def burn_bucket(group, z=z, size=size):

@@ -101,14 +101,12 @@ def stitch_group(group: pd.DataFrame, overlap: int) -> pd.DataFrame:
 
 
 _NBUCKET = 64
-_BMIX = 2654435761
 
 
 def _tile_bucket(tx: np.ndarray, ty: np.ndarray) -> np.ndarray:
-    return (
-        (tx.astype(np.uint64) * np.uint64(_BMIX) + ty.astype(np.uint64))
-        % np.uint64(_NBUCKET)
-    ).astype(np.int64)
+    from robosat_ray.functions.hashing import hash_bucket2
+
+    return hash_bucket2(tx, ty, _NBUCKET)
 
 
 def _stitch_bucket(group: pd.DataFrame, overlap: int) -> pd.DataFrame:

@@ -26,16 +26,17 @@ from robosat_ray import constants as C
 from robosat_ray.geo import tiles as T
 from robosat_ray.geo.polygon import build_edge_list, pip_pairs
 
-_BUCKET_MIX = 2654435761  # multiplicative mix so adjacent cells spread
+from robosat_ray.functions.hashing import mix64
 
 _RING_T = pa.list_(pa.list_(pa.struct([("x", pa.float64()), ("y", pa.float64())])))
 
 
 def _bucket_of(cell: np.ndarray, salt: np.ndarray, num_buckets: int) -> np.ndarray:
-    h = (cell.astype(np.uint64) * np.uint64(_BUCKET_MIX) + salt.astype(np.uint64)) % np.uint64(
-        num_buckets
-    )
-    return h.astype(np.int64)
+    """Well-mixed cell bucket (+ salt offset): a bare multiplicative
+    mix mod a power of two only sees `cell mod num_buckets`, which for
+    z-cells is `ty mod num_buckets` — city stripes would skew the
+    shuffle join."""
+    return ((mix64(cell) + salt.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
 
 
 def hot_cell_map(points_ds, z: int, cap: int = 20000) -> dict:
