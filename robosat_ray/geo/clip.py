@@ -242,21 +242,33 @@ def _raster_union_iou(pred_rings, intersector_ring_sets, res: int = 512) -> floa
     return inter / union if union else 0.0
 
 
-def union_iou(pred_rings, intersector_ring_sets, max_k: int = 20) -> float:
+def union_iou(pred_rings, candidate_ring_sets, max_k: int = 20) -> float:
     """Reference dedupe rule (robosat/tools/dedupe.py:56-67):
-    IoU(pred, union(intersecting reference shapes)). Union areas via
-    inclusion-exclusion over subsets of intersectors, pruned: a subset
-    whose intersection is empty kills all supersets."""
+    IoU(pred, union(intersecting reference shapes)). Candidates are
+    filtered to true intersectors (positive |pred ∩ S_i|) HERE — the
+    singleton intersection terms are needed for the size-1 subsets
+    anyway, so callers should pass bbox-positive candidates without a
+    pre-pass (a separate filter would run the triangulation twice).
+    Union areas via inclusion-exclusion over subsets of intersectors,
+    pruned: a subset whose intersection is empty kills all supersets."""
     from itertools import combinations
 
-    k = len(intersector_ring_sets)
+    # intersector filter + reusable singleton pred∩S_i terms
+    single_b = [
+        polyset_intersection_area([pred_rings, s]) for s in candidate_ring_sets
+    ]
+    intersectors = [
+        s for s, b in zip(candidate_ring_sets, single_b) if b > 0.0
+    ]
+    single_b = [b for b in single_b if b > 0.0]
+    k = len(intersectors)
     if k == 0:
         return 0.0
     if k > max_k:
         # inclusion-exclusion is exponential in k; beyond the cap a
         # deterministic raster union-IoU keeps a huge neighborhood
         # from crashing the job (error bounded by the cell size)
-        return _raster_union_iou(pred_rings, intersector_ring_sets)
+        return _raster_union_iou(pred_rings, intersectors)
     area_p = polygon_area(pred_rings)
     area_u = 0.0
     inter_u = 0.0
@@ -269,16 +281,19 @@ def union_iou(pred_rings, intersector_ring_sets, max_k: int = 20) -> float:
             ):
                 dead.add(frozenset(T))
                 continue
-            a = polyset_intersection_area([intersector_ring_sets[i] for i in T])
+            a = polyset_intersection_area([intersectors[i] for i in T])
             if a <= 0.0:
                 dead.add(frozenset(T))
                 continue
             any_alive = True
             sign = 1.0 if size % 2 == 1 else -1.0
             area_u += sign * a
-            b = polyset_intersection_area(
-                [pred_rings] + [intersector_ring_sets[i] for i in T]
-            )
+            if size == 1:
+                b = single_b[T[0]]
+            else:
+                b = polyset_intersection_area(
+                    [pred_rings] + [intersectors[i] for i in T]
+                )
             inter_u += sign * b
         if not any_alive:
             break

@@ -690,7 +690,7 @@ WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
 ),
 vars AS (
-  SELECT v + 5000000 AS vec_id,
+  SELECT -(v + 1) AS vec_id,
          list_transform(embedding, x -> x * f) AS embedding
   FROM (
     SELECT vec_id AS v,

@@ -232,12 +232,13 @@ def q_emb_dup(sf_dir: str):
 
     from robosat_ray.stages.ann import emb_dup_pairs, with_emb_variants_batch
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(with_emb_variants_batch, batch_format="pyarrow")
+    # one read + one variant pass: the broadcast table IS the corpus
+    # (small side by design); the streaming probe re-reads it as a
+    # Dataset rather than re-deriving variants from parquet
     table = with_emb_variants_batch(
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     )
+    emb = ray.data.from_arrow(table)
     return emb_dup_pairs(emb, table, threshold=C.EMB_DUP_THRESHOLD)
 
 

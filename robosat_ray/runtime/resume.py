@@ -45,6 +45,33 @@ def done_partitions(root: str) -> set[int]:
     return out
 
 
+PARTITION_LAYOUT = "mix64-v2"  # bump when partition_id changes
+
+
+def _check_layout(root: str, key_col: str, num_partitions: int, resume: bool):
+    """Resume is only safe when the partition layout (hash version,
+    partition count, key) matches the checkpoint's: a silent layout
+    change would drop rows into 'already done' partitions. The stamp
+    makes the mismatch a hard error instead of corruption."""
+    want = {
+        "layout": PARTITION_LAYOUT,
+        "num_partitions": num_partitions,
+        "key_col": key_col,
+    }
+    path = os.path.join(root, "_LAYOUT")
+    if os.path.exists(path):
+        with open(path) as f:
+            have = json.load(f)
+        if have != want and resume:
+            raise ValueError(
+                f"checkpoint layout mismatch: dir has {have}, run wants {want} "
+                "— resume would silently drop/duplicate rows. Use a fresh "
+                "output root or resume=False to overwrite."
+            )
+    with open(path, "w") as f:
+        json.dump(want, f)
+
+
 def write_partitioned(
     ds,
     root: str,
@@ -56,6 +83,7 @@ def write_partitioned(
     manifests; skips already-completed partitions when resume=True.
     Returns the manifest table (part, rows, checksum, skipped)."""
     os.makedirs(root, exist_ok=True)
+    _check_layout(root, key_col, num_partitions, resume)
     done = done_partitions(root) if resume else set()
 
     def assign(batch: pa.Table) -> pa.Table:

@@ -103,14 +103,9 @@ class IVFProbe:
 
     def __init__(self, qids, Q, centroids, k: int, nprobe: int):
         self.inner = CosineTopK(qids, Q, k)
-        Qn = np.asarray(Q, np.float64)
-        Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
-        self.cent = centroids
-        sims = Qn @ centroids.T
-        nprobe = min(nprobe, centroids.shape[0])
-        self.allowed = np.unique(
-            np.argsort(-sims, axis=1)[:, :nprobe].ravel()
-        )
+        self.cent = np.asarray(centroids, np.float64)
+        # same list selection as the partitioned path (equality tested)
+        self.allowed = allowed_lists(Q, self.cent, nprobe)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, E = _emb_matrix(batch)
@@ -130,19 +125,18 @@ def ann_ivf_topk(emb_ds, qids, Q, centroids, k: int = C.ANN_K, nprobe: int = 4):
 
 # ---------------- embedding-cosine near-dup (dedup family) ----------------
 
-EMB_VARIANT_OFFSET = 5_000_000
-
-
 def with_emb_variants_batch(batch: pa.Table) -> pa.Table:
     """embeddings batch -> rows + deterministic near-dup variants:
-    every vec_id % 7 == 0 gets a copy (id + EMB_VARIANT_OFFSET) scaled
-    by 1 + (vec_id % 5 + 1)/100 — cosine-identical to its source
-    (scale invariance), far from every other vector (corpus max
-    off-pair cosine ~0.51). Mirrored in the SQL oracle."""
+    every vec_id % 7 == 0 gets a copy with id -(vec_id + 1) — negative
+    ids CANNOT collide with any real non-negative vec_id, unlike an
+    additive offset — scaled by 1 + (vec_id % 5 + 1)/100:
+    cosine-identical to its source (scale invariance), far from every
+    other vector (corpus max off-pair cosine ~0.51). Mirrored in the
+    SQL oracle."""
     ids = batch.column("vec_id").to_numpy()
     E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
     sel = ids % 7 == 0
-    v_ids = ids[sel] + EMB_VARIANT_OFFSET
+    v_ids = -(ids[sel] + 1)
     factor = 1.0 + ((ids[sel] % 5).astype(np.float64) + 1.0) / 100.0
     V = E[sel] * factor[:, None]
     out_ids = np.concatenate([ids, v_ids])

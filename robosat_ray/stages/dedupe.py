@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from robosat_ray import constants as C
 from robosat_ray.geo import tiles as T
-from robosat_ray.geo.clip import polygons_intersection_area, union_iou
+from robosat_ray.geo.clip import union_iou
 from robosat_ray.stages.spatial_join import _ring_buffers
 
 
@@ -47,17 +47,12 @@ def _feature_areas(fro, rpo, rxs, rys) -> np.ndarray:
 
 def _rect_union_areas(px0, py0, px1, py1, fx0, fy0, fx1, fy1):
     """(area(U), area(pred ∩ U)) for a rect pred and rect intersectors
-    via coordinate-compression: exact for any k, O(k^2) cells."""
-    xs = np.unique(np.concatenate([fx0, fx1]))
-    ys = np.unique(np.concatenate([fy0, fy1]))
-    i0 = np.searchsorted(xs, fx0)
-    i1 = np.searchsorted(xs, fx1)
-    j0 = np.searchsorted(ys, fy0)
-    j1 = np.searchsorted(ys, fy1)
-    cov = np.zeros((len(xs) - 1, len(ys) - 1), dtype=bool)
-    for a, b, c, d in zip(i0, i1, j0, j1):
-        cov[a:b, c:d] = True
-    area_u = float((np.outer(np.diff(xs), np.diff(ys))[cov]).sum())
+    — cover grid + union area from geo.rectilinear (one kernel, not a
+    clone), plus the pred-clipped cell sum for the intersection."""
+    from robosat_ray.geo.rectilinear import grid_area, union_cover_grid
+
+    xs, ys, cov = union_cover_grid(fx0, fy0, fx1, fy1)
+    area_u = grid_area(xs, ys, cov)
     cwx = np.maximum(np.minimum(xs[1:], px1) - np.maximum(xs[:-1], px0), 0.0)
     cwy = np.maximum(np.minimum(ys[1:], py1) - np.maximum(ys[:-1], py0), 0.0)
     inter = float((np.outer(cwx, cwy)[cov]).sum())
@@ -254,10 +249,15 @@ class DedupeProber:
                     (prxs[prpo[r] : prpo[r + 1]], prys[prpo[r] : prpo[r + 1]])
                     for r in range(pfro[p_local], pfro[p_local + 1])
                 ]
+                # bbox-positive candidates only; union_iou's own
+                # inclusion-exclusion handles non-intersectors exactly
+                # (their terms are 0), so no pre-pass with the clip
+                # kernel — that would run the expensive triangulation
+                # twice per intersector
                 inters = [
                     self._feature_rings(int(f))
                     for f, bi in zip(fis, binter)
-                    if bi > 0.0 and polygons_intersection_area(pr, self._feature_rings(int(f))) > 0.0
+                    if bi > 0.0
                 ]
                 if not inters:
                     continue

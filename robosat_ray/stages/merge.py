@@ -177,46 +177,43 @@ def _component_labels(feet_ds, feet_table, z, eps_x, eps_y):
 _ATTACH_BUCKETS = 64
 
 
-def _copartition_attach(feet_ds, labels_ds):
-    """(feature_id, ...) x (node, label) -> (feature_id, component_id)
-    via a feature-bucket groupby join — no driver, no broadcast map."""
+def _copartition_attach(feet_ds, labels_ds, columns=("feature_id",)):
+    """(feature_id, <passthrough columns>) x (node, label) ->
+    (<columns>, component_id) via ONE feature-bucket groupby join —
+    no driver, no broadcast map. Roles are distinguished by a `__role`
+    sentinel so passthrough columns ride the same shuffle instead of
+    needing a second join."""
+    columns = list(columns)
 
     def feet_rows(b: pa.Table) -> pa.Table:
         f = b.column("feature_id").to_numpy()
-        return pa.table(
-            {
-                "fid": pa.array(f),
-                "label": pa.array(np.full(len(f), -1, np.int64)),
-                "bucket": pa.array(hash_bucket(f, _ATTACH_BUCKETS)),
-            }
-        )
+        t = b.select(columns)
+        t = t.append_column("__label", pa.array(np.zeros(len(f), np.int64)))
+        t = t.append_column("__role", pa.array(np.zeros(len(f), np.int8)))
+        return t.append_column("bucket", pa.array(hash_bucket(f, _ATTACH_BUCKETS)))
 
     def label_rows(b: pa.Table) -> pa.Table:
         n = b.column("node").to_numpy()
-        return pa.table(
-            {
-                "fid": pa.array(n),
-                "label": b.column("label"),
-                "bucket": pa.array(hash_bucket(n, _ATTACH_BUCKETS)),
-            }
-        )
+        cols = {c: pa.array(np.zeros(len(n))) for c in columns if c != "feature_id"}
+        t = pa.table({"feature_id": pa.array(n), **cols}).select(columns)
+        t = t.append_column("__label", b.column("label"))
+        t = t.append_column("__role", pa.array(np.ones(len(n), np.int8)))
+        return t.append_column("bucket", pa.array(hash_bucket(n, _ATTACH_BUCKETS)))
 
     both = feet_ds.map_batches(feet_rows, batch_format="pyarrow").union(
         labels_ds.map_batches(label_rows, batch_format="pyarrow")
     )
 
     def join(group: pd.DataFrame) -> pd.DataFrame:
-        lab = group[group["label"] >= 0]
-        s = lab["fid"].to_numpy()
+        lab = group[group["__role"] == 1]
+        s = lab["feature_id"].to_numpy()
         order = np.argsort(s, kind="stable")
-        s, lv = s[order], lab["label"].to_numpy()[order]
-        f = group.loc[group["label"] < 0, "fid"].to_numpy()
-        return pd.DataFrame(
-            {
-                "feature_id": pd.Series(f, dtype=np.int64),
-                "component_id": pd.Series(lv[np.searchsorted(s, f)], dtype=np.int64),
-            }
-        )
+        s, lv = s[order], lab["__label"].to_numpy()[order]
+        out = group[group["__role"] == 0].drop(
+            columns=["__label", "__role", "bucket"], errors="ignore"
+        ).copy()
+        out["component_id"] = lv[np.searchsorted(s, out["feature_id"].to_numpy())]
+        return out
 
     return both.groupby("bucket").map_groups(join, batch_format="pandas")
 
@@ -273,43 +270,11 @@ def _tagged_feet(feet_ds, feet_table, z, eps_x, eps_y, columns):
         tagged = feet_ds.map_batches(tag, batch_format="pyarrow")
         return tagged.map_batches(bucketed, batch_format="pyarrow")
 
-    comp = _copartition_attach(feet_ds, payload)
-
-    # co-partition join of feet rows with their component labels on a
-    # feature-hash bucket, carrying the passthrough columns
-    def feet_rows(b: pa.Table) -> pa.Table:
-        f = b.column("feature_id").to_numpy()
-        t = b.select(columns)
-        t = t.append_column("component_id", pa.array(np.full(len(f), -1, np.int64)))
-        return t.append_column("jbucket", pa.array(hash_bucket(f, _ATTACH_BUCKETS)))
-
-    def label_rows(b: pa.Table) -> pa.Table:
-        f = b.column("feature_id").to_numpy()
-        cols = {c: pa.array(np.zeros(len(f))) for c in columns if c != "feature_id"}
-        t = pa.table({"feature_id": pa.array(f), **cols})
-        t = t.select(columns)
-        t = t.append_column("component_id", b.column("component_id"))
-        return t.append_column("jbucket", pa.array(hash_bucket(f, _ATTACH_BUCKETS)))
-
-    both = feet_ds.map_batches(feet_rows, batch_format="pyarrow").union(
-        comp.map_batches(label_rows, batch_format="pyarrow")
-    )
-
-    def join(group: pd.DataFrame) -> pd.DataFrame:
-        lab = group[group["component_id"] >= 0]
-        s = lab["feature_id"].to_numpy()
-        order = np.argsort(s, kind="stable")
-        s, lv = s[order], lab["component_id"].to_numpy()[order]
-        out = group[group["component_id"] < 0].drop(columns=["component_id"]).copy()
-        out["component_id"] = lv[np.searchsorted(s, out["feature_id"].to_numpy())]
-        return out
-
-    import ray.data  # noqa: F401
-
-    joined = both.groupby("jbucket").map_groups(join, batch_format="pandas")
-    return joined.map_batches(
-        lambda b: b.drop_columns(["jbucket"]), batch_format="pyarrow"
-    ).map_batches(bucketed, batch_format="pyarrow")
+    # ONE co-partition join carries the passthrough columns alongside
+    # the label attach (previously two sequential joins shuffled every
+    # feet row twice)
+    joined = _copartition_attach(feet_ds, payload, columns=columns)
+    return joined.map_batches(bucketed, batch_format="pyarrow")
 
 
 def merge_unions(

@@ -68,11 +68,9 @@ def epoch_loss(prob_pairs_ds) -> pd.DataFrame:
     from robosat_ray.geo.raster import binary_views
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts: dict[int, int] = {}
         labs = binary_views(batch.column("label_data"))
         q0s = binary_views(batch.column("q0_data"))
         q1s = binary_views(batch.column("q1_data"))
-        acc = np.zeros(0, dtype=np.int64)
         keys_all = []
         for lab, q0, q1 in zip(labs, q0s, q1s):
             y = (np.frombuffer(lab, np.uint8) != 0).astype(np.int64)

@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from robosat_ray.functions.hashing import hash_bucket
 from robosat_ray.functions.text_hash import (
     N_BANDS,
     band_keys,
@@ -37,6 +38,8 @@ def with_variants_batch(batch: pa.Table) -> pa.Table:
     ids = batch.column("doc_id").to_numpy()
     texts = batch.column("text").to_pylist()
     sel = ids % 5 == 0
+    assert len(ids) == 0 or ids.max() < VARIANT_OFFSET, (
+        "doc_id range reaches VARIANT_OFFSET: variant ids would collide")
     v_ids = ids[sel] + VARIANT_OFFSET
     v_texts = [
         "zzvariant" + t[t.index(" ") :] if " " in t else "zzvariant"
@@ -60,9 +63,11 @@ NUM_LSH_BUCKETS = 256
 
 def _band_rows(batch: pa.Table) -> pa.Table:
     """Band keys fold the band index in, so plain key equality defines
-    LSH candidacy; rows are grouped by a COMPACT bucket (key % 4096)
-    rather than the raw key — a groupby over millions of singleton
-    buckets pays per-group overhead, a few thousand buckets don't."""
+    LSH candidacy; rows are grouped by a COMPACT bucket
+    (key % NUM_LSH_BUCKETS) rather than the raw key — a groupby over
+    millions of singleton buckets pays per-group overhead, a few
+    hundred buckets don't (band keys are already uniform hashes, so a
+    bare modulus is fine HERE)."""
     from robosat_ray.functions.text_hash import batch_minhash_signatures
 
     ids = batch.column("doc_id").to_numpy()
@@ -248,7 +253,7 @@ def near_dup_pairs_ds(docs_ds, threshold: float = 0.5):
                 "a": pa.array(np.concatenate([a, a])),
                 "b": pa.array(np.concatenate([b, b])),
                 "hashes": pa.nulls(len(doc), pa.list_(pa.uint64())),
-                "dbucket": pa.array(doc % NUM_JOIN_BUCKETS),
+                "dbucket": pa.array(hash_bucket(doc, NUM_JOIN_BUCKETS)),
             }
         )
 
@@ -261,7 +266,7 @@ def near_dup_pairs_ds(docs_ds, threshold: float = 0.5):
                 "a": pa.array(neg),
                 "b": pa.array(neg),
                 "hashes": batch.column("hashes"),
-                "dbucket": pa.array(ids % NUM_JOIN_BUCKETS),
+                "dbucket": pa.array(hash_bucket(ids, NUM_JOIN_BUCKETS)),
             }
         )
 

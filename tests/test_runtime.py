@@ -102,3 +102,28 @@ def test_flagship_resume_after_partial_failure(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b)
     v = verify_manifests(root)
     assert v["rows_ok"].all() and v["checksum_ok"].all()
+
+
+def test_resume_layout_mismatch_refuses(ray_session, tmp_path):
+    """A checkpoint written under a different partition layout must be
+    a hard error on resume, not silent row loss."""
+    import json
+    import os
+
+    import pytest
+    import ray.data
+
+    from robosat_ray.runtime.resume import write_partitioned
+
+    root = str(tmp_path / "out")
+    ds = ray.data.range(100).map_batches(
+        lambda b: {"key": b["id"]}, batch_format="numpy"
+    )
+    write_partitioned(ds, root, key_col="key", num_partitions=8)
+    # simulate an old/foreign layout stamp
+    with open(os.path.join(root, "_LAYOUT"), "w") as f:
+        json.dump({"layout": "mul-v1", "num_partitions": 8, "key_col": "key"}, f)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        write_partitioned(ds, root, key_col="key", num_partitions=8)
+    # resume=False overwrites and restamps
+    write_partitioned(ds, root, key_col="key", num_partitions=8, resume=False)
