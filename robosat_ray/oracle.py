@@ -606,6 +606,47 @@ SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
 FROM events GROUP BY 1, 2
 """
 
+# As-of attribution join: DuckDB native ASOF LEFT JOIN; right side
+# deduped per (user, ts) to max event_id so tie resolution is
+# deterministic on both sides. match_value rounded to 6 dp on both
+# sides (single copied value — rounding is parity insurance only).
+EVENTS_ASOF = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
+         MAX(event_id) AS veid, ROUND(MAX_BY(value, event_id), 6) AS vval
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.tsu AS ts_us,
+       COALESCE(v.veid, -1) AS match_event_id,
+       COALESCE(v.vval, 0.0) AS match_value,
+       COALESCE(p.tsu - v.tsu, -1) AS lag_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.tsu >= v.tsu
+"""
+
+# Sliding-interval range join; SUM rounded to 6 dp on both sides
+# (engine computes window sums as prefix-sum differences)
+EVENTS_RANGE_JOIN = f"""
+WITH p AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       CAST(COUNT(c.tsu) AS BIGINT) AS n_prior,
+       ROUND(COALESCE(SUM(c.value), 0.0), 6) AS sum_prior
+FROM p LEFT JOIN c ON p.user_id = c.user_id
+   AND c.tsu >= p.tsu - {3_600_000_000}
+   AND c.tsu < p.tsu
+GROUP BY 1, 2
+"""
+
 # Gap-based sessionization: all-integer (no float parity concerns);
 # islands via LAG + running SUM of breaks, same (ts, event_id) order
 # as the engine's sorted-bucket kernel.

@@ -329,6 +329,36 @@ def q_events_sessions(sf_dir: str):
     return sessionize(ev)
 
 
+def q_events_asof(sf_dir: str):
+    """Attribution as-of join: for each purchase event, the latest view
+    event of the same user at or before it (DuckDB ASOF LEFT JOIN is
+    the oracle). Sentinels (-1 / 0.0) encode the unmatched-left rows so
+    the output stays single-dtype per column."""
+    import ray.data
+
+    from robosat_ray.stages.events import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    return asof_join(ev, left_type="purchase", right_type="view")
+
+
+def q_events_range_join(sf_dir: str):
+    """Sliding-interval range join: per purchase, count + sum of the
+    same user's click events in the preceding hour [ts-1h, ts)."""
+    import ray.data
+
+    from robosat_ray.stages.events import range_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    return range_join(ev, left_type="purchase", right_type="click")
+
+
 def q_sample_stratified(sf_dir: str):
     """Deterministic hash sampling of documents (rate 0.2, seed 7) —
     reproducible across partitionings; exact WHERE-clause oracle."""
@@ -524,6 +554,8 @@ QUERIES = {
     "emb_dup": q_emb_dup,
     "epoch_loss": q_epoch_loss,
     "events_sessions": q_events_sessions,
+    "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
     "sample_stratified": q_sample_stratified,
     "top_docs_per_lang": q_top_docs_per_lang,
 }
@@ -563,6 +595,8 @@ ORACLES = {
     "epoch_loss": oracle.EPOCH_LOSS,
     "media_features": oracle.MEDIA_FEATURES,
     "events_sessions": oracle.EVENTS_SESSIONS,
+    "events_asof": oracle.EVENTS_ASOF,
+    "events_range_join": oracle.EVENTS_RANGE_JOIN,
     "sample_stratified": oracle.SAMPLE_STRATIFIED,
     "top_docs_per_lang": oracle.TOP_DOCS_PER_LANG,
 }

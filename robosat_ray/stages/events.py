@@ -71,6 +71,188 @@ def running_totals(events_ds):
     )
 
 
+def _composite_keys(user: np.ndarray, ts: np.ndarray, base: int, span: int) -> np.ndarray:
+    """Lexicographic (user, ts) order collapsed into one sortable int64:
+    user * span + (ts - base). Caller guarantees 0 <= ts - base < span
+    and max(user) * span < 2**62 (asserted) so searchsorted over the
+    composite equals a two-key lexicographic search."""
+    comp = user.astype(np.int64) * np.int64(span) + (ts - np.int64(base))
+    return comp
+
+
+def _asof_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """One user-hash bucket of the tagged union (side 0 = right/match
+    candidates, side 1 = left/probe rows): vectorized as-of lookup —
+    for each left row the right row of the SAME user with the largest
+    ts <= left ts. Single searchsorted over composite (user, ts) keys;
+    no per-user Python."""
+    side = group["side"].to_numpy()
+    uid = group["user_id"].to_numpy().astype(np.int64)
+    ts = group["ts"].to_numpy().astype(np.int64)
+    eid = group["event_id"].to_numpy().astype(np.int64)
+    val = group["value"].to_numpy().astype(np.float64)
+
+    lmask = side == 1
+    rmask = ~lmask
+    out_cols = ("event_id", "user_id", "ts_us", "match_event_id", "match_value", "lag_us")
+    if not lmask.any():
+        return pd.DataFrame({c: np.empty(0, dtype=np.float64 if c == "match_value" else np.int64) for c in out_cols})
+
+    base = int(ts.min())
+    span = int(ts.max()) - base + 2
+    assert int(uid.max()) * span < 2**62, "composite key overflow; widen key strategy"
+
+    l_uid, l_ts, l_eid = uid[lmask], ts[lmask], eid[lmask]
+    r_uid, r_ts, r_eid, r_val = uid[rmask], ts[rmask], eid[rmask], val[rmask]
+
+    if len(r_uid):
+        # sort right side by (user, ts, event_id); dedupe ties on
+        # (user, ts) keeping the max event_id (deterministic, matches
+        # the oracle's max/max_by group)
+        order = np.lexsort((r_eid, r_ts, r_uid))
+        r_uid, r_ts, r_eid, r_val = r_uid[order], r_ts[order], r_eid[order], r_val[order]
+        keep = np.ones(len(r_uid), dtype=bool)
+        keep[:-1] = (r_uid[1:] != r_uid[:-1]) | (r_ts[1:] != r_ts[:-1])
+        r_uid, r_ts, r_eid, r_val = r_uid[keep], r_ts[keep], r_eid[keep], r_val[keep]
+        rcomp = _composite_keys(r_uid, r_ts, base, span)
+        idx = np.searchsorted(rcomp, _composite_keys(l_uid, l_ts, base, span), side="right") - 1
+        valid = (idx >= 0) & (r_uid[np.maximum(idx, 0)] == l_uid)
+    else:
+        idx = np.full(len(l_uid), -1)
+        valid = np.zeros(len(l_uid), dtype=bool)
+
+    safe = np.maximum(idx, 0)
+    m_eid = np.where(valid, r_eid[safe] if len(r_uid) else -1, -1).astype(np.int64)
+    m_val = np.where(valid, r_val[safe] if len(r_uid) else 0.0, 0.0)
+    lag = np.where(valid, l_ts - (r_ts[safe] if len(r_uid) else 0), -1).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "event_id": l_eid,
+            "user_id": l_uid,
+            "ts_us": l_ts,
+            "match_event_id": m_eid,
+            "match_value": np.round(m_val, 6),
+            "lag_us": lag,
+        }
+    )
+
+
+def _tag_union(events_ds, left_type: str, right_type: str):
+    """Filter the two event types, tag side, cast ts to int64 us, and
+    bucket by user hash — the shared co-partition prologue for the
+    as-of and range joins. One shuffle, both sides."""
+
+    def prep(b: pa.Table, side: int) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts").cast(pa.int64()),
+                "value": b.column("value"),
+            }
+        )
+        t = t.append_column("side", pa.array(np.full(len(t), side, dtype=np.int8)))
+        u = t.column("user_id").to_numpy()
+        return t.append_column("ubucket", pa.array(hash_bucket(u, NUM_USER_BUCKETS)))
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    left = events_ds.select_columns(cols).filter(expr=f"event_type == '{left_type}'").map_batches(
+        lambda b: prep(b.drop_columns(["event_type"]), 1), batch_format="pyarrow"
+    )
+    right = events_ds.select_columns(cols).filter(expr=f"event_type == '{right_type}'").map_batches(
+        lambda b: prep(b.drop_columns(["event_type"]), 0), batch_format="pyarrow"
+    )
+    return left.union(right)
+
+
+def asof_join(events_ds, left_type: str = "purchase", right_type: str = "view"):
+    """Attribution as-of join (the classic streaming/temporal-join the
+    reference has no analog for; ray guide co-partition pattern): for
+    each `left_type` event, the latest `right_type` event of the same
+    user with ts <= the left event's ts. -> (event_id, user_id, ts_us,
+    match_event_id|-1, match_value|0.0, lag_us|-1). Ties on (user, ts)
+    resolve to max event_id, matching the SQL oracle's dedup."""
+    return (
+        _tag_union(events_ds, left_type, right_type)
+        .groupby("ubucket")
+        .map_groups(_asof_bucket, batch_format="pandas")
+    )
+
+
+RANGE_WINDOW_US = HOUR_US
+
+
+def _range_bucket(group: pd.DataFrame, window_us: int) -> pd.DataFrame:
+    """One bucket: for each left row, COUNT and SUM of right-side rows
+    of the same user in [ts - window_us, ts). Two searchsorteds over
+    composite keys + prefix-sum difference — O((n+m) log m), fully
+    vectorized."""
+    side = group["side"].to_numpy()
+    uid = group["user_id"].to_numpy().astype(np.int64)
+    ts = group["ts"].to_numpy().astype(np.int64)
+    eid = group["event_id"].to_numpy().astype(np.int64)
+    val = group["value"].to_numpy().astype(np.float64)
+
+    lmask = side == 1
+    rmask = ~lmask
+    if not lmask.any():
+        return pd.DataFrame(
+            {
+                "event_id": np.empty(0, dtype=np.int64),
+                "user_id": np.empty(0, dtype=np.int64),
+                "n_prior": np.empty(0, dtype=np.int64),
+                "sum_prior": np.empty(0, dtype=np.float64),
+            }
+        )
+
+    # base shifted below min(ts) - window so (ts - window) offsets stay
+    # non-negative and the composite keeps user-major lexicographic order
+    base = int(ts.min()) - window_us
+    span = int(ts.max()) - base + 2
+    assert int(uid.max()) * span < 2**62, "composite key overflow; widen key strategy"
+
+    l_uid, l_ts, l_eid = uid[lmask], ts[lmask], eid[lmask]
+    r_uid, r_ts, r_val = uid[rmask], ts[rmask], val[rmask]
+    if len(r_uid):
+        order = np.lexsort((r_ts, r_uid))
+        r_uid, r_ts, r_val = r_uid[order], r_ts[order], r_val[order]
+        rcomp = _composite_keys(r_uid, r_ts, base, span)
+        lo = np.searchsorted(rcomp, _composite_keys(l_uid, l_ts - window_us, base, span), side="left")
+        hi = np.searchsorted(rcomp, _composite_keys(l_uid, l_ts, base, span), side="left")
+        prefix = np.concatenate(([0.0], np.cumsum(r_val)))
+        n = (hi - lo).astype(np.int64)
+        s = np.where(n > 0, prefix[hi] - prefix[lo], 0.0)
+    else:
+        n = np.zeros(len(l_uid), dtype=np.int64)
+        s = np.zeros(len(l_uid), dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "event_id": l_eid,
+            "user_id": l_uid,
+            "n_prior": n,
+            "sum_prior": np.round(s, 6),
+        }
+    )
+
+
+def range_join(
+    events_ds,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    window_us: int = RANGE_WINDOW_US,
+):
+    """Sliding-interval range join: for each `left_type` event, count
+    and sum the `right_type` events of the same user in the preceding
+    [ts - window, ts) interval. Same one-shuffle co-partition shape as
+    asof_join; float sums rounded to 6 dp on both sides (events_window
+    precedent: partial-aggregation order differs from SQL)."""
+    return (
+        _tag_union(events_ds, left_type, right_type)
+        .groupby("ubucket")
+        .map_groups(lambda g: _range_bucket(g, window_us), batch_format="pandas")
+    )
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
