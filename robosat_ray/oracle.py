@@ -290,7 +290,7 @@ _RS = 64  # oracle rasterization size (pixel grid per tile)
 # are computed over per-rect pixel SPANS (a rect's covered pixels form
 # a solid box) with an 8-connectivity touch relation + recursive
 # min-label CTE — equivalent to pixel-level CC of the union.
-FEATURIZE_STATS_TEMPLATE = """
+_FEATURIZE_PREFIX = """
 WITH RECURSIVE {feet},
 cov AS (
   SELECT f.*, {tx_minx} + gx.i AS tx, {ty_miny} + gy.j AS ty
@@ -337,7 +337,9 @@ cpx AS (
   SELECT DISTINCT p.tx, p.ty, c.cid, p.i, p.j
   FROM pxf p JOIN comp c
     ON c.tx = p.tx AND c.ty = p.ty AND c.feature_id = p.feature_id
-),
+)"""
+
+FEATURIZE_STATS_TEMPLATE = _FEATURIZE_PREFIX + """,
 stats AS (
   SELECT tx, ty, cid, COUNT(*) AS area_px,
          MIN(i) AS i0, MAX(i) AS i1, MIN(j) AS j0, MAX(j) AS j1
@@ -351,6 +353,21 @@ SELECT tx AS tile_x, ty AS tile_y, CAST(area_px AS BIGINT) AS area_px,
     + (i1 + 1) * ((((tx + 1) / {nf} * 360.0 - 180.0) - (tx / {nf} * 360.0 - 180.0)) / {rsf}) AS maxx,
   (ty / {nf}) + (j1 + 1) * ((((ty + 1) / {nf}) - (ty / {nf})) / {rsf}) AS maxy
 FROM stats
+"""
+
+# Ring-geometry check up to second-order pixel moments: the engine
+# round-trips its OUTPUT rings (world coords) through the inverse
+# affine and an even-odd fill, then takes integer moments of the
+# filled pixel set per component; the oracle takes the same moments
+# over the recursive-CTE component pixels. Matching all six moments
+# pins shape (incl. holes), position and spread — not just bbox/area.
+FEATURIZE_MOMENTS_TEMPLATE = _FEATURIZE_PREFIX + """
+SELECT tx AS tile_x, ty AS tile_y,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(i) AS BIGINT) AS si, CAST(SUM(j) AS BIGINT) AS sj,
+  CAST(SUM(i * i) AS BIGINT) AS sii, CAST(SUM(j * j) AS BIGINT) AS sjj,
+  CAST(SUM(i * j) AS BIGINT) AS sij
+FROM cpx GROUP BY tx, ty, cid
 """
 
 # Prediction pipeline (halo -> box-conv scorers k=3,5 -> sigmoid ->
@@ -516,6 +533,17 @@ EPOCH_LOSS = EPOCH_LOSS_TEMPLATE.format(
 )
 
 FEATURIZE_STATS = FEATURIZE_STATS_TEMPLATE.format(
+    feet=feet_cte(),
+    tx_minx=tile_x("f.minx"),
+    ty_miny=tile_y("f.miny"),
+    tx_maxx=tile_x("f.maxx"),
+    ty_maxy=tile_y("f.maxy"),
+    rs1=_RS - 1,
+    rsf=repr(float(_RS)),
+    nf=repr(_N),
+)
+
+FEATURIZE_MOMENTS = FEATURIZE_MOMENTS_TEMPLATE.format(
     feet=feet_cte(),
     tx_minx=tile_x("f.minx"),
     ty_miny=tile_y("f.miny"),

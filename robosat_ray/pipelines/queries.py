@@ -134,6 +134,18 @@ def q_featurize_stats(sf_dir: str):
     return feats.map_batches(stats, batch_format="pyarrow")
 
 
+def q_featurize_moments(sf_dir: str):
+    """Ring-geometry correctness up to second-order pixel moments: the
+    engine's OUTPUT rings, round-tripped through the inverse affine and
+    an even-odd fill, must enclose exactly the oracle's CC pixel sets
+    (n, Σi, Σj, Σi², Σj², Σij per component)."""
+    from robosat_ray.stages.featurize import featurize, ring_pixel_moments
+    from robosat_ray.stages.rasterize import rasterize
+
+    masks = rasterize(footprints_dataset(sf_dir), size=64)
+    return ring_pixel_moments(featurize(masks), size=64)
+
+
 def q_merge_components(sf_dir: str):
     from robosat_ray.stages.merge import merge_components
     from robosat_ray.synth.footprints import footprints_table
@@ -551,6 +563,7 @@ QUERIES = {
     "merge_geometry": q_merge_geometry,
     "featurize": q_featurize,
     "featurize_stats": q_featurize_stats,
+    "featurize_moments": q_featurize_moments,
     "emb_dup": q_emb_dup,
     "epoch_loss": q_epoch_loss,
     "events_sessions": q_events_sessions,
@@ -590,6 +603,7 @@ ORACLES = {
     "simhash": oracle.SIMHASH,
     "langid": oracle.LANGID,
     "featurize_stats": oracle.FEATURIZE_STATS,
+    "featurize_moments": oracle.FEATURIZE_MOMENTS,
     "segmentation_metrics": oracle.SEGMENTATION_METRICS,
     "emb_dup": oracle.EMB_DUP,
     "epoch_loss": oracle.EPOCH_LOSS,

@@ -150,3 +150,66 @@ def featurize(masks_ds, z: int = C.Z_JOIN, denoise_px: int = 0, grow_px: int = 0
         lambda b: featurize_batch(b, z, denoise_px, grow_px, simplify_ratio),
         batch_format="pyarrow",
     )
+
+
+def _moments_batch(batch: pa.Table, z: int, size: int) -> pa.Table:
+    """One featurize-output batch -> per-polygon integer pixel moments
+    of the region enclosed by the OUTPUT rings: world coords -> inverse
+    px->world affine -> even-odd fill -> (n, Σi, Σj, Σi², Σj², Σij).
+    Vectorized nested-list decode (flat values + offsets); the per-
+    polygon loop is over fills, not vertices."""
+    from robosat_ray.geo.raster import fill_rings
+
+    txs = batch.column("tile_x").to_numpy()
+    tys = batch.column("tile_y").to_numpy()
+    col = batch.column("rings")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    ring_arr = col.values
+    pts = ring_arr.values
+    flat_x = pts.field("x").to_numpy()
+    flat_y = pts.field("y").to_numpy()
+    poly_off = np.asarray(col.offsets)
+    ring_off = np.asarray(ring_arr.offsets)
+
+    n = float(1 << z)
+    out = {k: np.empty(len(batch), dtype=np.int64) for k in ("n_px", "si", "sj", "sii", "sjj", "sij")}
+    for r in range(len(batch)):
+        tx, ty = int(txs[r]), int(tys[r])
+        west = tx / n * 360.0 - 180.0
+        east = (tx + 1) / n * 360.0 - 180.0
+        north = ty / n
+        south = (ty + 1) / n
+        fx = (east - west) / size
+        fy = (south - north) / size
+        rings_px = []
+        for k in range(poly_off[r], poly_off[r + 1]):
+            lon = flat_x[ring_off[k] : ring_off[k + 1]]
+            my = flat_y[ring_off[k] : ring_off[k + 1]]
+            rings_px.append(((lon - west) / fx, (my - north) / fy))
+        grid = fill_rings(rings_px, size)
+        jj, ii = np.nonzero(grid)
+        ii = ii.astype(np.int64)
+        jj = jj.astype(np.int64)
+        out["n_px"][r] = len(ii)
+        out["si"][r] = ii.sum()
+        out["sj"][r] = jj.sum()
+        out["sii"][r] = (ii * ii).sum()
+        out["sjj"][r] = (jj * jj).sum()
+        out["sij"][r] = (ii * jj).sum()
+    return pa.table(
+        {
+            "tile_x": batch.column("tile_x"),
+            "tile_y": batch.column("tile_y"),
+            **{k: pa.array(v) for k, v in out.items()},
+        }
+    )
+
+
+def ring_pixel_moments(feats_ds, z: int = C.Z_JOIN, size: int = 64):
+    """Featurize output -> per-polygon pixel moments of the ring-
+    enclosed region (holes subtracted by the even-odd fill). The
+    matching DuckDB oracle (FEATURIZE_MOMENTS) takes the same moments
+    over recursive-CTE component pixels, pinning the ring geometry."""
+    return feats_ds.select_columns(["tile_x", "tile_y", "rings"]).map_batches(
+        lambda b: _moments_batch(b, z, size), batch_format="pyarrow"
+    )
