@@ -943,3 +943,95 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM q, embeddings e WHERE e.vec_id <> q.qid
 ) WHERE rank <= {C.ANN_K}
 """
+
+
+def _ivf_sql(n_lists: int, iters: int, nprobe: int, k: int, stride: int, sample_limit: int) -> str:
+    """The ENTIRE IVF chain as one SQL statement: deterministic
+    even-spacing centroid init over the vec_id-ordered sample, `iters`
+    Lloyd iterations unrolled as CTE blocks (argmax assignment with
+    lowest-cid tie-break == np.argmax; empty clusters keep their
+    previous centroid, exactly stages/ann.py:train_centroids), full
+    assignment, union of per-query nprobe lists, cosine top-k over the
+    pruned candidates. Every arithmetic step in DOUBLE."""
+    its = []
+    for i in range(iters):
+        its.append(f""",
+dots{i} AS MATERIALIZED (
+  SELECT s.vec_id, c.cid, SUM(s.v * c.v) AS dot
+  FROM sdims s JOIN cent{i} c ON c.d = s.d
+  GROUP BY s.vec_id, c.cid
+),
+asgn{i} AS MATERIALIZED (
+  SELECT vec_id, cid FROM dots{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) = 1
+),
+mean{i} AS MATERIALIZED (
+  SELECT a.cid, s.d, AVG(s.v) AS mv
+  FROM asgn{i} a JOIN sdims s ON s.vec_id = a.vec_id
+  GROUP BY a.cid, s.d
+),
+nrm{i} AS MATERIALIZED (SELECT cid, SQRT(SUM(mv * mv)) AS nm FROM mean{i} GROUP BY cid),
+cent{i + 1} AS MATERIALIZED (
+  SELECT c.cid, c.d,
+         CASE WHEN m.mv IS NOT NULL AND n.nm > 0 THEN m.mv / n.nm ELSE c.v END AS v
+  FROM cent{i} c
+  LEFT JOIN mean{i} m ON m.cid = c.cid AND m.d = c.d
+  LEFT JOIN nrm{i} n ON n.cid = c.cid
+)""")
+    return f"""
+WITH edims AS MATERIALIZED (
+  SELECT vec_id, d, CAST(v AS DOUBLE) AS v FROM (
+    SELECT vec_id, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS d
+    FROM embeddings)
+),
+enorm AS MATERIALIZED (SELECT vec_id, SQRT(SUM(v * v)) AS nm FROM edims GROUP BY vec_id),
+ndims AS MATERIALIZED (SELECT e.vec_id, e.d, e.v / n.nm AS v FROM edims e JOIN enorm n USING (vec_id)),
+spos AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS pos
+  FROM embeddings ORDER BY vec_id LIMIT {sample_limit}
+),
+scount AS MATERIALIZED (SELECT COUNT(*) AS m FROM spos),
+sdims AS MATERIALIZED (SELECT p.vec_id, n.d, n.v FROM spos p JOIN ndims n USING (vec_id)),
+cent0 AS MATERIALIZED (
+  SELECT g.c AS cid, n.d, n.v
+  FROM generate_series(0, {n_lists - 1}) g(c)
+  CROSS JOIN scount
+  JOIN spos p ON p.pos = CAST(FLOOR(g.c * scount.m / {float(n_lists)!r}) AS BIGINT)
+  JOIN ndims n ON n.vec_id = p.vec_id
+){"".join(its)},
+adots AS MATERIALIZED (
+  SELECT n.vec_id, c.cid, SUM(n.v * c.v) AS dot
+  FROM ndims n JOIN cent{iters} c ON c.d = n.d
+  GROUP BY n.vec_id, c.cid
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid FROM adots
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) = 1
+),
+allowed AS MATERIALIZED (
+  SELECT DISTINCT cid FROM (
+    SELECT vec_id, cid FROM adots WHERE vec_id % {stride} = 0
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) <= {nprobe}
+  )
+),
+q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % {stride} = 0),
+cand AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN allowed al ON al.cid = a.cid
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC, c.vec_id
+         ) AS rank
+  FROM q, cand c WHERE c.vec_id <> q.qid
+) WHERE rank <= {k}
+"""
+
+
+ANN_IVF = _ivf_sql(
+    n_lists=16, iters=8, nprobe=6, k=C.ANN_K, stride=C.ANN_STRIDE, sample_limit=400
+)

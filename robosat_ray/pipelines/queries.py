@@ -452,7 +452,8 @@ def ivf_index_dir(sf_dir: str, force: bool = False) -> str:
 
     from robosat_ray.stages.ann import build_ivf_index
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # v2: deterministic even-spacing centroid init (SQL-oracle parity)
+    key = hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:12]
     out = f"/tmp/robosat_ray_ivf/{key}"
     if force and os.path.isdir(out):
         shutil.rmtree(out)
@@ -470,8 +471,9 @@ def q_ann_ivf(sf_dir: str):
     """Approximate ANN over a list-partitioned Parquet IVF index —
     the nprobe pruning happens at the READ (only the selected
     list_id=... directories are opened), not as a post-scan filter.
-    Rows-only check; recall vs exact + equality with the in-memory
-    IVF asserted in tests."""
+    Exact oracle: the whole IVF chain (deterministic centroid init,
+    8 unrolled Lloyd iterations, assignment, nprobe union, cosine
+    top-k) re-derived in SQL (oracle.ANN_IVF)."""
     from robosat_ray.stages.ann import ann_ivf_partitioned
 
     qids, Q = _ann_queries(sf_dir)
@@ -593,6 +595,7 @@ ORACLES = {
     "near_dup": oracle.NEAR_DUP,
     "quality": oracle.QUALITY,
     "ann": oracle.ANN,
+    "ann_ivf": oracle.ANN_IVF,
     "class_weights": oracle.CLASS_WEIGHTS,
     "compare_filter": oracle.COMPARE_FILTER,
     "subset": oracle.SUBSET,

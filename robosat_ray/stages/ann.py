@@ -78,12 +78,16 @@ def ann_brute_topk(emb_ds, qids, Q, k: int = C.ANN_K):
 
 # ---------------- IVF (scale path) ----------------
 
-def train_centroids(sample: np.ndarray, n_lists: int, iters: int = 8, seed: int = 7):
-    """Deterministic k-means-lite on a driver-side sample."""
-    rng = np.random.default_rng(seed)
+def train_centroids(sample: np.ndarray, n_lists: int, iters: int = 8):
+    """Deterministic k-means-lite on a driver-side sample. Init picks
+    evenly-spaced sample rows (floor(c*m/k)) rather than an RNG draw:
+    equally spread over the (vec_id-ordered) sample, and exactly
+    reproducible by the SQL oracle's unrolled-Lloyd CTE chain."""
     sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    idx = rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)
-    cent = sample[np.sort(idx)].copy()
+    m = len(sample)
+    k = min(n_lists, m)
+    idx = np.floor(np.arange(k) * m / k).astype(np.int64)
+    cent = sample[idx].copy()
     for _ in range(iters):
         assign = np.argmax(sample @ cent.T, axis=1)
         for c in range(len(cent)):
@@ -226,7 +230,9 @@ def allowed_lists(Q, centroids, nprobe: int) -> np.ndarray:
     cent = np.asarray(centroids, np.float64)
     sims = Qn @ cent.T
     nprobe = min(nprobe, cent.shape[0])
-    return np.unique(np.argsort(-sims, axis=1)[:, :nprobe].ravel())
+    # stable sort: ties resolve to the lowest list id, like the SQL
+    # oracle's ORDER BY dot DESC, cid
+    return np.unique(np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].ravel())
 
 
 def ann_ivf_partitioned(
