@@ -737,6 +737,28 @@ SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
 FROM documents
 """
 
+# Manber mod-p rolling-hash fingerprints; powers of B precomputed mod
+# M so every SQL term stays far inside int64 (max codepoint * 2^31 * k)
+def _fp_sql() -> str:
+    from robosat_ray.stages.text_ops import FP_B, FP_K, FP_M, FP_P
+
+    pows = "[" + ", ".join(str(pow(FP_B, FP_K - 1 - j, FP_M)) for j in range(FP_K)) + "]"
+    return f"""
+SELECT DISTINCT doc_id, fp FROM (
+  SELECT d.doc_id, p.i,
+         CAST(SUM(CAST(ord(substr(d.text, CAST(p.i + j.j AS INTEGER), 1)) AS BIGINT)
+             * list_extract({pows}, CAST(j.j AS INTEGER) + 1)) % {FP_M} AS BIGINT) AS fp
+  FROM documents d
+  CROSS JOIN generate_series(1, 8192) p(i)
+  CROSS JOIN generate_series(0, {FP_K - 1}) j(j)
+  WHERE p.i <= length(d.text) - {FP_K - 1}
+  GROUP BY d.doc_id, p.i
+) WHERE fp % {FP_P} = 0
+"""
+
+
+DOC_FINGERPRINTS = _fp_sql()
+
 QUALITY = """
 SELECT doc_id,
        length(text) AS n_chars,

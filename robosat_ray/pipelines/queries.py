@@ -204,6 +204,15 @@ def q_simhash(sf_dir: str):
     return simhash_table(_docs_ds(sf_dir))
 
 
+def q_fingerprints(sf_dir: str):
+    """Document fingerprinting (Manber mod-p rolling hash): per doc
+    the DISTINCT set of selected k-gram Rabin-Karp hashes — shared
+    fingerprints across docs locate copied substrings at scale."""
+    from robosat_ray.stages.text_ops import doc_fingerprints
+
+    return doc_fingerprints(_docs_ds(sf_dir))
+
+
 def q_quality(sf_dir: str):
     from robosat_ray.stages.quality import quality_scores
 
@@ -544,6 +553,7 @@ QUERIES = {
     "knn": q_knn,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
+    "fingerprints": q_fingerprints,
     "rasterize_fg": q_rasterize_fg,
     "merge_components": q_merge_components,
     "dedupe": q_dedupe,
@@ -589,6 +599,7 @@ ORACLES = {
     "knn": oracle.KNN,
     "exact_dedup": oracle.EXACT_DEDUP,
     "token_count": oracle.TOKEN_COUNT,
+    "fingerprints": oracle.DOC_FINGERPRINTS,
     "rasterize_fg": oracle.RASTERIZE_FG,
     "merge_components": oracle.MERGE_COMPONENTS,
     "dedupe": oracle.DEDUPE,

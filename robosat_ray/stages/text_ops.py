@@ -62,3 +62,54 @@ def token_counts(documents_ds):
     return documents_ds.select_columns(["doc_id", "text"]).map_batches(
         token_stats_batch, batch_format="pyarrow"
     )
+
+
+# Manber-style mod-p document fingerprints (the classic `sif` scheme):
+# Rabin-Karp polynomial hash over every k-char gram, keep hashes
+# ≡ 0 (mod p). Position-independent fingerprint SET per doc — shared
+# fingerprints between docs indicate copied substrings.
+FP_K = 8
+FP_B = 128
+FP_M = 2**31 - 1
+FP_P = 16
+_FP_POW = np.array([pow(FP_B, FP_K - 1 - j, FP_M) for j in range(FP_K)], dtype=np.int64)
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized per doc: code points -> sliding k-gram windows ->
+    (windows @ powvec) mod M -> mod-p selection -> unique set. Code
+    points (not utf-8 bytes) so the SQL oracle's ord(substr(..)) is
+    the identical value; max term 0x10FFFF * 2^31 * k fits int64."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").to_numpy()
+    out_ids, out_fps = [], []
+    for did, t in zip(ids, texts):
+        if len(t) < FP_K:
+            continue
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        h = (sliding_window_view(cps, FP_K) @ _FP_POW) % FP_M
+        sel = np.unique(h[h % FP_P == 0])
+        out_ids.append(np.full(len(sel), did, dtype=np.int64))
+        out_fps.append(sel)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                np.concatenate(out_ids) if out_ids else np.array([], np.int64)
+            ),
+            "fp": pa.array(
+                np.concatenate(out_fps) if out_fps else np.array([], np.int64)
+            ),
+        }
+    )
+
+
+def doc_fingerprints(documents_ds):
+    """-> DISTINCT (doc_id, fp): the document's rolling-hash
+    fingerprint set. Per-doc uniqueness happens in the batch kernel;
+    no global dedup needed (fps are emitted once per doc by
+    construction)."""
+    return documents_ds.select_columns(["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )

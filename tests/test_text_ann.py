@@ -149,3 +149,27 @@ def test_near_dup_copartition_path_equals_broadcast(ray_session, monkeypatch):
     key = lambda df: sorted(zip(df["a"].astype(int), df["b"].astype(int)))
     assert key(base) == key(full)
     assert len(base) > 0
+
+
+def test_fingerprints_detect_copied_substring(ray_session):
+    """Shared mod-p rolling-hash fingerprints locate copied text: a doc
+    containing a long substring of another shares fps with it; an
+    unrelated doc shares (essentially) none. Position-independent."""
+    import pyarrow as pa
+    import ray.data
+
+    from robosat_ray.stages.text_ops import doc_fingerprints
+
+    src = "the quick brown fox jumps over the lazy dog while the band plays on and on " * 6
+    copied = "PREFIX padding text here. " + src[40:300] + " SUFFIX trailing."
+    other = "completely different content with zero overlap whatsoever in grams " * 7
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([src, copied, other])})
+    fps = doc_fingerprints(ray.data.from_arrow(t)).to_pandas()
+    by = {d: set(g["fp"]) for d, g in fps.groupby("doc_id")}
+    overlap_copy = len(by[1] & by[2])
+    overlap_other = len(by[1] & by[3]) if 3 in by else 0
+    assert overlap_copy >= 3, (overlap_copy, len(by[1]), len(by[2]))
+    assert overlap_other == 0, overlap_other
+    # per-doc sets are deduped by construction
+    assert len(fps) == len(fps.drop_duplicates())
