@@ -33,6 +33,11 @@ def _warm_cache():
 
 
 def run_bench() -> dict:
+    # THP off BEFORE ray.init so the raylet and every worker inherit it
+    # (see robosat_ray.__init__._disable_thp: OpenBLAS MADV_HUGEPAGE +
+    # fragmented memory = kernel compaction storms)
+    import robosat_ray  # noqa: F401
+
     import ray
 
     ray.init(

@@ -18,3 +18,30 @@ mercantile / cv2 in this environment). See SURVEY.md for the blueprint.
 """
 
 __version__ = "0.1.0"
+
+
+def _disable_thp() -> None:
+    """Disable transparent huge pages for this process (and children
+    forked after import). OpenBLAS madvises MADV_HUGEPAGE on its GEMM
+    buffer pool; under fragmented memory every worker's first matmul
+    then stalls in kernel direct compaction + 2MB folio zeroing
+    (observed: 98% system time, 10x wall-time collapse). Data engines
+    conventionally run THP-disabled for exactly this reason; the TLB
+    win THP offers is negligible next to the compaction storms. The
+    prctl is per-process, needs no privileges, and is inherited by
+    raylet/workers started after it — importing this package inside a
+    Ray worker covers that worker before any BLAS pool is faulted."""
+    import sys
+
+    if not sys.platform.startswith("linux"):
+        return
+    try:
+        import ctypes
+
+        PR_SET_THP_DISABLE = 41
+        ctypes.CDLL(None).prctl(PR_SET_THP_DISABLE, 1, 0, 0, 0)
+    except Exception:
+        pass  # best effort: a denied prctl only loses the mitigation
+
+
+_disable_thp()
