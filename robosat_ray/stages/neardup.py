@@ -68,19 +68,18 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     millions of singleton buckets pays per-group overhead, a few
     hundred buckets don't (band keys are already uniform hashes, so a
     bare modulus is fine HERE)."""
-    from robosat_ray.functions.text_hash import batch_minhash_signatures
+    from robosat_ray.functions.text_hash import batch_band_keys, batch_minhash_signatures
 
     ids = batch.column("doc_id").to_numpy()
     texts = batch.column("text").to_pylist()
     out_id = np.repeat(ids, N_BANDS)
-    keys = np.empty(len(ids) * N_BANDS, dtype=np.int64)
     bands = np.arange(N_BANDS, dtype=np.uint64)
     sigs = batch_minhash_signatures(texts)  # (n_docs, N_PERM) one numpy pass
-    for i in range(len(texts)):
-        combined = (
-            band_keys(sigs[i]).astype(np.uint64) * np.uint64(1099511628211) + bands
-        ) & np.uint64(0x7FFFFFFFFFFFFFFF)
-        keys[i * N_BANDS : (i + 1) * N_BANDS] = combined.astype(np.int64)
+    combined = (
+        batch_band_keys(sigs).astype(np.uint64) * np.uint64(1099511628211)
+        + bands[None, :]
+    ) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    keys = combined.astype(np.int64).reshape(-1)
     return pa.table(
         {
             "doc_id": pa.array(out_id),
