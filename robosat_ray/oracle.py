@@ -634,6 +634,24 @@ SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
 FROM events GROUP BY 1, 2
 """
 
+# TPC-H-Q3-style multi-join aggregate; revenue quantized to integer
+# cents per row (FLOOR(x*100 + 0.5), identical IEEE expression to the
+# engine's np.floor) so the SUM is an exact int64 — no float-order
+# parity concern across partial aggregation.
+ORDER_REVENUE = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY n.n_name
+"""
+
 # As-of attribution join: DuckDB native ASOF LEFT JOIN; right side
 # deduped per (user, ts) to max event_id so tie resolution is
 # deterministic on both sides. match_value rounded to 6 dp on both

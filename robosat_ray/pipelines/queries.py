@@ -350,6 +350,76 @@ def q_events_sessions(sf_dir: str):
     return sessionize(ev)
 
 
+def q_order_revenue(sf_dir: str):
+    """TPC-H-Q3-style relational pipeline over the generic join
+    operators: customer(BUILDING) ⋈nation broadcast -> orders(pre-1996)
+    broadcast-joined to the customer map -> lineitem co-partition join
+    on orderkey (the one large x large shuffle) -> per-nation revenue.
+    Revenue quantized to integer cents PER ROW (floor(x*100 + 0.5),
+    identical IEEE expr in SQL) so the aggregate is an exact int64 sum
+    — order-free across partial aggregation."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from robosat_ray.stages.join import broadcast_join, copartition_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_mktsegment"]
+    ).filter(expr="c_mktsegment == 'BUILDING'")
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).map_batches(
+        lambda b: b.rename_columns(["c_nationkey", "n_name"]), batch_format="pyarrow"
+    )
+    cust_n = broadcast_join(cust, nation, on="c_nationkey", how="inner").select_columns(
+        ["c_custkey", "n_name"]
+    )
+
+    cutoff = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def pre96(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate").cast(pa.int64()).to_numpy()
+        return b.filter(pa.array(ts < cutoff)).drop_columns(["o_orderdate"])
+
+    orders = orders.map_batches(pre96, batch_format="pyarrow").map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "c_custkey"]), batch_format="pyarrow"
+    )
+    orders_n = broadcast_join(orders, cust_n, on="c_custkey", how="inner").select_columns(
+        ["l_orderkey", "n_name"]
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        rev = b.column("l_extendedprice").to_numpy() * (
+            1.0 - b.column("l_discount").to_numpy()
+        )
+        q = np.floor(rev * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"), "rev_cents": pa.array(q)}
+        )
+
+    li = li.map_batches(cents, batch_format="pyarrow")
+    joined = copartition_join(
+        li, orders_n, on="l_orderkey", how="inner",
+        # explicit side schemas: orders_n ends in filter -> inner join
+        # -> select_columns, where Ray's sampled schema is unreliable
+        schema_hints={
+            "left": {"l_orderkey": pa.int64(), "rev_cents": pa.int64()},
+            "right": {"l_orderkey": pa.int64(), "n_name": pa.string()},
+        },
+    )
+    return joined.groupby("n_name").aggregate(
+        Count(alias_name="n_lines"), Sum("rev_cents", alias_name="revenue_cents")
+    )
+
+
 def q_events_asof(sf_dir: str):
     """Attribution as-of join: for each purchase event, the latest view
     event of the same user at or before it (DuckDB ASOF LEFT JOIN is
@@ -579,6 +649,7 @@ QUERIES = {
     "emb_dup": q_emb_dup,
     "epoch_loss": q_epoch_loss,
     "events_sessions": q_events_sessions,
+    "order_revenue": q_order_revenue,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
     "sample_stratified": q_sample_stratified,
@@ -623,6 +694,7 @@ ORACLES = {
     "epoch_loss": oracle.EPOCH_LOSS,
     "media_features": oracle.MEDIA_FEATURES,
     "events_sessions": oracle.EVENTS_SESSIONS,
+    "order_revenue": oracle.ORDER_REVENUE,
     "events_asof": oracle.EVENTS_ASOF,
     "events_range_join": oracle.EVENTS_RANGE_JOIN,
     "sample_stratified": oracle.SAMPLE_STRATIFIED,

@@ -1,0 +1,89 @@
+"""Generic join operators vs pandas merge ground truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from robosat_ray.stages.join import broadcast_join, copartition_join
+
+
+def _mk(rng, n, key_lo, key_hi, cols):
+    d = {"k": rng.integers(key_lo, key_hi, n)}
+    for c in cols:
+        d[c] = rng.integers(0, 1000, n)
+    return pd.DataFrame(d)
+
+
+def _sorted(df):
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+
+
+def test_broadcast_join_inner_and_left():
+    rng = np.random.default_rng(5)
+    left = _mk(rng, 500, 0, 60, ["lv"])
+    # right: unique keys (lookup-table shape)
+    rk = rng.permutation(60)[:40]
+    right = pd.DataFrame({"k": rk, "rv": rng.integers(0, 1000, len(rk))})
+    lds = ray.data.from_pandas(left).repartition(7)
+    rds = ray.data.from_pandas(right)
+
+    got_i = _sorted(broadcast_join(lds, rds, on="k", how="inner").to_pandas())
+    want_i = _sorted(left.merge(right, on="k", how="inner"))
+    pd.testing.assert_frame_equal(got_i.astype(np.int64), want_i.astype(np.int64))
+
+    got_l = _sorted(broadcast_join(lds, rds, on="k", how="left").to_pandas())
+    want_l = _sorted(left.merge(right, on="k", how="left"))
+    # unmatched right values are null on both sides
+    assert got_l["rv"].isna().sum() == want_l["rv"].isna().sum()
+    pd.testing.assert_frame_equal(
+        got_l.astype({"k": np.int64, "lv": np.int64, "rv": np.float64}),
+        want_l.astype({"k": np.int64, "lv": np.int64, "rv": np.float64}),
+    )
+
+
+def test_copartition_join_matches_pandas():
+    rng = np.random.default_rng(6)
+    left = _mk(rng, 800, 0, 100, ["lv"])
+    right = _mk(rng, 300, 50, 150, ["rv"])  # duplicate keys both sides
+    lds = ray.data.from_pandas(left).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(3)
+
+    got = _sorted(copartition_join(lds, rds, on="k", how="inner").to_pandas())
+    want = _sorted(left.merge(right, on="k", how="inner"))
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+
+def test_copartition_join_left_outer():
+    rng = np.random.default_rng(7)
+    left = _mk(rng, 300, 0, 50, ["lv"])
+    right = _mk(rng, 100, 25, 75, ["rv"])
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+
+    got = _sorted(copartition_join(lds, rds, on="k", how="left").to_pandas())
+    want = _sorted(left.merge(right, on="k", how="left"))
+    assert got["rv"].isna().sum() == want["rv"].isna().sum()
+    pd.testing.assert_frame_equal(
+        got.astype({"k": np.int64, "lv": np.int64, "rv": np.float64}),
+        want.astype({"k": np.int64, "lv": np.int64, "rv": np.float64}),
+    )
+
+
+def test_copartition_join_schema_hints():
+    """Hinted schemas bypass Dataset.schema() sampling entirely."""
+    rng = np.random.default_rng(8)
+    left = _mk(rng, 200, 0, 30, ["lv"])
+    right = _mk(rng, 80, 0, 30, ["rv"])
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+    hints = {
+        "left": {"k": pa.int64(), "lv": pa.int64()},
+        "right": {"k": pa.int64(), "rv": pa.int64()},
+    }
+    got = _sorted(
+        copartition_join(lds, rds, on="k", how="inner", schema_hints=hints).to_pandas()
+    )
+    want = _sorted(left.merge(right, on="k", how="inner"))
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
