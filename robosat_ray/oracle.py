@@ -652,6 +652,44 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY n.n_name
 """
 
+# Exact quantiles, integer arithmetic only (mirrors stages/quantiles:
+# q-quantile = smallest value whose running count reaches
+# ceil(q*total/100) = (q*total + 99) // 100)
+PRICE_QUANTILES = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, price_cents, COUNT(*) AS n FROM v GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, price_cents,
+         SUM(n) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                      ROWS UNBOUNDED PRECEDING) AS cum_n,
+         SUM(n) OVER (PARTITION BY l_returnflag) AS total
+  FROM c
+)
+SELECT l_returnflag, q.q AS q_pct, MIN(price_cents) AS value
+FROM cum, (SELECT UNNEST([25, 50, 75, 95]) AS q) q
+WHERE cum_n >= (q.q * total + 99) // 100
+GROUP BY l_returnflag, q.q
+"""
+
+# Pivot-as-aggregate: per-user event-type counts + purchase cents
+EVENTS_PIVOT = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COALESCE(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+            FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS purchase_cents
+FROM events GROUP BY user_id
+"""
+
 # As-of attribution join: DuckDB native ASOF LEFT JOIN; right side
 # deduped per (user, ts) to max event_id so tie resolution is
 # deterministic on both sides. match_value rounded to 6 dp on both

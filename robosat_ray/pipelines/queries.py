@@ -420,6 +420,43 @@ def q_order_revenue(sf_dir: str):
     )
 
 
+def q_price_quantiles(sf_dir: str):
+    """Exact distributed quantiles of lineitem price (integer cents)
+    per returnflag — the scalable exact algorithm: algebraic
+    (group, value)->count reduction first, quantile pick over the
+    compressed table after. Pure-integer rule mirrored in SQL."""
+    import ray.data
+
+    from robosat_ray.stages.quantiles import group_quantiles
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        q = np.floor(b.column("l_extendedprice").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"l_returnflag": b.column("l_returnflag"), "price_cents": pa.array(q)}
+        )
+
+    return group_quantiles(
+        li.map_batches(cents, batch_format="pyarrow"), "l_returnflag", "price_cents"
+    )
+
+
+def q_events_pivot(sf_dir: str):
+    """Per-user pivot: event counts per type + purchase cents sum —
+    pivot expressed as indicator columns + one algebraic groupby."""
+    import ray.data
+
+    from robosat_ray.stages.events import pivot_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    return pivot_counts(ev)
+
+
 def q_events_asof(sf_dir: str):
     """Attribution as-of join: for each purchase event, the latest view
     event of the same user at or before it (DuckDB ASOF LEFT JOIN is
@@ -650,6 +687,8 @@ QUERIES = {
     "epoch_loss": q_epoch_loss,
     "events_sessions": q_events_sessions,
     "order_revenue": q_order_revenue,
+    "price_quantiles": q_price_quantiles,
+    "events_pivot": q_events_pivot,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
     "sample_stratified": q_sample_stratified,
@@ -695,6 +734,8 @@ ORACLES = {
     "media_features": oracle.MEDIA_FEATURES,
     "events_sessions": oracle.EVENTS_SESSIONS,
     "order_revenue": oracle.ORDER_REVENUE,
+    "price_quantiles": oracle.PRICE_QUANTILES,
+    "events_pivot": oracle.EVENTS_PIVOT,
     "events_asof": oracle.EVENTS_ASOF,
     "events_range_join": oracle.EVENTS_RANGE_JOIN,
     "sample_stratified": oracle.SAMPLE_STRATIFIED,

@@ -253,6 +253,37 @@ def range_join(
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_counts(events_ds):
+    """Per-user pivot of the event log: one column per event type
+    (n_<type>) plus the purchase-value sum — indicator columns in
+    map_batches, then a single algebraic groupby (the classic
+    pivot-as-aggregate; no per-user groups materialize)."""
+    from ray.data.aggregate import Sum
+
+    def ind(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        val = b.column("value").to_numpy()
+        cols = {"user_id": b.column("user_id")}
+        for t in EVENT_TYPES:
+            cols[f"n_{t}"] = pa.array((et == t).astype(np.int64))
+        cols["purchase_cents"] = pa.array(
+            np.where(et == "purchase", np.floor(val * 100.0 + 0.5), 0.0).astype(np.int64)
+        )
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES]
+    aggs.append(Sum("purchase_cents", alias_name="purchase_cents"))
+    return (
+        events_ds.select_columns(["user_id", "event_type", "value"])
+        .map_batches(ind, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
