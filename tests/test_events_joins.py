@@ -167,3 +167,31 @@ def test_range_matches_bruteforce_random():
         "event_id"
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["event_id", "n_prior", "sum_prior"]], want)
+
+
+def test_joins_partitioning_invariant():
+    """Co-partition joins must give identical results regardless of
+    input block layout (1 block vs many)."""
+    rng = np.random.default_rng(21)
+    n = 300
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 9, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 4000, n) * US, pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(np.where(rng.random(n) < 0.5, "purchase", "view").tolist()),
+            "value": pa.array(rng.random(n).round(3), pa.float64()),
+        }
+    )
+
+    def run(ds):
+        return (
+            asof_join(ds, "purchase", "view")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+
+    one = run(ray.data.from_arrow(t))
+    many = run(ray.data.from_arrow(t).repartition(13))
+    pd.testing.assert_frame_equal(one, many)
