@@ -56,9 +56,13 @@ def broadcast_join(left_ds, right, on: str, how: str = "inner"):
     def join_batch(batch: pa.Table, _ref=rref) -> pa.Table:
         rkeys, rtab = ray.get(_ref)
         lk = batch.column(on).to_numpy()
-        pos = np.searchsorted(rkeys, lk)
-        pos_c = np.clip(pos, 0, max(len(rkeys) - 1, 0))
-        hit = (len(rkeys) > 0) & (pos < len(rkeys)) & (rkeys[pos_c] == lk)
+        if len(rkeys) == 0:
+            pos_c = np.zeros(len(lk), dtype=np.int64)
+            hit = np.zeros(len(lk), dtype=bool)
+        else:
+            pos = np.searchsorted(rkeys, lk)
+            pos_c = np.clip(pos, 0, len(rkeys) - 1)
+            hit = (pos < len(rkeys)) & (rkeys[pos_c] == lk)
         if how == "inner":
             sel = np.nonzero(hit)[0]
             out = batch.take(pa.array(sel))
@@ -68,6 +72,10 @@ def broadcast_join(left_ds, right, on: str, how: str = "inner"):
             return out
         # left: keep all rows, null right columns where unmatched
         out = batch
+        if len(rkeys) == 0:
+            for c in rcols:
+                out = out.append_column(c, pa.nulls(len(batch), rtab.schema.field(c).type))
+            return out
         ridx = pa.array(np.where(hit, pos_c, 0))
         valid = pa.array(hit)
         for c in rcols:

@@ -87,3 +87,15 @@ def test_copartition_join_schema_hints():
     )
     want = _sorted(left.merge(right, on="k", how="inner"))
     pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+
+def test_broadcast_join_empty_right():
+    rng = np.random.default_rng(9)
+    left = _mk(rng, 50, 0, 10, ["lv"])
+    right = pd.DataFrame({"k": pd.Series([], dtype=np.int64), "rv": pd.Series([], dtype=np.int64)})
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+    got_l = broadcast_join(lds, rds, on="k", how="left").to_pandas()
+    assert len(got_l) == len(left) and got_l["rv"].isna().all()
+    got_i = broadcast_join(lds, rds, on="k", how="inner").to_pandas()
+    assert len(got_i) == 0
