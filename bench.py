@@ -97,7 +97,8 @@ def run_bench() -> dict:
     for name in () if SKIP_QUERIES else (
         "tile_assign", "cover", "spatial_join", "knn", "exact_dedup",
         "token_count", "rasterize_fg", "merge_components", "dedupe",
-        "near_dup", "ann", "events_window",
+        "near_dup", "ann", "events_window", "order_revenue",
+        "events_asof", "fingerprints", "price_quantiles",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)
