@@ -57,7 +57,8 @@ def main(argv=None):
     p.add_argument("cmd", choices=[
         "cover", "rasterize", "features", "merge", "merge-geometry",
         "dedupe", "predict", "weights", "join", "knn", "neardup",
-        "embdup", "ann", "lineage",
+        "embdup", "ann", "lineage", "asof", "rangejoin", "revenue",
+        "quantiles", "pivot", "fingerprints",
     ])
     p.add_argument("--sf", default="/root/testdata/sf0.001")
     p.add_argument("--out", default=None)
@@ -111,6 +112,18 @@ def main(argv=None):
         _emit(Q.q_near_dup(sf), args.out)
     elif args.cmd == "ann":
         _emit(Q.q_ann(sf), args.out)
+    elif args.cmd == "asof":
+        _emit(Q.q_events_asof(sf), args.out)
+    elif args.cmd == "rangejoin":
+        _emit(Q.q_events_range_join(sf), args.out)
+    elif args.cmd == "revenue":
+        _emit(Q.q_order_revenue(sf), args.out)
+    elif args.cmd == "quantiles":
+        _emit(Q.q_price_quantiles(sf), args.out)
+    elif args.cmd == "pivot":
+        _emit(Q.q_events_pivot(sf), args.out)
+    elif args.cmd == "fingerprints":
+        _emit(Q.q_fingerprints(sf), args.out)
     elif args.cmd == "lineage":
         from robosat_ray.runtime.lineage import lineage_table
 
