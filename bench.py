@@ -99,6 +99,7 @@ def run_bench() -> dict:
         "token_count", "rasterize_fg", "merge_components", "dedupe",
         "near_dup", "ann", "events_window", "order_revenue",
         "events_asof", "fingerprints", "price_quantiles",
+        "events_window_fns", "simhash_dup", "pricing_summary",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

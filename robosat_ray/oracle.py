@@ -1113,3 +1113,69 @@ SELECT query_id, neighbor_id, rank FROM (
 ANN_IVF = _ivf_sql(
     n_lists=16, iters=8, nprobe=6, k=C.ANN_K, stride=C.ANN_STRIDE, sample_limit=400
 )
+
+
+# SimHash hamming-distance near-dup pairs. The oracle uses the SAME
+# pigeonhole-banded plan as the engine (4 x 16-bit bands over the
+# 63-bit fingerprint; hamming <= 3 < 4 bands => at least one band
+# agrees), so candidacy is exact and the SQL stays O(collisions)
+# instead of O(N^2) at sweep scales.
+SIMHASH_DUP = f"""
+WITH sh AS ({SIMHASH}),
+bands AS (
+  SELECT doc_id, simhash, b.b AS band,
+         (simhash // CAST(power(2, b.b * 16) AS BIGINT)) % 65536 AS band_val
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
+# Ordered window functions over the events log (stages/window.py).
+# Values quantized per row to integer micro-units with the identical
+# IEEE expression the engine computes, so frame sums are exact int64.
+EVENTS_WINDOW_FNS = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vmicro
+  FROM events
+)
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER w AS rn,
+       LAG(vmicro, 1, 0) OVER w AS lag_vmicro,
+       LEAD(vmicro, 1, 0) OVER w AS lead_vmicro,
+       CAST(SUM(vmicro) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS roll3_vmicro,
+       RANK() OVER (PARTITION BY user_id ORDER BY vmicro DESC)
+         AS value_rank
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# TPC-H-Q1-shaped pricing summary over lineitem: per-row quantization
+# to integer cents (identical IEEE expression as the engine's numpy
+# kernel) makes every SUM an exact int64 — order-free across partial
+# aggregation, no float-summation-order hazard.
+PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_qty_c,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_base_c,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_c,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""

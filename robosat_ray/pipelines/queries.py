@@ -350,6 +350,100 @@ def q_events_sessions(sf_dir: str):
     return sessionize(ev)
 
 
+def q_events_window_fns(sf_dir: str):
+    """Ordered window functions (lag/lead/row_number/rolling-frame
+    sum/rank) within each user's event stream — the windowed-aggregate
+    family as ONE co-partition shuffle + vectorized pandas kernels;
+    all-integer output with a DuckDB window-function oracle."""
+    import ray.data
+
+    from robosat_ray.stages.window import window_functions
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return window_functions(ev)
+
+
+def q_simhash_dup(sf_dir: str):
+    """SimHash hamming-distance near-dup pairs (<=3 differing bits)
+    via pigeonhole-exact 4x16-bit banding — candidacy by band-equality
+    groupby, popcount verify in-group, pair-dedupe across bands."""
+    from robosat_ray.stages.neardup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs_ds(sf_dir))
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary over lineitem: per-batch
+    quantize-to-cents + partial per-group sums (combiner inside
+    map_batches), then a tiny 6-group global aggregate — the
+    pre-aggregate-before-groupby pattern at its purest."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    cutoff = np.datetime64("1999-01-01").astype("datetime64[us]").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ts = b.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = ts <= cutoff
+        p = b.column("l_extendedprice").to_numpy()[keep]
+        d = b.column("l_discount").to_numpy()[keep]
+        t = b.column("l_tax").to_numpy()[keep]
+        q = b.column("l_quantity").to_numpy()[keep]
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b.column("l_returnflag").to_numpy(zero_copy_only=False)[keep],
+                "l_linestatus": b.column("l_linestatus").to_numpy(zero_copy_only=False)[keep],
+                # identical IEEE exprs as the oracle's floor(x*100+0.5)
+                "sum_qty_c": np.floor(q * 100 + 0.5).astype(np.int64),
+                "sum_base_c": np.floor(p * 100 + 0.5).astype(np.int64),
+                "sum_disc_c": np.floor(p * (1 - d) * 100 + 0.5).astype(np.int64),
+                "sum_charge_c": np.floor(p * (1 - d) * (1 + t) * 100 + 0.5).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)
+            .agg(
+                sum_qty_c=("sum_qty_c", "sum"),
+                sum_base_c=("sum_base_c", "sum"),
+                sum_disc_c=("sum_disc_c", "sum"),
+                sum_charge_c=("sum_charge_c", "sum"),
+                n_rows=("sum_qty_c", "size"),
+            )
+        )
+        g["n_rows"] = g["n_rows"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_c", alias_name="sum_qty_c"),
+            Sum("sum_base_c", alias_name="sum_base_c"),
+            Sum("sum_disc_c", alias_name="sum_disc_c"),
+            Sum("sum_charge_c", alias_name="sum_charge_c"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
 def q_order_revenue(sf_dir: str):
     """TPC-H-Q3-style relational pipeline over the generic join
     operators: customer(BUILDING) ⋈nation broadcast -> orders(pre-1996)
@@ -693,6 +787,9 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "sample_stratified": q_sample_stratified,
     "top_docs_per_lang": q_top_docs_per_lang,
+    "events_window_fns": q_events_window_fns,
+    "simhash_dup": q_simhash_dup,
+    "pricing_summary": q_pricing_summary,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -740,4 +837,7 @@ ORACLES = {
     "events_range_join": oracle.EVENTS_RANGE_JOIN,
     "sample_stratified": oracle.SAMPLE_STRATIFIED,
     "top_docs_per_lang": oracle.TOP_DOCS_PER_LANG,
+    "events_window_fns": oracle.EVENTS_WINDOW_FNS,
+    "simhash_dup": oracle.SIMHASH_DUP,
+    "pricing_summary": oracle.PRICING_SUMMARY,
 }

@@ -310,3 +310,121 @@ def simhash_table(docs_ds):
         )
 
     return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-distance near-dup pairs (banded, pigeonhole-exact)
+# ---------------------------------------------------------------------------
+
+# 4 bands x 16 bits over the 63-bit simhash: any pair with hamming
+# distance <= SIMHASH_MAX_HAMMING (< number of bands) must agree on at
+# least one full band (pigeonhole), so band-equality candidacy is
+# EXACT, not approximate — the banded plan returns the identical pair
+# set a quadratic all-pairs scan would, at O(collisions) cost.
+SIMHASH_N_BANDS = 4
+SIMHASH_BAND_BITS = 16
+SIMHASH_MAX_HAMMING = 3
+# cap pathological equal-band runs (a run that large means thousands of
+# near-identical fingerprints — exact dedup upstream is the real fix);
+# logged assumption, same pattern as _bucket_pairs' 200-doc run cap
+_SIMDUP_RUN_CAP = 1000
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR reduction, no Python loop)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def _simband_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, simhash) -> SIMHASH_N_BANDS rows per doc keyed by
+    (band index folded with the band's 16-bit value); grouped by a
+    compact bucket like the LSH pass (band keys are uniform, bare
+    modulus is fine)."""
+    ids = batch.column("doc_id").to_numpy()
+    sh = batch.column("simhash").to_numpy().astype(np.uint64)
+    bands = np.arange(SIMHASH_N_BANDS, dtype=np.uint64)
+    vals = (sh[:, None] >> (bands[None, :] * np.uint64(SIMHASH_BAND_BITS))) & np.uint64(
+        0xFFFF
+    )
+    # fold band index into the key so one equality test covers both
+    keys = ((bands[None, :] << np.uint64(SIMHASH_BAND_BITS)) | vals).astype(
+        np.int64
+    ).reshape(-1)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(ids, SIMHASH_N_BANDS)),
+            "simhash": pa.array(np.repeat(sh.astype(np.int64), SIMHASH_N_BANDS)),
+            "band_key": pa.array(keys),
+            "bucket": pa.array(keys % NUM_LSH_BUCKETS),
+        }
+    )
+
+
+def _simband_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    """One compact bucket: sort by exact band key, all-pairs within
+    each equal-key run, popcount(xor) filter — fully vectorized."""
+    keys = group["band_key"].to_numpy()
+    ids = group["doc_id"].to_numpy()
+    sh = group["simhash"].to_numpy().astype(np.uint64)
+    order = np.lexsort((ids, keys))
+    keys, ids, sh = keys[order], ids[order], sh[order]
+    starts = np.concatenate([[0], np.nonzero(np.diff(keys))[0] + 1, [len(keys)]])
+    out_a, out_b, out_h = [], [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        n = e - s
+        if n < 2 or n > _SIMDUP_RUN_CAP:
+            continue
+        ii, jj = np.triu_indices(n, k=1)
+        h = popcount64(sh[s + ii] ^ sh[s + jj])
+        keep = h <= max_hamming
+        if keep.any():
+            out_a.append(ids[s + ii[keep]])
+            out_b.append(ids[s + jj[keep]])
+            out_h.append(h[keep])
+    if not out_a:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "hamming": pd.Series([], dtype=np.int64),
+            }
+        )
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    return pd.DataFrame(
+        {
+            "doc_a": np.minimum(a, b).astype(np.int64),
+            "doc_b": np.maximum(a, b).astype(np.int64),
+            "hamming": np.concatenate(out_h),
+        }
+    )
+
+
+def simhash_dup_pairs(docs_ds, max_hamming: int = SIMHASH_MAX_HAMMING):
+    """-> Dataset (doc_a, doc_b, hamming): all document pairs whose
+    63-bit SimHash fingerprints differ by <= max_hamming bits.
+
+    Plan: simhash map -> 4-way band explode -> bucketed groupby ->
+    in-group all-pairs popcount verify -> pair-dedupe groupby (a pair
+    can surface from several agreeing bands). Requires
+    max_hamming < SIMHASH_N_BANDS for the pigeonhole guarantee."""
+    from ray.data.aggregate import Min
+
+    assert max_hamming < SIMHASH_N_BANDS, "pigeonhole guarantee needs k < bands"
+    sh = simhash_table(docs_ds).select_columns(["doc_id", "simhash"])
+    pairs = (
+        sh.map_batches(_simband_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _simband_pairs(g, max_hamming), batch_format="pandas"
+        )
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )

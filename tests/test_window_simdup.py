@@ -1,0 +1,103 @@
+"""Window functions + simhash hamming-dup: property tests beyond the
+oracle parity sweep (partitioning invariance, banded == brute force)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from robosat_ray.stages.neardup import (
+    SIMHASH_MAX_HAMMING,
+    popcount64,
+    simhash_dup_pairs,
+    simhash_table,
+)
+from robosat_ray.stages.window import window_functions
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_popcount64_matches_python():
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 2**63, size=1000, dtype=np.int64).astype(np.uint64)
+    got = popcount64(xs)
+    want = np.array([bin(int(x)).count("1") for x in xs])
+    assert (got == want).all()
+
+
+def test_simhash_dup_equals_bruteforce():
+    """Banded pigeonhole plan == quadratic scan (exactness, not
+    approximation) on the real corpus."""
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = (
+        simhash_dup_pairs(docs)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    sh = simhash_table(docs).to_pandas()
+    ids = sh["doc_id"].to_numpy()
+    hs = sh["simhash"].to_numpy().astype(np.uint64)
+    ii, jj = np.triu_indices(len(ids), k=1)
+    h = popcount64(hs[ii] ^ hs[jj])
+    keep = h <= SIMHASH_MAX_HAMMING
+    want = (
+        pd.DataFrame(
+            {
+                "doc_a": np.minimum(ids[ii[keep]], ids[jj[keep]]),
+                "doc_b": np.maximum(ids[ii[keep]], ids[jj[keep]]),
+                "hamming": h[keep],
+            }
+        )
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_window_functions_partitioning_invariant(nparts):
+    """Same result whatever the input block structure (the co-partition
+    groupby must be the only ordering authority)."""
+    ev = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).repartition(nparts)
+    out = (
+        window_functions(ev)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # invariants: rn is 1..n_user contiguous, roll3 of first row = value
+    by = out.groupby("user_id")
+    assert (by["rn"].min() == 1).all()
+    assert (by["rn"].max() == by["rn"].count()).all()
+    first = out[out["rn"] == 1]
+    assert (first["lag_vmicro"] == 0).all()
+    if not hasattr(test_window_functions_partitioning_invariant, "_ref"):
+        test_window_functions_partitioning_invariant._ref = out
+    else:
+        pd.testing.assert_frame_equal(
+            test_window_functions_partitioning_invariant._ref, out
+        )
+
+
+def test_window_rank_ties():
+    """RANK (method=min with gaps) semantics on a constructed tie."""
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([5, 5, 5, 5], pa.int64()),
+                "ts": pa.array([10, 20, 30, 40], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "value": pa.array([2.0, 2.0, 1.0, 3.0]),
+            }
+        )
+    )
+    out = window_functions(ev).to_pandas().sort_values("event_id")
+    assert out["value_rank"].tolist() == [2, 2, 4, 1]
+    assert out["roll3_vmicro"].tolist() == [2000000, 4000000, 5000000, 6000000]
+    assert out["lead_vmicro"].tolist() == [2000000, 1000000, 3000000, 0]
