@@ -587,9 +587,9 @@ totals AS (
   SELECT SUM(fg) AS c1, SUM({_RS * _RS} - fg) AS c0 FROM fgq
 )
 SELECT CAST(0 AS BIGINT) AS class_idx, CAST(c0 AS BIGINT) AS pixel_count,
-       ROUND(1.0 / ln(1.02 + CAST(c0 AS DOUBLE) / (c0 + c1)), 8) AS weight FROM totals
+       CAST(FLOOR(1000000.0 / ln(1.02 + CAST(c0 AS DOUBLE) / (c0 + c1)) + 0.5) AS BIGINT) AS weight_micro FROM totals
 UNION ALL
-SELECT 1, CAST(c1 AS BIGINT), ROUND(1.0 / ln(1.02 + CAST(c1 AS DOUBLE) / (c0 + c1)), 8) FROM totals
+SELECT 1, CAST(c1 AS BIGINT), CAST(FLOOR(1000000.0 / ln(1.02 + CAST(c1 AS DOUBLE) / (c0 + c1)) + 0.5) AS BIGINT) FROM totals
 """
 
 # reference tools/compare.py:44-49: keep tiles whose foreground share
@@ -1178,4 +1178,22 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+"""
+
+# Generic anti-join (broadcast distinct-key strategy): lapsed
+# customers -- no order placed since mid-2000.
+CUST_NO_ORDERS = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-07-01'
+)
+"""
+
+# Generic semi-join (co-partition shuffle strategy): parts with at
+# least one max-quantity (50) shipment.
+ACTIVE_PARTS = """
+SELECT p_partkey, p_size FROM part
+WHERE p_partkey IN (
+  SELECT l_partkey FROM lineitem WHERE l_quantity >= 50
+)
 """

@@ -447,15 +447,16 @@ def q_pricing_summary(sf_dir: str):
 def q_order_revenue(sf_dir: str):
     """TPC-H-Q3-style relational pipeline over the generic join
     operators: customer(BUILDING) ⋈nation broadcast -> orders(pre-1996)
-    broadcast-joined to the customer map -> lineitem co-partition join
-    on orderkey (the one large x large shuffle) -> per-nation revenue.
+    broadcast-joined to the customer map -> lineitem auto_join on
+    orderkey (broadcast while the filtered order map fits a worker,
+    co-partition shuffle past 2M rows) -> per-nation revenue.
     Revenue quantized to integer cents PER ROW (floor(x*100 + 0.5),
     identical IEEE expr in SQL) so the aggregate is an exact int64 sum
     — order-free across partial aggregation."""
     import ray.data
     from ray.data.aggregate import Count, Sum
 
-    from robosat_ray.stages.join import broadcast_join, copartition_join
+    from robosat_ray.stages.join import auto_join, broadcast_join
 
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_mktsegment"]
@@ -500,10 +501,11 @@ def q_order_revenue(sf_dir: str):
         )
 
     li = li.map_batches(cents, batch_format="pyarrow")
-    joined = copartition_join(
+    joined = auto_join(
         li, orders_n, on="l_orderkey", how="inner",
         # explicit side schemas: orders_n ends in filter -> inner join
         # -> select_columns, where Ray's sampled schema is unreliable
+        # (only consulted on the co-partition fallback path)
         schema_hints={
             "left": {"l_orderkey": pa.int64(), "rev_cents": pa.int64()},
             "right": {"l_orderkey": pa.int64(), "n_name": pa.string()},
@@ -745,6 +747,64 @@ def q_subset(sf_dir: str):
     )
 
 
+def q_cust_no_orders(sf_dir: str):
+    """Generic ANTI-join (TPC-H-Q22 flavor): customers with no orders
+    since mid-2000 (lapsed customers). broadcast_semi_join(anti=True):
+    the orders side is reduced to per-batch distinct keys, only the
+    sorted distinct-key int64 array is broadcast, and the customer
+    side streams through a searchsorted membership filter — zero
+    shuffle."""
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from robosat_ray.stages.join import broadcast_semi_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def recent(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(
+            batch.column("o_orderdate"),
+            pa.scalar(_dt.datetime(2000, 7, 1), pa.timestamp("us")),
+        )
+        return pa.table({"c_custkey": batch.filter(m).column("o_custkey")})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(recent, batch_format="pyarrow")
+    return broadcast_semi_join(cust, orders, on="c_custkey", anti=True)
+
+
+def q_active_parts(sf_dir: str):
+    """Generic SEMI-join through the co-partition (shuffle) strategy:
+    parts with at least one max-quantity (50) shipment. Both sides are
+    large at 100 TB — neither is gathered or broadcast; the lineitem
+    side ships only its (filtered, per-batch-distinct) key column
+    through ONE hash-bucket all-to-all."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from robosat_ray.stages.join import copartition_semi_join
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    )
+
+    def bigqty(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch.column("l_quantity"), pa.scalar(50.0))
+        return pa.table({"p_partkey": batch.filter(m).column("l_partkey")})
+
+    li = li.map_batches(bigqty, batch_format="pyarrow")
+    hints = {"left": {"p_partkey": pa.int64(), "p_size": pa.int32()}}
+    return copartition_semi_join(part, li, on="p_partkey", schema_hints=hints)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -790,6 +850,8 @@ QUERIES = {
     "events_window_fns": q_events_window_fns,
     "simhash_dup": q_simhash_dup,
     "pricing_summary": q_pricing_summary,
+    "cust_no_orders": q_cust_no_orders,
+    "active_parts": q_active_parts,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -840,4 +902,6 @@ ORACLES = {
     "events_window_fns": oracle.EVENTS_WINDOW_FNS,
     "simhash_dup": oracle.SIMHASH_DUP,
     "pricing_summary": oracle.PRICING_SUMMARY,
+    "cust_no_orders": oracle.CUST_NO_ORDERS,
+    "active_parts": oracle.ACTIVE_PARTS,
 }

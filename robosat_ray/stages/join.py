@@ -43,8 +43,10 @@ def _as_table(ds_or_table) -> pa.Table:
 def broadcast_join(left_ds, right, on: str, how: str = "inner"):
     """left (Dataset) ⋈ right (small Dataset or Table) on one int64
     key. Right is broadcast via ray.put once; each batch resolves
-    matches with a sorted-array searchsorted (no Python loop, no
-    shuffle). how: 'inner' or 'left' (left fills nulls)."""
+    matches with sorted-array searchsorted lo/hi bounds plus a
+    run-length expansion, so DUPLICATE right keys produce the full
+    many-to-many cross product (no Python loop, no shuffle).
+    how: 'inner' or 'left' (left fills nulls on unmatched rows)."""
     import ray
 
     rt = _as_table(right).combine_chunks()
@@ -56,35 +58,54 @@ def broadcast_join(left_ds, right, on: str, how: str = "inner"):
     def join_batch(batch: pa.Table, _ref=rref) -> pa.Table:
         rkeys, rtab = ray.get(_ref)
         lk = batch.column(on).to_numpy()
+        n = len(lk)
         if len(rkeys) == 0:
-            pos_c = np.zeros(len(lk), dtype=np.int64)
-            hit = np.zeros(len(lk), dtype=bool)
-        else:
-            pos = np.searchsorted(rkeys, lk)
-            pos_c = np.clip(pos, 0, len(rkeys) - 1)
-            hit = (pos < len(rkeys)) & (rkeys[pos_c] == lk)
+            if how == "inner":
+                return _empty_with(batch, rtab, rcols)
+            out = batch
+            for c in rcols:
+                out = out.append_column(c, pa.nulls(n, rtab.schema.field(c).type))
+            return out
+        lo = np.searchsorted(rkeys, lk, side="left")
+        hi = np.searchsorted(rkeys, lk, side="right")
+        counts = hi - lo
         if how == "inner":
-            sel = np.nonzero(hit)[0]
-            out = batch.take(pa.array(sel))
-            ridx = pa.array(pos_c[sel])
+            total = int(counts.sum())
+            lidx = np.repeat(np.arange(n), counts)
+            starts = np.repeat(lo, counts)
+            cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            ridx = starts + (np.arange(total) - np.repeat(cum, counts))
+            out = batch.take(pa.array(lidx))
+            rsel = pa.array(ridx)
             for c in rcols:
-                out = out.append_column(c, rtab.column(c).take(ridx))
+                out = out.append_column(c, rtab.column(c).take(rsel))
             return out
-        # left: keep all rows, null right columns where unmatched
-        out = batch
-        if len(rkeys) == 0:
-            for c in rcols:
-                out = out.append_column(c, pa.nulls(len(batch), rtab.schema.field(c).type))
-            return out
-        ridx = pa.array(np.where(hit, pos_c, 0))
+        # left: unmatched rows keep ONE null-filled output row
+        ecounts = np.maximum(counts, 1)
+        total = int(ecounts.sum())
+        lidx = np.repeat(np.arange(n), ecounts)
+        starts = np.repeat(lo, ecounts)
+        cum = np.concatenate(([0], np.cumsum(ecounts)[:-1]))
+        ridx = starts + (np.arange(total) - np.repeat(cum, ecounts))
+        hit = np.repeat(counts > 0, ecounts)
+        ridx = np.where(hit, ridx, 0)
+        out = batch.take(pa.array(lidx))
+        rsel = pa.array(ridx)
         valid = pa.array(hit)
         for c in rcols:
-            vals = rtab.column(c).take(ridx)
+            vals = rtab.column(c).take(rsel)
             vals = pa.compute.if_else(valid, vals.combine_chunks(), pa.scalar(None, vals.type))
             out = out.append_column(c, vals)
         return out
 
     return left_ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def _empty_with(batch: pa.Table, rtab: pa.Table, rcols: list) -> pa.Table:
+    out = batch.slice(0, 0)
+    for c in rcols:
+        out = out.append_column(c, pa.nulls(0, rtab.schema.field(c).type))
+    return out
 
 
 def _merge_bucket(
@@ -157,4 +178,139 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner",
     return both.groupby("_bucket").map_groups(
         lambda g: _merge_bucket(g, on, lcols, rcols, how, ldtypes, rdtypes),
         batch_format="pandas",
+    )
+
+
+def _membership_mask(batch: pa.Table, on: str, rkeys: np.ndarray) -> np.ndarray:
+    lk = batch.column(on).to_numpy()
+    if len(rkeys) == 0:
+        return np.zeros(len(lk), dtype=bool)
+    pos = np.searchsorted(rkeys, lk)
+    pos_c = np.clip(pos, 0, len(rkeys) - 1)
+    return (pos < len(rkeys)) & (rkeys[pos_c] == lk)
+
+
+def broadcast_semi_join(left_ds, right, on: str, anti: bool = False):
+    """left SEMI (or ANTI) join right on one int64 key: keep left rows
+    whose key does (semi) / does not (anti) appear in the right side.
+    Only the right side's DISTINCT KEY ARRAY is broadcast (ray.put of a
+    sorted int64 array — far smaller than the table), and the left
+    side streams through a searchsorted membership filter: zero
+    shuffle, the reference's subset (O3) / dedupe-keep (O4) shape.
+    A Dataset right side is reduced to per-batch distinct keys BEFORE
+    the driver gather, so the gather is bounded by the distinct-key
+    count, not the right row count."""
+    import ray
+
+    if isinstance(right, pa.Table):
+        raw = right.column(on).to_numpy()
+    else:
+        dist = right.map_batches(
+            lambda b: pa.table({on: pa.array(np.unique(b.column(on).to_numpy()))}),
+            batch_format="pyarrow",
+        )
+        # only the key column is gathered; an all-empty right side has
+        # no inferable schema, so build the empty key array directly
+        tabs = [t for t in ray.get(dist.to_arrow_refs()) if t.num_rows > 0]
+        raw = (
+            np.concatenate([t.column(on).to_numpy() for t in tabs])
+            if tabs
+            else np.array([], dtype=np.int64)
+        )
+    rkeys = np.unique(raw)
+    rref = ray.put(rkeys)
+
+    def filter_batch(batch: pa.Table, _ref=rref) -> pa.Table:
+        member = _membership_mask(batch, on, ray.get(_ref))
+        keep = ~member if anti else member
+        return batch.take(pa.array(np.nonzero(keep)[0]))
+
+    return left_ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
+def copartition_semi_join(left_ds, right_ds, on: str, anti: bool = False,
+                          num_buckets: int = NUM_JOIN_BUCKETS,
+                          schema_hints: dict | None = None):
+    """Shuffle semi/anti join for a large right side: right is reduced
+    to distinct keys per batch, both sides hash-bucketed in ONE
+    all-to-all, membership decided per bucket with searchsorted. Left
+    rows keep their full payload through the shuffle; right ships only
+    its key column (null-filled to the union layout).
+
+    `schema_hints` = {'left': {col: pa.DataType}} pins the left
+    schema (same Ray sampled-schema caveat as copartition_join)."""
+    if schema_hints is not None:
+        ltypes = dict(schema_hints["left"])
+    else:
+        lschema = left_ds.schema()
+        ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
+    lcols = [c for c in ltypes if c != on]
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch.column(on).to_numpy())
+        t = pa.table({on: pa.array(k)})
+        for c in lcols:
+            t = t.append_column(c, pa.nulls(len(t), ltypes[c]))
+        t = t.append_column("_side", pa.array(np.ones(len(k), np.int8)))
+        return t.append_column("_bucket", pa.array(hash_bucket(k, num_buckets)))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = batch.column(on).to_numpy()
+        t = pa.table({on: batch.column(on)})
+        for c in lcols:
+            t = t.append_column(c, batch.column(c))
+        t = t.append_column("_side", pa.array(np.zeros(len(k), np.int8)))
+        return t.append_column("_bucket", pa.array(hash_bucket(k, num_buckets)))
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(key_rows, batch_format="pyarrow")
+    )
+
+    # null-filled union columns widen ints to float64 in the pandas
+    # block; left rows themselves are null-free, so restore dtypes
+    ldtypes = {c: ltypes[c].to_pandas_dtype() for c in [on] + lcols}
+
+    def filter_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        side = group["_side"].to_numpy()
+        rkeys = np.unique(group.loc[side == 1, on].to_numpy())
+        left = group[side == 0]
+        lk = left[on].to_numpy()
+        if len(rkeys):
+            pos = np.clip(np.searchsorted(rkeys, lk), 0, len(rkeys) - 1)
+            member = rkeys[pos] == lk
+        else:
+            member = np.zeros(len(lk), dtype=bool)
+        keep = ~member if anti else member
+        out = left.iloc[np.nonzero(keep)[0]]
+        return out.drop(columns=["_side", "_bucket"]).astype(ldtypes)
+
+    return both.groupby("_bucket").map_groups(filter_bucket, batch_format="pandas")
+
+
+AUTO_BROADCAST_ROWS = 2_000_000
+
+
+def auto_join(left_ds, right_ds, on: str, how: str = "inner",
+              broadcast_limit: int = AUTO_BROADCAST_ROWS,
+              num_buckets: int = NUM_JOIN_BUCKETS,
+              schema_hints: dict | None = None):
+    """Scale-aware strategy switch between broadcast_join and
+    copartition_join (same rule the spatial join uses at its 2M-row
+    footprint threshold).
+
+    The right side is probed with limit(broadcast_limit + 1) — the
+    streaming executor stops producing once the limit is satisfied, so
+    the probe cost is bounded by the threshold, never the full right
+    side. If the whole right side arrived under the limit it is
+    ALREADY materialized: broadcast it (zero shuffle on the large
+    left). Otherwise fall back to the co-partition plan over the
+    original (lazy) right dataset; the probe prefix is recomputed,
+    which is the bounded price of not knowing the build-side size a
+    priori."""
+    probe = right_ds.limit(broadcast_limit + 1).materialize()
+    if probe.count() <= broadcast_limit:
+        return broadcast_join(left_ds, _as_table(probe), on=on, how=how)
+    return copartition_join(
+        left_ds, right_ds, on=on, how=how,
+        num_buckets=num_buckets, schema_hints=schema_hints,
     )

@@ -34,13 +34,16 @@ def class_weights(masks_ds, n_classes: int = 2) -> pd.DataFrame:
     counts = np.array([agg[f"sum(c{i})"] if f"sum(c{i})" in agg else agg[f"c{i}"] for i in range(n_classes)], dtype=np.int64)
     total = counts.sum()
     probs = counts / total
-    # round to 8 decimals: numpy log and DuckDB ln differ by 1 ulp on
-    # some inputs, which would break exact oracle comparison
-    weights = np.round(1.0 / np.log(1.02 + probs), 8)
+    # integer micro-weight: numpy log and DuckDB ln can differ by 1 ulp,
+    # and float64 ROUND implementations disagree in the last bit — an
+    # int64 at 1e-6 precision is byte-stable across both (flip needs the
+    # true value within ~4e-9 of a .5 boundary). Same IEEE expression
+    # shape as the oracle: 1000000.0 / ln(1.02 + p), half-up.
+    weight_micro = np.floor(1000000.0 / np.log(1.02 + probs) + 0.5).astype(np.int64)
     return pd.DataFrame(
         {
             "class_idx": np.arange(n_classes, dtype=np.int64),
             "pixel_count": counts,
-            "weight": weights,
+            "weight_micro": weight_micro,
         }
     )

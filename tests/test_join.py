@@ -99,3 +99,63 @@ def test_broadcast_join_empty_right():
     assert len(got_l) == len(left) and got_l["rv"].isna().all()
     got_i = broadcast_join(lds, rds, on="k", how="inner").to_pandas()
     assert len(got_i) == 0
+
+
+def test_semi_anti_join_both_strategies():
+    from robosat_ray.stages.join import broadcast_semi_join, copartition_semi_join
+
+    rng = np.random.default_rng(12)
+    left = _mk(rng, 600, 0, 80, ["lv", "lw"])
+    right = _mk(rng, 150, 40, 120, ["rv"])  # duplicate right keys
+    member = left["k"].isin(set(right["k"]))
+    want_semi = _sorted(left[member])
+    want_anti = _sorted(left[~member])
+    lds = ray.data.from_pandas(left).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(3)
+    hints = {"left": {"k": pa.int64(), "lv": pa.int64(), "lw": pa.int64()}}
+
+    for got, want in [
+        (broadcast_semi_join(lds, rds, on="k"), want_semi),
+        (broadcast_semi_join(lds, rds, on="k", anti=True), want_anti),
+        (copartition_semi_join(lds, rds, on="k", schema_hints=hints), want_semi),
+        (copartition_semi_join(lds, rds, on="k", anti=True, schema_hints=hints), want_anti),
+    ]:
+        pd.testing.assert_frame_equal(
+            _sorted(got.to_pandas()), want, check_dtype=False
+        )
+
+
+def test_semi_join_empty_right():
+    from robosat_ray.stages.join import broadcast_semi_join
+
+    rng = np.random.default_rng(13)
+    left = _mk(rng, 40, 0, 10, ["lv"])
+    right = pd.DataFrame({"k": pd.Series([], dtype=np.int64)})
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+    assert broadcast_semi_join(lds, rds, on="k").count() == 0
+    got = broadcast_semi_join(lds, rds, on="k", anti=True).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(left), check_dtype=False)
+
+
+def test_auto_join_both_strategies_match_pandas():
+    from robosat_ray.stages.join import auto_join
+
+    rng = np.random.default_rng(11)
+    left = _mk(rng, 400, 0, 50, ["lv"])
+    right = _mk(rng, 120, 0, 50, ["rv"])
+    want = _sorted(left.merge(right, on="k", how="inner"))
+    lds = ray.data.from_pandas(left).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(3)
+    # right fits under the limit -> broadcast branch
+    got_b = _sorted(auto_join(lds, rds, on="k", broadcast_limit=1000).to_pandas())
+    pd.testing.assert_frame_equal(got_b, want, check_dtype=False)
+    # limit forced below the right size -> co-partition branch
+    hints = {
+        "left": {"k": pa.int64(), "lv": pa.int64()},
+        "right": {"k": pa.int64(), "rv": pa.int64()},
+    }
+    got_c = _sorted(
+        auto_join(lds, rds, on="k", broadcast_limit=10, schema_hints=hints).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got_c, want, check_dtype=False)
