@@ -100,7 +100,8 @@ def run_bench() -> dict:
         "near_dup", "ann", "events_window", "order_revenue",
         "events_asof", "fingerprints", "price_quantiles",
         "events_window_fns", "simhash_dup", "pricing_summary",
-        "cust_no_orders", "active_parts",
+        "cust_no_orders", "active_parts", "hopping_window",
+        "daily_users", "hll_users", "order_counts_dist",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

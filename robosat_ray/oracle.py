@@ -1197,3 +1197,58 @@ WHERE p_partkey IN (
   SELECT l_partkey FROM lineitem WHERE l_quantity >= 50
 )
 """
+
+# Hopping (sliding) windows: each event joins its window_us/hop_us
+# member windows; value quantized to integer micro-units per row
+# (identical IEEE expr to the engine's np.floor) for an exact Sum.
+HOPPING_WINDOW = """
+SELECT (epoch_us(ts) // 3600000000 - i.i) * 3600000000 AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro
+FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+GROUP BY 1
+"""
+
+# Exact per-day distinct users (the engine computes it bucket-partial;
+# the rule is plain COUNT(DISTINCT)).
+DAILY_USERS = """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+# HyperLogLog register table (p=12, m=4096) over distinct user ids:
+# value hash = low 8 md5 bytes little-endian == md5_number % 2^64
+# (the proven simhash identity); register = h % m; rho = leading
+# zeros of the remaining 52-bit field + 1, computed with an integer
+# powers-of-two comparison count (no float log).
+HLL_USERS = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+h AS (
+  SELECT ((md5_number(CAST(user_id AS VARCHAR)) % {_U64}) + {_U64}) % {_U64} AS h
+  FROM u
+),
+r AS (SELECT CAST(h % 4096 AS BIGINT) AS register_idx, h // 4096 AS w FROM h),
+b AS (
+  SELECT register_idx,
+         CASE WHEN w = 0 THEN 53
+              ELSE 53 - (SELECT COUNT(*) FROM (SELECT unnest(generate_series(0, 51)) AS e) p
+                         WHERE CAST(power(2, p.e) AS HUGEINT) <= w)
+         END AS rho
+  FROM r
+)
+SELECT register_idx, CAST(MAX(rho) AS BIGINT) AS rho FROM b GROUP BY register_idx
+"""
+
+# TPC-H-Q13-style: distribution of customers by their non-urgent
+# order count (0 included via the LEFT join).
+ORDER_COUNTS_DIST = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_cust FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+"""

@@ -805,6 +805,89 @@ def q_active_parts(sf_dir: str):
     return copartition_semi_join(part, li, on="p_partkey", schema_hints=hints)
 
 
+def q_order_counts_dist(sf_dir: str):
+    """TPC-H-Q13-style distribution: how many customers placed exactly
+    k non-urgent orders (k includes 0 — the LEFT join's null side).
+    Scale shape: orders pre-aggregated to per-customer counts (small
+    output) BEFORE the join; copartition_join(how='left') keeps both
+    sides streaming; final histogram is a tiny algebraic groupby."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from robosat_ray.stages.join import copartition_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def non_urgent(batch: pa.Table) -> pa.Table:
+        m = pc.not_equal(batch.column("o_orderpriority"), pa.scalar("1-URGENT"))
+        return pa.table({"c_custkey": batch.filter(m).column("o_custkey")})
+
+    counts = (
+        orders.map_batches(non_urgent, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Count(alias_name="c_count"))
+    )
+    joined = copartition_join(
+        cust, counts, on="c_custkey", how="left",
+        schema_hints={
+            "left": {"c_custkey": pa.int64()},
+            "right": {"c_custkey": pa.int64(), "c_count": pa.int64()},
+        },
+    )
+
+    def fill_zero(batch: pa.Table) -> pa.Table:
+        c = batch.column("c_count")
+        return pa.table(
+            {"c_count": pc.coalesce(c, pa.scalar(0, c.type)).cast(pa.int64())}
+        )
+
+    return (
+        joined.map_batches(fill_zero, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Count(alias_name="n_cust"))
+    )
+
+
+def q_hopping_window(sf_dir: str):
+    """Hopping (sliding) 4h windows advancing hourly over the events
+    log: constant-factor event expansion in map_batches, one algebraic
+    groupby — no per-key state, no sort."""
+    import ray.data
+
+    from robosat_ray.stages.events import hopping_window_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return hopping_window_agg(ev)
+
+
+def q_daily_users(sf_dir: str):
+    """Exact per-day COUNT(DISTINCT user_id): in-batch pair dedup ->
+    one user-bucket shuffle -> tiny per-day Sum."""
+    import ray.data
+
+    from robosat_ray.stages.distinct import daily_active_users
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return daily_active_users(ev)
+
+
+def q_hll_users(sf_dir: str):
+    """HyperLogLog register table over user_id (p=12): deterministic
+    integer sketch, bit-exact against the SQL twin; the cardinality
+    estimate is derived from these registers (accuracy asserted in
+    tests/test_distinct.py against the exact count)."""
+    import ray.data
+
+    from robosat_ray.stages.distinct import hll_registers
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hll_registers(ev, col="user_id")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -852,6 +935,10 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_no_orders": q_cust_no_orders,
     "active_parts": q_active_parts,
+    "hopping_window": q_hopping_window,
+    "daily_users": q_daily_users,
+    "hll_users": q_hll_users,
+    "order_counts_dist": q_order_counts_dist,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -904,4 +991,8 @@ ORACLES = {
     "pricing_summary": oracle.PRICING_SUMMARY,
     "cust_no_orders": oracle.CUST_NO_ORDERS,
     "active_parts": oracle.ACTIVE_PARTS,
+    "hopping_window": oracle.HOPPING_WINDOW,
+    "daily_users": oracle.DAILY_USERS,
+    "hll_users": oracle.HLL_USERS,
+    "order_counts_dist": oracle.ORDER_COUNTS_DIST,
 }

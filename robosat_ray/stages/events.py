@@ -38,6 +38,43 @@ def tumbling_window_agg(events_ds, window_us: int = HOUR_US):
     )
 
 
+def hopping_window_agg(events_ds, window_us: int = 4 * HOUR_US,
+                       hop_us: int = HOUR_US):
+    """-> (window_start, n_events, sum_value_micro): HOPPING (sliding)
+    windows of length `window_us` advancing by `hop_us` (window_us must
+    be a multiple). Each event is expanded to its window_us/hop_us
+    member windows inside map_batches — a constant-factor fan-out, no
+    state — then ONE algebraic groupby aggregates per window start.
+    Values are quantized to integer micro-units per row (identical
+    IEEE expression in the SQL twin) so the Sum is an exact int64."""
+    k = window_us // hop_us
+    assert k * hop_us == window_us, "window_us must be a multiple of hop_us"
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        base = ts // hop_us
+        starts = ((base[:, None] - np.arange(k)[None, :]) * hop_us).ravel()
+        v = batch.column("value").to_numpy()
+        vmicro = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "window_start": pa.array(starts),
+                "v_micro": pa.array(np.repeat(vmicro, k)),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        events_ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("v_micro", alias_name="sum_value_micro"),
+        )
+    )
+
+
 def _running_bucket(group: pd.DataFrame) -> pd.DataFrame:
     """One user-hash bucket: vectorized per-user cumsum/cumcount over
     the (user, ts, event_id)-sorted rows — pandas' C groupby kernels,

@@ -1,0 +1,107 @@
+"""Distinct-count + hopping-window operators (stages/distinct.py,
+stages/events.py:hopping_window_agg)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from robosat_ray.stages.distinct import (
+    HLL_M,
+    daily_active_users,
+    hll_estimate,
+    hll_registers,
+)
+from robosat_ray.stages.events import HOUR_US, hopping_window_agg
+
+DAY_US = 86_400_000_000
+
+
+def _events(rng, n, n_users, span_days=5):
+    ts = rng.integers(0, span_days * DAY_US, size=n)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "user_id": rng.integers(0, n_users, size=n).astype(np.int64),
+            "value": rng.uniform(0, 100, size=n),
+        }
+    )
+
+
+def test_daily_active_users_exact():
+    rng = np.random.default_rng(7)
+    df = _events(rng, 5000, 300)
+    want = (
+        df.assign(day=df["ts"].astype(np.int64) // DAY_US)
+        .groupby("day")["user_id"]
+        .nunique()
+        .rename("n_users")
+        .reset_index()
+    )
+    got = (
+        daily_active_users(ray.data.from_pandas(df).repartition(7))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hopping_window_matches_pandas():
+    rng = np.random.default_rng(8)
+    df = _events(rng, 4000, 50, span_days=2)
+    k = 4
+    ts = df["ts"].astype(np.int64).to_numpy()
+    base = ts // HOUR_US
+    starts = ((base[:, None] - np.arange(k)[None, :]) * HOUR_US).ravel()
+    vm = np.repeat(np.floor(df["value"].to_numpy() * 1e6 + 0.5).astype(np.int64), k)
+    want = (
+        pd.DataFrame({"window_start": starts, "v": vm})
+        .groupby("window_start")
+        .agg(n_events=("v", "size"), sum_value_micro=("v", "sum"))
+        .reset_index()
+    )
+    got = (
+        hopping_window_agg(ray.data.from_pandas(df).repartition(5))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every window holds the union of its k hops: total expanded rows
+    assert got["n_events"].sum() == len(df) * k
+
+
+def test_hopping_window_rejects_non_multiple():
+    ds = ray.data.from_pandas(_events(np.random.default_rng(0), 10, 3))
+    with pytest.raises(AssertionError):
+        hopping_window_agg(ds, window_us=3 * HOUR_US, hop_us=2 * HOUR_US)
+
+
+def test_hll_registers_partitioning_invariant_and_estimate():
+    rng = np.random.default_rng(9)
+    n_true = 2000
+    users = rng.choice(np.arange(10_000_000, dtype=np.int64), size=n_true, replace=False)
+    df = pd.DataFrame({"user_id": np.repeat(users, 3)})  # duplicates
+
+    got1 = hll_registers(ray.data.from_pandas(df).repartition(2)).to_pandas()
+    got2 = hll_registers(ray.data.from_pandas(df.sample(frac=1, random_state=1)).repartition(11)).to_pandas()
+    key = lambda d: d.sort_values("register_idx").reset_index(drop=True)
+    # the sketch is a pure function of the value SET: invariant to
+    # row order, duplication, and partitioning
+    pd.testing.assert_frame_equal(key(got1), key(got2))
+
+    est = hll_estimate(got1)
+    # standard error ~ 1.04/sqrt(4096) = 1.6%; allow 5%
+    assert abs(est - n_true) / n_true < 0.05
+
+
+def test_hll_small_range_correction():
+    df = pd.DataFrame({"user_id": np.arange(40, dtype=np.int64)})
+    reg = hll_registers(ray.data.from_pandas(df)).to_pandas()
+    assert len(reg) <= 40 <= HLL_M
+    est = hll_estimate(reg)
+    # linear-counting regime: tiny cardinalities stay near-exact
+    assert abs(est - 40) / 40 < 0.05
