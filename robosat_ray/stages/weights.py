@@ -23,8 +23,9 @@ def partial_bincount(batch: pa.Table, n_classes: int = 2) -> pa.Table:
 
 
 def class_weights(masks_ds, n_classes: int = 2) -> pd.DataFrame:
-    """-> DataFrame (class_idx, pixel_count, weight) with the
-    reference's weight formula w = 1 / ln(1.02 + p)."""
+    """-> DataFrame (class_idx, pixel_count, weight_micro) with the
+    reference's weight formula w = 1 / ln(1.02 + p), emitted as an
+    int64 micro-weight (w * 1e6, half-up)."""
     from ray.data.aggregate import Sum
 
     partials = masks_ds.map_batches(
