@@ -26,6 +26,21 @@ def hash_bucket(keys, n: int) -> np.ndarray:
     return (mix64(keys) % np.uint64(n)).astype(np.int64)
 
 
+def key_bucket(keys, n: int) -> np.ndarray:
+    """hash_bucket generalized to non-integer join keys: integer
+    arrays go through mix64; anything else (strings, objects) through
+    pandas' siphash-based hash_array, which is deterministic across
+    processes (fixed default hash key) — required so both sides of a
+    co-partition shuffle agree on the bucket of a key."""
+    a = np.asarray(keys)
+    if a.dtype.kind in "iu":
+        return hash_bucket(a, n)
+    import pandas as pd
+
+    h = pd.util.hash_array(a.astype(object), categorize=False)
+    return (h % np.uint64(n)).astype(np.int64)
+
+
 def hash_bucket2(a, b, n: int) -> np.ndarray:
     """Bucket of a key pair (e.g. tile_x, tile_y)."""
     k = np.asarray(a).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + np.asarray(

@@ -1252,3 +1252,15 @@ SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_cust FROM (
   GROUP BY c.c_custkey
 ) GROUP BY c_count
 """
+
+# Broadcast STRING-key join: documents joined to a tiny script-family
+# dimension on the lang code, per-family totals.
+LANG_FAMILIES = """
+SELECT f.family, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(d.text)) AS BIGINT) AS sum_chars
+FROM documents d
+JOIN (VALUES ('de','latin'),('en','latin'),('es','latin'),
+             ('fr','latin'),('zh','cjk')) f(lang, family)
+  ON d.lang = f.lang
+GROUP BY f.family
+"""

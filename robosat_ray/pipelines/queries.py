@@ -805,6 +805,46 @@ def q_active_parts(sf_dir: str):
     return copartition_semi_join(part, li, on="p_partkey", schema_hints=hints)
 
 
+def q_lang_families(sf_dir: str):
+    """Broadcast join on a STRING key: documents.lang against a tiny
+    in-code script-family dimension (the url/lang-keyed lookup shape a
+    webtext pipeline needs), then per-family totals. The dim table is
+    ray.put once; left batches resolve via fixed-width-unicode
+    searchsorted — zero shuffle."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from robosat_ray.stages.join import broadcast_join
+
+    dim = pa.table(
+        {
+            "lang": ["de", "en", "es", "fr", "zh"],
+            "family": ["latin", "latin", "latin", "latin", "cjk"],
+        }
+    )
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def chars(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_chars": pc.utf8_length(batch.column("text")).cast(pa.int64()),
+            }
+        )
+
+    withlen = docs.map_batches(chars, batch_format="pyarrow")
+    return (
+        broadcast_join(withlen, dim, on="lang")
+        .groupby("family")
+        .aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+        )
+    )
+
+
 def q_order_counts_dist(sf_dir: str):
     """TPC-H-Q13-style distribution: how many customers placed exactly
     k non-urgent orders (k includes 0 — the LEFT join's null side).
@@ -939,6 +979,7 @@ QUERIES = {
     "daily_users": q_daily_users,
     "hll_users": q_hll_users,
     "order_counts_dist": q_order_counts_dist,
+    "lang_families": q_lang_families,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -995,4 +1036,5 @@ ORACLES = {
     "daily_users": oracle.DAILY_USERS,
     "hll_users": oracle.HLL_USERS,
     "order_counts_dist": oracle.ORDER_COUNTS_DIST,
+    "lang_families": oracle.LANG_FAMILIES,
 }

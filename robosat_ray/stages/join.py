@@ -18,9 +18,19 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from robosat_ray.functions.hashing import hash_bucket
+from robosat_ray.functions.hashing import key_bucket
 
 NUM_JOIN_BUCKETS = 64
+
+
+def _key_array(col) -> np.ndarray:
+    """Join-key column -> numpy array fit for sort/searchsorted:
+    object (string) arrays become fixed-width unicode so comparisons
+    run at C speed; numeric arrays pass through zero-copy."""
+    a = col.to_numpy(zero_copy_only=False)
+    if a.dtype == object:
+        return a.astype("U")
+    return a
 
 
 def _as_table(ds_or_table) -> pa.Table:
@@ -41,8 +51,8 @@ def _as_table(ds_or_table) -> pa.Table:
 
 
 def broadcast_join(left_ds, right, on: str, how: str = "inner"):
-    """left (Dataset) ⋈ right (small Dataset or Table) on one int64
-    key. Right is broadcast via ray.put once; each batch resolves
+    """left (Dataset) ⋈ right (small Dataset or Table) on one key
+    column (int64 or string). Right is broadcast via ray.put once; each batch resolves
     matches with sorted-array searchsorted lo/hi bounds plus a
     run-length expansion, so DUPLICATE right keys produce the full
     many-to-many cross product (no Python loop, no shuffle).
@@ -50,14 +60,14 @@ def broadcast_join(left_ds, right, on: str, how: str = "inner"):
     import ray
 
     rt = _as_table(right).combine_chunks()
-    keys = rt.column(on).to_numpy()
+    keys = _key_array(rt.column(on))
     order = np.argsort(keys, kind="stable")
     rref = ray.put((keys[order], rt.take(pa.array(order))))
     rcols = [c for c in rt.column_names if c != on]
 
     def join_batch(batch: pa.Table, _ref=rref) -> pa.Table:
         rkeys, rtab = ray.get(_ref)
-        lk = batch.column(on).to_numpy()
+        lk = _key_array(batch.column(on))
         n = len(lk)
         if len(rkeys) == 0:
             if how == "inner":
@@ -158,7 +168,7 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner",
         for c in rcols:
             t = t.append_column(c, batch.column(c))
         t = t.append_column("_side", pa.array(np.full(len(t), 1, np.int8)))
-        return t.append_column("_bucket", pa.array(hash_bucket(k, num_buckets)))
+        return t.append_column("_bucket", pa.array(key_bucket(k, num_buckets)))
 
     def tag_left(batch: pa.Table) -> pa.Table:
         t = pa.table({on: batch.column(on)})
@@ -168,7 +178,7 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner",
             t = t.append_column(c, pa.nulls(len(t), rtypes[c]))
         t = t.append_column("_side", pa.array(np.full(len(t), 0, np.int8)))
         k = batch.column(on).to_numpy()
-        return t.append_column("_bucket", pa.array(hash_bucket(k, num_buckets)))
+        return t.append_column("_bucket", pa.array(key_bucket(k, num_buckets)))
 
     both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
@@ -182,7 +192,7 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner",
 
 
 def _membership_mask(batch: pa.Table, on: str, rkeys: np.ndarray) -> np.ndarray:
-    lk = batch.column(on).to_numpy()
+    lk = _key_array(batch.column(on))
     if len(rkeys) == 0:
         return np.zeros(len(lk), dtype=bool)
     pos = np.searchsorted(rkeys, lk)
@@ -191,7 +201,8 @@ def _membership_mask(batch: pa.Table, on: str, rkeys: np.ndarray) -> np.ndarray:
 
 
 def broadcast_semi_join(left_ds, right, on: str, anti: bool = False):
-    """left SEMI (or ANTI) join right on one int64 key: keep left rows
+    """left SEMI (or ANTI) join right on one key column (int64 or
+    string): keep left rows
     whose key does (semi) / does not (anti) appear in the right side.
     Only the right side's DISTINCT KEY ARRAY is broadcast (ray.put of a
     sorted int64 array — far smaller than the table), and the left
@@ -203,17 +214,19 @@ def broadcast_semi_join(left_ds, right, on: str, anti: bool = False):
     import ray
 
     if isinstance(right, pa.Table):
-        raw = right.column(on).to_numpy()
+        raw = _key_array(right.column(on))
     else:
         dist = right.map_batches(
-            lambda b: pa.table({on: pa.array(np.unique(b.column(on).to_numpy()))}),
+            lambda b: pa.table(
+                {on: pa.array(np.unique(_key_array(b.column(on))))}
+            ),
             batch_format="pyarrow",
         )
         # only the key column is gathered; an all-empty right side has
         # no inferable schema, so build the empty key array directly
         tabs = [t for t in ray.get(dist.to_arrow_refs()) if t.num_rows > 0]
         raw = (
-            np.concatenate([t.column(on).to_numpy() for t in tabs])
+            np.concatenate([_key_array(t.column(on)) for t in tabs])
             if tabs
             else np.array([], dtype=np.int64)
         )
@@ -252,7 +265,7 @@ def copartition_semi_join(left_ds, right_ds, on: str, anti: bool = False,
         for c in lcols:
             t = t.append_column(c, pa.nulls(len(t), ltypes[c]))
         t = t.append_column("_side", pa.array(np.ones(len(k), np.int8)))
-        return t.append_column("_bucket", pa.array(hash_bucket(k, num_buckets)))
+        return t.append_column("_bucket", pa.array(key_bucket(k, num_buckets)))
 
     def tag_left(batch: pa.Table) -> pa.Table:
         k = batch.column(on).to_numpy()
@@ -260,7 +273,7 @@ def copartition_semi_join(left_ds, right_ds, on: str, anti: bool = False,
         for c in lcols:
             t = t.append_column(c, batch.column(c))
         t = t.append_column("_side", pa.array(np.zeros(len(k), np.int8)))
-        return t.append_column("_bucket", pa.array(hash_bucket(k, num_buckets)))
+        return t.append_column("_bucket", pa.array(key_bucket(k, num_buckets)))
 
     both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(key_rows, batch_format="pyarrow")

@@ -159,3 +159,46 @@ def test_auto_join_both_strategies_match_pandas():
         auto_join(lds, rds, on="k", broadcast_limit=10, schema_hints=hints).to_pandas()
     )
     pd.testing.assert_frame_equal(got_c, want, check_dtype=False)
+
+
+def test_string_key_joins_both_strategies():
+    from robosat_ray.stages.join import (
+        broadcast_join,
+        broadcast_semi_join,
+        copartition_join,
+        copartition_semi_join,
+    )
+
+    rng = np.random.default_rng(21)
+    keys = np.array([f"url-{i:04d}" for i in range(80)])
+    left = pd.DataFrame(
+        {"k": rng.choice(keys, 500), "lv": rng.integers(0, 1000, 500)}
+    )
+    # duplicate string keys on the right: many-to-many
+    right = pd.DataFrame(
+        {"k": rng.choice(keys[40:], 120), "rv": rng.integers(0, 1000, 120)}
+    )
+    want = _sorted(left.merge(right, on="k", how="inner"))
+    member = left["k"].isin(set(right["k"]))
+    lds = ray.data.from_pandas(left).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(3)
+    hints = {
+        "left": {"k": pa.string(), "lv": pa.int64()},
+        "right": {"k": pa.string(), "rv": pa.int64()},
+    }
+    got_b = _sorted(broadcast_join(lds, rds, on="k", how="inner").to_pandas())
+    pd.testing.assert_frame_equal(got_b, want, check_dtype=False)
+    got_c = _sorted(
+        copartition_join(lds, rds, on="k", schema_hints=hints).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got_c, want, check_dtype=False)
+
+    want_semi = _sorted(left[member])
+    want_anti = _sorted(left[~member])
+    shints = {"left": {"k": pa.string(), "lv": pa.int64()}}
+    got_s = _sorted(broadcast_semi_join(lds, rds, on="k").to_pandas())
+    pd.testing.assert_frame_equal(got_s, want_semi, check_dtype=False)
+    got_a = _sorted(
+        copartition_semi_join(lds, rds, on="k", anti=True, schema_hints=shints).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got_a, want_anti, check_dtype=False)
