@@ -1264,3 +1264,15 @@ JOIN (VALUES ('de','latin'),('en','latin'),('es','latin'),
   ON d.lang = f.lang
 GROUP BY f.family
 """
+
+# Heavy hitters: k most frequent tokens corpus-wide, deterministic
+# count DESC / token ASC tiebreak.
+TOP_TOKENS = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS BIGINT) AS rank
+FROM (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token FROM documents
+) t
+GROUP BY token
+ORDER BY total DESC, token LIMIT 20
+"""

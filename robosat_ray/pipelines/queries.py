@@ -928,6 +928,16 @@ def q_hll_users(sf_dir: str):
     return hll_registers(ev, col="user_id")
 
 
+def q_top_tokens(sf_dir: str):
+    """Corpus heavy hitters: top-20 tokens by frequency (hot-key /
+    skew detection). In-batch partial counts bound the shuffle by
+    vocabulary x blocks; per-block argpartition top-k bounds the
+    driver gather to k x blocks rows."""
+    from robosat_ray.stages.text_ops import top_tokens
+
+    return top_tokens(_docs_ds(sf_dir), k=20)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -980,6 +990,7 @@ QUERIES = {
     "hll_users": q_hll_users,
     "order_counts_dist": q_order_counts_dist,
     "lang_families": q_lang_families,
+    "top_tokens": q_top_tokens,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -1037,4 +1048,5 @@ ORACLES = {
     "hll_users": oracle.HLL_USERS,
     "order_counts_dist": oracle.ORDER_COUNTS_DIST,
     "lang_families": oracle.LANG_FAMILIES,
+    "top_tokens": oracle.TOP_TOKENS,
 }

@@ -113,3 +113,52 @@ def doc_fingerprints(documents_ds):
     return documents_ds.select_columns(["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow"
     )
+
+
+def token_partial_counts(batch: pa.Table) -> pa.Table:
+    """One (token, n) row per DISTINCT token in the batch — the
+    in-batch combiner that bounds the heavy-hitter shuffle by
+    vocabulary x blocks instead of total token count."""
+    texts = batch.column("text").to_pylist()
+    toks: list[str] = []
+    for t in texts:
+        toks.extend(_TOKEN_RE.findall(t))
+    if not toks:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    return pa.table(
+        {"token": pa.array(list(uniq), pa.string()), "n": pa.array(counts.astype(np.int64))}
+    )
+
+
+def top_tokens(documents_ds, k: int = 20):
+    """-> (token, total, rank): the k most frequent tokens across the
+    corpus (heavy hitters / hot-key detection), deterministic tiebreak
+    count DESC then token ASC. Partial counts per batch -> one string
+    groupby Sum over vocabulary-bounded rows -> tiny top-k."""
+    from ray.data.aggregate import Sum
+
+    totals = (
+        documents_ds.select_columns(["text"])
+        .map_batches(token_partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="total"))
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        t = batch.column("total").to_numpy()
+        if len(t) > k:
+            cand = np.argpartition(-t, k - 1)[:k]
+            batch = batch.take(pa.array(cand))
+        return batch
+
+    import pandas as pd  # final k*blocks rows: tiny driver-side pick
+
+    small = totals.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    small = small.sort_values(
+        ["total", "token"], ascending=[False, True], kind="stable"
+    ).head(k)
+    small["rank"] = np.arange(1, len(small) + 1, dtype=np.int64)
+    return small.reset_index(drop=True)

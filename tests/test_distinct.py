@@ -105,3 +105,28 @@ def test_hll_small_range_correction():
     est = hll_estimate(reg)
     # linear-counting regime: tiny cardinalities stay near-exact
     assert abs(est - 40) / 40 < 0.05
+
+
+def test_top_tokens_matches_pandas():
+    from robosat_ray.stages.text_ops import top_tokens
+
+    rng = np.random.default_rng(13)
+    vocab = np.array([f"w{i}" for i in range(50)])
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(5, 40)))
+        for _ in range(300)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64), "text": texts})
+    toks = pd.Series(" ".join(texts).split(" "))
+    want = (
+        toks.value_counts()
+        .rename_axis("token")
+        .reset_index(name="total")
+        .sort_values(["total", "token"], ascending=[False, True], kind="stable")
+        .head(7)
+        .reset_index(drop=True)
+    )
+    got = top_tokens(ray.data.from_pandas(df).repartition(5), k=7)
+    assert list(got["token"]) == list(want["token"])
+    assert list(got["total"]) == list(want["total"])
+    assert list(got["rank"]) == list(range(1, 8))
