@@ -1276,3 +1276,24 @@ FROM (
 GROUP BY token
 ORDER BY total DESC, token LIMIT 20
 """
+
+# Percentile-gated quality filter: docs at/above the corpus P25 alpha
+# micro-ratio; threshold by the engine's integer quantile rule
+# (smallest value whose running count reaches ceil(q*n/100)).
+QUALITY_FILTER = """
+WITH q AS (
+  SELECT doc_id,
+         CAST(FLOOR(1000000.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              / GREATEST(length(text), 1) + 0.5) AS BIGINT) AS ratio_micro
+  FROM documents
+),
+c AS (SELECT ratio_micro, COUNT(*) AS n FROM q GROUP BY 1),
+cum AS (
+  SELECT ratio_micro,
+         SUM(n) OVER (ORDER BY ratio_micro ROWS UNBOUNDED PRECEDING) AS cum_n,
+         SUM(n) OVER () AS total
+  FROM c
+),
+thr AS (SELECT MIN(ratio_micro) AS t FROM cum WHERE cum_n >= (25 * total + 99) // 100)
+SELECT q.doc_id, q.ratio_micro FROM q, thr WHERE q.ratio_micro >= thr.t
+"""

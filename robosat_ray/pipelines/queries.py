@@ -938,6 +938,15 @@ def q_top_tokens(sf_dir: str):
     return top_tokens(_docs_ds(sf_dir), k=20)
 
 
+def q_quality_filter(sf_dir: str):
+    """Percentile-gated quality filter: keep documents at/above the
+    corpus P25 alpha micro-ratio (quality scoring composed with the
+    exact distributed quantile threshold)."""
+    from robosat_ray.stages.quality import quality_percentile_filter
+
+    return quality_percentile_filter(_docs_ds(sf_dir), q_pct=25)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -991,6 +1000,7 @@ QUERIES = {
     "order_counts_dist": q_order_counts_dist,
     "lang_families": q_lang_families,
     "top_tokens": q_top_tokens,
+    "quality_filter": q_quality_filter,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -1049,4 +1059,5 @@ ORACLES = {
     "order_counts_dist": oracle.ORDER_COUNTS_DIST,
     "lang_families": oracle.LANG_FAMILIES,
     "top_tokens": oracle.TOP_TOKENS,
+    "quality_filter": oracle.QUALITY_FILTER,
 }

@@ -101,3 +101,39 @@ def langid(docs_ds, concurrency=(1, 4)):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
     )
+
+
+def quality_percentile_filter(docs_ds, q_pct: int = 25):
+    """Keep documents whose alpha ratio is at or above the corpus'
+    q_pct-th percentile (the percentile-gated quality filter of LLM
+    data pipelines). Composition of quality_batch and the exact
+    two-pass quantile machinery: the ratio is quantized to an int64
+    micro-ratio with the identical IEEE expression the SQL twin uses,
+    the global threshold comes from stages/quantiles.group_quantiles
+    over ONE constant group (a scalar result — materializing it is the
+    broadcast, not a gather), and the filter is a second streaming
+    scan. -> (doc_id, ratio_micro)."""
+    from robosat_ray.stages.quantiles import group_quantiles
+
+    def ratio_rows(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        n_alpha = q.column("n_alpha").to_numpy().astype(np.float64)
+        n_chars = np.maximum(q.column("n_chars").to_numpy(), 1).astype(np.float64)
+        micro = np.floor(1000000.0 * n_alpha / n_chars + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": q.column("doc_id"),
+                "ratio_micro": pa.array(micro),
+                "_g": pa.array(np.zeros(len(micro), np.int64)),
+            }
+        )
+
+    ratios = docs_ds.map_batches(ratio_rows, batch_format="pyarrow")
+    thr_df = group_quantiles(ratios, "_g", "ratio_micro", qs=(q_pct,)).to_pandas()
+    threshold = int(thr_df["value"].iloc[0])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch.column("ratio_micro"), pa.scalar(threshold))
+        return batch.filter(m).select(["doc_id", "ratio_micro"])
+
+    return ratios.map_batches(keep, batch_format="pyarrow")

@@ -94,8 +94,12 @@ def group_quantiles(ds, group_col: str, value_col: str, qs=DEFAULT_QS):
     # broadcast the needed (group, bucket) set + per-pair offsets;
     # groups indexed so the filter is a pure composite-int isin
     need = {}
-    for r in targets.itertuples(index=False):
-        need.setdefault((getattr(r, group_col), r.bucket), []).append((r.q_pct, r.offset))
+    # iterrows, not itertuples: itertuples RENAMES columns that are
+    # invalid identifiers (e.g. a caller's "_g" group), breaking getattr
+    for _, r in targets.iterrows():
+        need.setdefault((r[group_col], int(r["bucket"])), []).append(
+            (int(r["q_pct"]), int(r["offset"]))
+        )
     gmap = {g: i for i, g in enumerate(sorted({g for g, _ in need}))}
     need_keys = np.array(
         sorted(gmap[g] * n_buckets + b for g, b in need), dtype=np.int64

@@ -130,3 +130,33 @@ def test_top_tokens_matches_pandas():
     assert list(got["token"]) == list(want["token"])
     assert list(got["total"]) == list(want["total"])
     assert list(got["rank"]) == list(range(1, 8))
+
+
+def test_quality_percentile_filter():
+    from robosat_ray.stages.quality import quality_percentile_filter
+
+    rng = np.random.default_rng(17)
+    # mixed-quality docs: mostly-alpha vs digit-heavy
+    texts = []
+    for i in range(200):
+        if i % 4 == 0:
+            texts.append("12345 678 " * rng.integers(2, 6))
+        else:
+            texts.append("clean alpha words only " * rng.integers(2, 6))
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "text": texts})
+    got = (
+        quality_percentile_filter(ray.data.from_pandas(df).repartition(5), q_pct=25)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # ground truth with the same integer rule
+    n_alpha = df["text"].str.count("[A-Za-z]").to_numpy(np.float64)
+    n_chars = np.maximum(df["text"].str.len().to_numpy(np.int64), 1).astype(np.float64)
+    micro = np.floor(1e6 * n_alpha / n_chars + 0.5).astype(np.int64)
+    sv = np.sort(micro)
+    target = (25 * len(sv) + 99) // 100
+    thr = sv[target - 1]
+    want = df.loc[micro >= thr, ["doc_id"]].reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert (got["ratio_micro"].to_numpy() >= thr).all()
