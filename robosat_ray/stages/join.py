@@ -10,6 +10,10 @@ operator family, SURVEY.md §2.4 generalized beyond the spatial joins):
 
 Strategy rule of thumb at 100 TB: broadcast while the small side fits
 a worker heap (dimension tables, lookup maps), co-partition otherwise.
+
+NULL join keys never match (NOT-EXISTS semantics, both strategies):
+inner joins and semi joins drop null-keyed rows, left joins emit them
+null-extended, anti joins keep them.
 """
 
 from __future__ import annotations
@@ -23,14 +27,29 @@ from robosat_ray.functions.hashing import key_bucket
 NUM_JOIN_BUCKETS = 64
 
 
-def _key_array(col) -> np.ndarray:
-    """Join-key column -> numpy array fit for sort/searchsorted:
-    object (string) arrays become fixed-width unicode so comparisons
-    run at C speed; numeric arrays pass through zero-copy."""
+# past this per-key width, fixed-width unicode stops paying: one long
+# outlier key would pad EVERY element to its length (4 B/char)
+_MAX_U_CHARS = 64
+
+
+def _keys_valid(col) -> tuple[np.ndarray, np.ndarray]:
+    """Join-key column -> (key array, validity mask). NULL keys never
+    match (NOT-EXISTS semantics — callers zero their hits through the
+    mask; the "" / NaN placeholder the null slots carry can therefore
+    never produce a false join). Object (string) arrays become
+    fixed-width unicode for C-speed searchsorted unless an outlier key
+    would inflate every element past _MAX_U_CHARS — then they stay
+    object dtype (Python-compare searchsorted, memory-safe)."""
     a = col.to_numpy(zero_copy_only=False)
+    valid = ~pd.isna(a)
     if a.dtype == object:
-        return a.astype("U")
-    return a
+        if not valid.all():
+            a = np.where(valid, a, "")
+        u = a.astype("U")
+        if u.dtype.itemsize > 4 * _MAX_U_CHARS:
+            return a, valid
+        return u, valid
+    return a, valid
 
 
 def _as_table(ds_or_table) -> pa.Table:
@@ -60,14 +79,15 @@ def broadcast_join(left_ds, right, on: str, how: str = "inner"):
     import ray
 
     rt = _as_table(right).combine_chunks()
-    keys = _key_array(rt.column(on))
+    rt = rt.filter(pa.compute.is_valid(rt.column(on)))  # null keys never match
+    keys, _ = _keys_valid(rt.column(on))
     order = np.argsort(keys, kind="stable")
     rref = ray.put((keys[order], rt.take(pa.array(order))))
     rcols = [c for c in rt.column_names if c != on]
 
     def join_batch(batch: pa.Table, _ref=rref) -> pa.Table:
         rkeys, rtab = ray.get(_ref)
-        lk = _key_array(batch.column(on))
+        lk, lvalid = _keys_valid(batch.column(on))
         n = len(lk)
         if len(rkeys) == 0:
             if how == "inner":
@@ -78,7 +98,7 @@ def broadcast_join(left_ds, right, on: str, how: str = "inner"):
             return out
         lo = np.searchsorted(rkeys, lk, side="left")
         hi = np.searchsorted(rkeys, lk, side="right")
-        counts = hi - lo
+        counts = np.where(lvalid, hi - lo, 0)
         if how == "inner":
             total = int(counts.sum())
             lidx = np.repeat(np.arange(n), counts)
@@ -161,6 +181,8 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner",
     # both sides rebuilt in ONE column layout (on, lcols, rcols) with
     # the absent side null-filled, so the union schemas align
     def tag_right(batch: pa.Table) -> pa.Table:
+        # null right keys can never match: drop before the shuffle
+        batch = batch.filter(pa.compute.is_valid(batch.column(on)))
         k = batch.column(on).to_numpy()
         t = pa.table({on: batch.column(on)})
         for c in lcols:
@@ -171,6 +193,11 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner",
         return t.append_column("_bucket", pa.array(key_bucket(k, num_buckets)))
 
     def tag_left(batch: pa.Table) -> pa.Table:
+        if how == "inner":
+            # null left keys can never match either; under 'left' they
+            # ride through and come out null-extended (right side holds
+            # no nulls, so the pandas merge cannot NaN-match them)
+            batch = batch.filter(pa.compute.is_valid(batch.column(on)))
         t = pa.table({on: batch.column(on)})
         for c in lcols:
             t = t.append_column(c, batch.column(c))
@@ -192,12 +219,12 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner",
 
 
 def _membership_mask(batch: pa.Table, on: str, rkeys: np.ndarray) -> np.ndarray:
-    lk = _key_array(batch.column(on))
+    lk, valid = _keys_valid(batch.column(on))
     if len(rkeys) == 0:
         return np.zeros(len(lk), dtype=bool)
     pos = np.searchsorted(rkeys, lk)
     pos_c = np.clip(pos, 0, len(rkeys) - 1)
-    return (pos < len(rkeys)) & (rkeys[pos_c] == lk)
+    return (pos < len(rkeys)) & (rkeys[pos_c] == lk) & valid
 
 
 def broadcast_semi_join(left_ds, right, on: str, anti: bool = False):
@@ -214,19 +241,20 @@ def broadcast_semi_join(left_ds, right, on: str, anti: bool = False):
     import ray
 
     if isinstance(right, pa.Table):
-        raw = _key_array(right.column(on))
+        vk = right.column(on).filter(pa.compute.is_valid(right.column(on)))
+        raw, _ = _keys_valid(vk)
     else:
-        dist = right.map_batches(
-            lambda b: pa.table(
-                {on: pa.array(np.unique(_key_array(b.column(on))))}
-            ),
-            batch_format="pyarrow",
-        )
+        def _dist(b: pa.Table) -> pa.Table:
+            vk = b.column(on).filter(pa.compute.is_valid(b.column(on)))
+            arr, _ = _keys_valid(vk)
+            return pa.table({on: pa.array(np.unique(arr))})
+
+        dist = right.map_batches(_dist, batch_format="pyarrow")
         # only the key column is gathered; an all-empty right side has
         # no inferable schema, so build the empty key array directly
         tabs = [t for t in ray.get(dist.to_arrow_refs()) if t.num_rows > 0]
         raw = (
-            np.concatenate([_key_array(t.column(on)) for t in tabs])
+            np.concatenate([_keys_valid(t.column(on))[0] for t in tabs])
             if tabs
             else np.array([], dtype=np.int64)
         )
@@ -260,7 +288,8 @@ def copartition_semi_join(left_ds, right_ds, on: str, anti: bool = False,
     lcols = [c for c in ltypes if c != on]
 
     def key_rows(batch: pa.Table) -> pa.Table:
-        k = np.unique(batch.column(on).to_numpy())
+        vk = batch.column(on).filter(pa.compute.is_valid(batch.column(on)))
+        k = np.unique(vk.to_numpy(zero_copy_only=False))
         t = pa.table({on: pa.array(k)})
         for c in lcols:
             t = t.append_column(c, pa.nulls(len(t), ltypes[c]))
@@ -288,11 +317,15 @@ def copartition_semi_join(left_ds, right_ds, on: str, anti: bool = False,
         rkeys = np.unique(group.loc[side == 1, on].to_numpy())
         left = group[side == 0]
         lk = left[on].to_numpy()
-        if len(rkeys):
-            pos = np.clip(np.searchsorted(rkeys, lk), 0, len(rkeys) - 1)
-            member = rkeys[pos] == lk
-        else:
-            member = np.zeros(len(lk), dtype=bool)
+        # null left keys are never members (NOT-EXISTS semantics);
+        # they must also be masked out of searchsorted, which cannot
+        # order None/NaN against real keys
+        lvalid = ~pd.isna(lk)
+        member = np.zeros(len(lk), dtype=bool)
+        if len(rkeys) and lvalid.any():
+            lv = lk[lvalid]
+            pos = np.clip(np.searchsorted(rkeys, lv), 0, len(rkeys) - 1)
+            member[lvalid] = rkeys[pos] == lv
         keep = ~member if anti else member
         out = left.iloc[np.nonzero(keep)[0]]
         return out.drop(columns=["_side", "_bucket"]).astype(ldtypes)

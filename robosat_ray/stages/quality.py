@@ -111,8 +111,8 @@ def quality_percentile_filter(docs_ds, q_pct: int = 25):
     micro-ratio with the identical IEEE expression the SQL twin uses,
     the global threshold comes from stages/quantiles.group_quantiles
     over ONE constant group (a scalar result — materializing it is the
-    broadcast, not a gather), and the filter is a second streaming
-    scan. -> (doc_id, ratio_micro)."""
+    broadcast, not a gather), and the filter is a second pass over
+    the materialized ratio table. -> (doc_id, ratio_micro)."""
     from robosat_ray.stages.quantiles import group_quantiles
 
     def ratio_rows(batch: pa.Table) -> pa.Table:
@@ -128,7 +128,11 @@ def quality_percentile_filter(docs_ds, q_pct: int = 25):
             }
         )
 
-    ratios = docs_ds.map_batches(ratio_rows, batch_format="pyarrow")
+    # materialize ONCE: group_quantiles consumes the dataset three
+    # times (min/max, histogram, resolve) and the final filter a
+    # fourth — without this, each pass re-runs the regex-heavy scan
+    # over the raw text; the (doc_id, ratio_micro) table is tiny
+    ratios = docs_ds.map_batches(ratio_rows, batch_format="pyarrow").materialize()
     thr_df = group_quantiles(ratios, "_g", "ratio_micro", qs=(q_pct,)).to_pandas()
     threshold = int(thr_df["value"].iloc[0])
 

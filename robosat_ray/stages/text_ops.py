@@ -127,7 +127,9 @@ def token_partial_counts(batch: pa.Table) -> pa.Table:
         return pa.table(
             {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
         )
-    uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    # fixed-width unicode so np.unique sorts at C speed (tokens are
+    # short; object-dtype unique falls back to Python comparisons)
+    uniq, counts = np.unique(np.asarray(toks, dtype="U"), return_counts=True)
     return pa.table(
         {"token": pa.array(list(uniq), pa.string()), "n": pa.array(counts.astype(np.int64))}
     )
@@ -150,8 +152,12 @@ def top_tokens(documents_ds, k: int = 20):
     def local_topk(batch: pa.Table) -> pa.Table:
         t = batch.column("total").to_numpy()
         if len(t) > k:
-            cand = np.argpartition(-t, k - 1)[:k]
-            batch = batch.take(pa.array(cand))
+            # keep EVERY row tied with the block's k-th largest count:
+            # a count-only argpartition[:k] would drop arbitrary
+            # members of a tie straddling the k-th place, losing
+            # tokens the global (count DESC, token ASC) order keeps
+            kth = np.partition(t, len(t) - k)[len(t) - k]
+            batch = batch.take(pa.array(np.nonzero(t >= kth)[0]))
         return batch
 
     import pandas as pd  # final k*blocks rows: tiny driver-side pick

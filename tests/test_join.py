@@ -202,3 +202,67 @@ def test_string_key_joins_both_strategies():
         copartition_semi_join(lds, rds, on="k", anti=True, schema_hints=shints).to_pandas()
     )
     pd.testing.assert_frame_equal(got_a, want_anti, check_dtype=False)
+
+
+def test_null_keys_never_match():
+    """NULL join keys never match (NOT-EXISTS semantics): inner/semi
+    drop them, left emits null-extended, anti keeps them — identical
+    across both strategies, including a right side holding the literal
+    string 'None'."""
+    from robosat_ray.stages.join import (
+        broadcast_join,
+        broadcast_semi_join,
+        copartition_join,
+        copartition_semi_join,
+    )
+
+    left = pd.DataFrame(
+        {"k": pd.array(["a", None, "None", "b", None], dtype=object),
+         "lv": np.arange(5, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": pd.array(["a", "None", None], dtype=object),
+         "rv": np.array([10, 20, 30], dtype=np.int64)}
+    )
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+
+    got_i = broadcast_join(lds, rds, on="k", how="inner").to_pandas()
+    # only 'a' and the literal 'None' string match; null keys don't
+    assert sorted(got_i["k"]) == ["None", "a"]
+    got_l = broadcast_join(lds, rds, on="k", how="left").to_pandas()
+    assert len(got_l) == 5
+    assert got_l.loc[got_l["k"].isna(), "rv"].isna().all()
+
+    hints = {
+        "left": {"k": pa.string(), "lv": pa.int64()},
+        "right": {"k": pa.string(), "rv": pa.int64()},
+    }
+    got_ci = copartition_join(lds, rds, on="k", schema_hints=hints).to_pandas()
+    assert sorted(got_ci["k"]) == ["None", "a"]
+
+    semi = broadcast_semi_join(lds, rds, on="k").to_pandas()
+    assert sorted(semi["k"]) == ["None", "a"]
+    anti = broadcast_semi_join(lds, rds, on="k", anti=True).to_pandas()
+    assert len(anti) == 3 and anti["k"].isna().sum() == 2
+    shints = {"left": {"k": pa.string(), "lv": pa.int64()}}
+    canti = copartition_semi_join(
+        lds, rds, on="k", anti=True, schema_hints=shints
+    ).to_pandas()
+    assert len(canti) == 3 and canti["k"].isna().sum() == 2
+
+
+def test_long_outlier_string_key():
+    """A single very long key must not blow up the fixed-width unicode
+    conversion (falls back to object dtype) and must still join."""
+    from robosat_ray.stages.join import broadcast_join
+
+    long_key = "u" * 5000
+    left = pd.DataFrame(
+        {"k": [long_key, "short", "other"], "lv": np.arange(3, dtype=np.int64)}
+    )
+    right = pd.DataFrame({"k": [long_key, "short"], "rv": np.array([1, 2], np.int64)})
+    got = broadcast_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), on="k", how="inner"
+    ).to_pandas()
+    assert sorted(got["rv"]) == [1, 2]
