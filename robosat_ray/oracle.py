@@ -1297,3 +1297,23 @@ cum AS (
 thr AS (SELECT MIN(ratio_micro) AS t FROM cum WHERE cum_n >= (25 * total + 99) // 100)
 SELECT q.doc_id, q.ratio_micro FROM q, thr WHERE q.ratio_micro >= thr.t
 """
+
+# Sliding-window token chunking (64-token windows, stride 48): chunk
+# j = tokens[j*48 : j*48+64) == 1-based inclusive DuckDB list slice
+# ts[j*48+1 : j*48+64].
+CHUNKS = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
+),
+n AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+j AS (
+  SELECT doc_id, ts,
+         unnest(generate_series(0,
+            CAST(CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END AS BIGINT))) AS j
+  FROM n
+)
+SELECT doc_id, j AS chunk_id,
+       array_to_string(ts[j*48+1 : j*48+64], ' ') AS chunk,
+       CAST(len(ts[j*48+1 : j*48+64]) AS BIGINT) AS n_tokens
+FROM j
+"""

@@ -947,6 +947,15 @@ def q_quality_filter(sf_dir: str):
     return quality_percentile_filter(_docs_ds(sf_dir), q_pct=25)
 
 
+def q_chunks(sf_dir: str):
+    """LLM-pretraining chunking: 64-token sliding windows with stride
+    48 over every document — a streaming flat map, chunk text exactly
+    reproduced by the SQL list-slice twin."""
+    from robosat_ray.stages.text_ops import chunk_documents
+
+    return chunk_documents(_docs_ds(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1001,6 +1010,7 @@ QUERIES = {
     "lang_families": q_lang_families,
     "top_tokens": q_top_tokens,
     "quality_filter": q_quality_filter,
+    "chunks": q_chunks,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -1060,4 +1070,5 @@ ORACLES = {
     "lang_families": oracle.LANG_FAMILIES,
     "top_tokens": oracle.TOP_TOKENS,
     "quality_filter": oracle.QUALITY_FILTER,
+    "chunks": oracle.CHUNKS,
 }

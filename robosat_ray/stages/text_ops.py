@@ -168,3 +168,48 @@ def top_tokens(documents_ds, k: int = 20):
     ).head(k)
     small["rank"] = np.arange(1, len(small) + 1, dtype=np.int64)
     return small.reset_index(drop=True)
+
+
+CHUNK_W = 64  # tokens per training window
+CHUNK_S = 48  # stride (W - S = 16 tokens of overlap)
+
+
+def chunk_batch(batch: pa.Table, w: int = CHUNK_W, s: int = CHUNK_S) -> pa.Table:
+    """(doc_id, text) -> sliding token windows (doc_id, chunk_id,
+    chunk, n_tokens): the LLM-pretraining chunking step. Chunk j
+    covers tokens [j*s, j*s + w); j runs 0 .. ceil((n-w)/s) (0 when
+    n <= w), so every token is covered and consecutive chunks overlap
+    by w - s tokens. Chunks are whitespace-joined token windows — the
+    SQL twin reproduces them exactly via 1-based inclusive list
+    slices. Empty docs emit no chunks."""
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    out_id, out_j, out_c, out_n = [], [], [], []
+    for doc_id, t in zip(ids, texts):
+        toks = _TOKEN_RE.findall(t)
+        n = len(toks)
+        if n == 0:
+            continue
+        j_max = 0 if n <= w else (n - w + s - 1) // s
+        for j in range(j_max + 1):
+            piece = toks[j * s : j * s + w]
+            out_id.append(doc_id)
+            out_j.append(j)
+            out_c.append(" ".join(piece))
+            out_n.append(len(piece))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(out_id, np.int64)),
+            "chunk_id": pa.array(np.asarray(out_j, np.int64)),
+            "chunk": pa.array(out_c, pa.string()),
+            "n_tokens": pa.array(np.asarray(out_n, np.int64)),
+        }
+    )
+
+
+def chunk_documents(documents_ds, w: int = CHUNK_W, s: int = CHUNK_S):
+    """Sliding-window chunking as a pure streaming flat map — output
+    rows scale with token count, never held outside one batch."""
+    return documents_ds.select_columns(["doc_id", "text"]).map_batches(
+        lambda b: chunk_batch(b, w, s), batch_format="pyarrow"
+    )

@@ -160,3 +160,38 @@ def test_quality_percentile_filter():
     want = df.loc[micro >= thr, ["doc_id"]].reset_index(drop=True)
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert (got["ratio_micro"].to_numpy() >= thr).all()
+
+
+def test_chunking_covers_all_tokens_with_overlap():
+    from robosat_ray.stages.text_ops import chunk_documents
+
+    rng = np.random.default_rng(23)
+    texts = [
+        " ".join(f"t{i}" for i in range(n))
+        for n in [0, 1, 63, 64, 65, 112, 113, 200, int(rng.integers(300, 400))]
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    got = (
+        chunk_documents(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    # empty doc emits nothing
+    assert 0 not in set(got["doc_id"])
+    for did, n in [(1, 1), (2, 63), (3, 64), (4, 65), (5, 112), (6, 113), (7, 200)]:
+        sub = got[got["doc_id"] == did]
+        toks = df.loc[did, "text"].split(" ")
+        # reconstruction: stride-48 prefixes of each chunk concatenated
+        # (plus the final chunk's tail) give back the token stream
+        rebuilt = []
+        for _, r in sub.iterrows():
+            rebuilt.extend(r["chunk"].split(" ")[:48])
+        last = sub.iloc[-1]["chunk"].split(" ")
+        rebuilt.extend(last[48:])
+        assert rebuilt == toks, f"doc {did}"
+        assert (sub["n_tokens"] <= 64).all()
+        # overlap: consecutive chunks share w - s = 16 tokens
+        chunks = [r.split(" ") for r in sub["chunk"]]
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[48:] == b[: len(a) - 48]
