@@ -102,7 +102,8 @@ def run_bench() -> dict:
         "events_window_fns", "simhash_dup", "pricing_summary",
         "cust_no_orders", "active_parts", "hopping_window",
         "daily_users", "hll_users", "order_counts_dist", "lang_families",
-        "top_tokens", "quality_filter", "chunks",
+        "top_tokens", "quality_filter", "chunks", "dup_clusters",
+        "rep_signals",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

@@ -982,8 +982,11 @@ JOIN agg a USING (doc_id)
 LEFT JOIN wc USING (doc_id)
 """
 
-NEAR_DUP = """
-WITH docs_all AS (
+# Shared CTE body: the variants corpus + exact shingle-set Jaccard
+# pair mining (the ground truth the engine's MinHash-LSH plan must
+# reproduce). Used by NEAR_DUP (pairs) and DUP_CLUSTERS (connected
+# components over the pairs).
+_DUP_PAIRS_BODY = """docs_all AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 10000000, 'zzvariant' || substr(text, strpos(text, ' '))
@@ -1001,12 +1004,75 @@ inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
   GROUP BY 1, 2
-)
-SELECT i.a, i.b
-FROM inter i
-JOIN cnt ca ON ca.doc_id = i.a
-JOIN cnt cb ON cb.doc_id = i.b
-WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
+),
+dup_pairs AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.a
+  JOIN cnt cb ON cb.doc_id = i.b
+  WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
+)"""
+
+NEAR_DUP = f"""
+WITH {_DUP_PAIRS_BODY}
+SELECT a, b FROM dup_pairs
+"""
+
+# Connected components over the near-dup pair graph via a recursive
+# reachability CTE (UNION-distinct => finite state => terminates);
+# cluster id = min reachable doc_id; docs outside every pair are
+# their own size-1 cluster. Mirrors stages/neardup.py:dup_clusters.
+DUP_CLUSTERS = f"""
+WITH RECURSIVE {_DUP_PAIRS_BODY},
+edges AS (SELECT a, b FROM dup_pairs UNION SELECT b AS a, a AS b FROM dup_pairs),
+reach(node, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
+),
+lab AS (SELECT node, MIN(m) AS cluster_id FROM reach GROUP BY node),
+sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       FROM lab GROUP BY cluster_id)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(s.cluster_size, CAST(1 AS BIGINT)) AS cluster_size,
+       CAST(CASE WHEN COALESCE(l.cluster_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM docs_all d
+LEFT JOIN lab l ON l.node = d.doc_id
+LEFT JOIN sz s ON s.cluster_id = COALESCE(l.cluster_id, d.doc_id)
+"""
+
+# Gopher-style repetition signals, integer-exact: per-doc token
+# counts, modal-token count, duplicate token-trigram count, and ppm
+# ratios via int64 floor division (mirrors
+# stages/quality.py:repetition_batch bit-for-bit).
+REP_SIGNALS = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS t FROM base),
+cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+agg AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+               MAX(c) AS top_n
+        FROM cnt GROUP BY doc_id),
+tris AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS tg
+  FROM base WHERE len(l) >= 3
+),
+tagg AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT tg) AS n_tri_d
+         FROM tris GROUP BY doc_id)
+SELECT a.doc_id,
+       CAST(a.n_tokens AS BIGINT) AS n_tokens,
+       CAST(a.n_distinct AS BIGINT) AS distinct_tokens,
+       CAST(a.top_n AS BIGINT) AS top_token_n,
+       CAST(COALESCE(t.n_tri, 0) - COALESCE(t.n_tri_d, 0) AS BIGINT) AS dup_trigrams,
+       CAST(a.top_n * 1000000 // a.n_tokens AS BIGINT) AS top_token_ppm,
+       CAST(a.n_distinct * 1000000 // a.n_tokens AS BIGINT) AS distinct_ppm,
+       CAST(CASE WHEN COALESCE(t.n_tri, 0) > 0
+                 THEN (t.n_tri - t.n_tri_d) * 1000000 // t.n_tri
+                 ELSE 0 END AS BIGINT) AS dup_trigram_ppm
+FROM agg a LEFT JOIN tagg t USING (doc_id)
 """
 
 ANN = f"""

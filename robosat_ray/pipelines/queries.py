@@ -198,6 +198,25 @@ def q_near_dup(sf_dir: str):
     return near_dup_pairs(docs)
 
 
+def q_dup_clusters(sf_dir: str):
+    """Near-dup cluster canonicalization: LSH pairs -> distributed
+    connected components -> per-doc (cluster_id, cluster_size, keep)
+    with the min-doc_id representative kept (reference keep/drop rule
+    of tools/dedupe.py lifted from pairs to whole clusters)."""
+    from robosat_ray.stages.neardup import dup_clusters, with_variants_batch
+
+    docs = _docs_ds(sf_dir).map_batches(with_variants_batch, batch_format="pyarrow")
+    return dup_clusters(docs)
+
+
+def q_rep_signals(sf_dir: str):
+    """Gopher-style repetition quality signals (modal-token and
+    duplicate-trigram ppm ratios), integer-exact vs the SQL twin."""
+    from robosat_ray.stages.quality import repetition_signals
+
+    return repetition_signals(_docs_ds(sf_dir))
+
+
 def q_simhash(sf_dir: str):
     from robosat_ray.stages.neardup import simhash_table
 
@@ -1011,6 +1030,8 @@ QUERIES = {
     "top_tokens": q_top_tokens,
     "quality_filter": q_quality_filter,
     "chunks": q_chunks,
+    "dup_clusters": q_dup_clusters,
+    "rep_signals": q_rep_signals,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -1071,4 +1092,6 @@ ORACLES = {
     "top_tokens": oracle.TOP_TOKENS,
     "quality_filter": oracle.QUALITY_FILTER,
     "chunks": oracle.CHUNKS,
+    "dup_clusters": oracle.DUP_CLUSTERS,
+    "rep_signals": oracle.REP_SIGNALS,
 }

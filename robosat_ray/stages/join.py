@@ -52,15 +52,29 @@ def _keys_valid(col) -> tuple[np.ndarray, np.ndarray]:
     return a, valid
 
 
+def _blocks_as_tables(refs) -> list:
+    """ray.get + normalize: to_arrow_refs can hand back raw pandas
+    blocks unconverted (notably empty ones from pandas map_groups);
+    coerce everything to non-empty Arrow tables."""
+    import ray
+
+    out = []
+    for t in ray.get(refs):
+        if isinstance(t, pd.DataFrame):
+            if len(t) == 0:
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows > 0:
+            out.append(t)
+    return out
+
+
 def _as_table(ds_or_table) -> pa.Table:
     if isinstance(ds_or_table, pa.Table):
         return ds_or_table
     # small-side gather: the broadcast pattern REQUIRES the right side
     # to fit on one machine; callers pick the strategy accordingly
-    refs = ds_or_table.to_arrow_refs()
-    import ray
-
-    tables = [t for t in ray.get(refs) if t.num_rows > 0]
+    tables = _blocks_as_tables(ds_or_table.to_arrow_refs())
     if not tables:
         schema = pa.schema(
             [(n, t) for n, t in zip(ds_or_table.schema().names, ds_or_table.schema().types)]
@@ -252,7 +266,7 @@ def broadcast_semi_join(left_ds, right, on: str, anti: bool = False):
         dist = right.map_batches(_dist, batch_format="pyarrow")
         # only the key column is gathered; an all-empty right side has
         # no inferable schema, so build the empty key array directly
-        tabs = [t for t in ray.get(dist.to_arrow_refs()) if t.num_rows > 0]
+        tabs = _blocks_as_tables(dist.to_arrow_refs())
         raw = (
             np.concatenate([_keys_valid(t.column(on))[0] for t in tabs])
             if tabs

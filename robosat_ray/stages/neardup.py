@@ -29,6 +29,12 @@ from robosat_ray.functions.text_hash import (
 )
 
 VARIANT_OFFSET = 10_000_000
+# below this many verified pairs, connected components run as one
+# vectorized min-label pass on the driver (the pair set is tiny and
+# the label map gets broadcast right after anyway); above it, the
+# distributed label-propagation path keeps one giant dup cluster from
+# ever landing on the driver
+DRIVER_CC_EDGE_CAP = 2_000_000
 
 
 def with_variants_batch(batch: pa.Table) -> pa.Table:
@@ -428,3 +434,110 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = SIMHASH_MAX_HAMMING):
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
+
+
+def dup_clusters(docs_ds, threshold: float = 0.5):
+    """Near-dup cluster canonicalization: LSH pair mining -> connected
+    components over the pair graph -> per-document cluster id (min
+    doc_id in the component), cluster size, and a keep flag marking
+    the canonical representative (reference analog: the keep/drop
+    decision of tools/dedupe.py:48-67, lifted from pairs to whole
+    duplicate clusters — the form an LLM-data dedupe actually needs).
+
+    Scale shape: CC runs ONLY over edge-touched nodes (duplicate pairs
+    are sparse relative to the corpus), via the distributed
+    label-propagation + pointer-jumping loop in runtime/components.py
+    — never a driver union-find. The (node, label) map is attached
+    back to the full corpus with a LEFT broadcast join (the label map
+    is bounded by 2x the verified pairs; above the broadcast cap
+    stages/join.copartition_join is the drop-in same-signature
+    replacement); untouched documents label themselves (size-1
+    clusters) without ever entering the shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from robosat_ray.runtime.components import distributed_components
+    from robosat_ray.stages.join import broadcast_join
+
+    pairs = near_dup_pairs_ds(docs_ds, threshold).materialize()
+    ids = docs_ds.select_columns(["doc_id"])
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id")
+        cid = (
+            pc.coalesce(batch.column("cluster_id"), doc)
+            if "cluster_id" in batch.column_names
+            else doc
+        )
+        size = (
+            pc.coalesce(batch.column("cluster_size"), pa.scalar(1, pa.int64()))
+            if "cluster_size" in batch.column_names
+            else pa.array(np.ones(len(batch), dtype=np.int64))
+        )
+        keep = pc.cast(pc.equal(cid, doc), pa.int64())
+        return pa.table(
+            {
+                "doc_id": doc,
+                "cluster_id": pc.cast(cid, pa.int64()),
+                "cluster_size": pc.cast(size, pa.int64()),
+                "keep": keep,
+            }
+        )
+
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ids.map_batches(_finalize, batch_format="pyarrow")
+
+    if n_pairs <= DRIVER_CC_EDGE_CAP:
+        # small edge list (the overwhelmingly common case: dup pairs
+        # << corpus): vectorized min-label propagation on the driver —
+        # the pair set was already materialized for the count, and the
+        # (ids, labels) map is broadcast next anyway
+        from robosat_ray.geo.graph import min_label_arrays
+
+        pdf = pairs.to_pandas()
+        ea = pdf["a"].to_numpy(dtype=np.int64)
+        eb = pdf["b"].to_numpy(dtype=np.int64)
+        nodes_arr, labels_arr = min_label_arrays(
+            np.unique(np.concatenate([ea, eb])), ea, eb
+        )
+        _, inv, cnt = np.unique(labels_arr, return_inverse=True, return_counts=True)
+        lab_sized = pa.table(
+            {
+                "doc_id": pa.array(nodes_arr),
+                "cluster_id": pa.array(labels_arr),
+                "cluster_size": pa.array(cnt[inv].astype(np.int64)),
+            }
+        )
+    else:
+        # skew-safe path: one giant dup cluster can't OOM the driver —
+        # distributed label propagation + pointer jumping
+        def touched(batch: pa.Table) -> pa.Table:
+            a = batch.column("a").to_numpy()
+            b = batch.column("b").to_numpy()
+            return pa.table({"node": pa.array(np.unique(np.concatenate([a, b])))})
+
+        nodes = (
+            pairs.map_batches(touched, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"])
+        )
+        labels = distributed_components(nodes, pairs)
+
+        def as_map(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pc.cast(batch.column("node"), pa.int64()),
+                    "cluster_id": pc.cast(batch.column("label"), pa.int64()),
+                }
+            )
+
+        lab_map = labels.map_batches(as_map, batch_format="pyarrow")
+        sizes = lab_map.groupby("cluster_id").aggregate(
+            Count(alias_name="cluster_size")
+        )
+        lab_sized = broadcast_join(lab_map, sizes, on="cluster_id", how="left")
+
+    joined = broadcast_join(ids, lab_sized, on="doc_id", how="left")
+    return joined.map_batches(_finalize, batch_format="pyarrow")

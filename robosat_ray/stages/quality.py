@@ -141,3 +141,80 @@ def quality_percentile_filter(docs_ds, q_pct: int = 25):
         return batch.filter(m).select(["doc_id", "ratio_micro"])
 
     return ratios.map_batches(keep, batch_format="pyarrow")
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> Gopher-style repetition signals, all integer
+    and exactly mirrored by the REP_SIGNALS SQL oracle: token counts,
+    distinct tokens, the modal token's count, duplicate token-trigram
+    count, and parts-per-million ratios computed with int64 floor
+    division (so parity cannot hinge on float rounding).
+
+    Vectorized: one literal-space split (identical semantics to
+    DuckDB's string_split(text, ' '), including empty tokens), one
+    factorize for token codes, then bincount/reduceat group math —
+    no per-row Python."""
+    import pandas as pd
+
+    ids = batch.column("doc_id")
+    n = len(batch)
+    lists = pc.split_pattern(batch.column("text"), " ")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy().astype(np.int64)
+    codes, uniques = pd.factorize(flat.to_pandas(), sort=False)
+    codes = codes.astype(np.int64)
+    k = max(len(uniques), 1)
+
+    n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+
+    # per-(doc, token) counts via one unique over the combined key
+    key = parents * k + codes
+    ukey, ucounts = np.unique(key, return_counts=True)
+    updoc = ukey // k
+    distinct_tokens = np.bincount(updoc, minlength=n).astype(np.int64)
+    top_token_n = np.zeros(n, dtype=np.int64)
+    if len(ukey):
+        starts = np.r_[0, np.flatnonzero(np.diff(updoc)) + 1]
+        top_token_n[updoc[starts]] = np.maximum.reduceat(ucounts, starts)
+
+    # token trigrams: rows (doc, c0, c1, c2); parents is nondecreasing
+    # so parent[i] == parent[i+2] implies all three share a doc
+    dup_trigrams = np.zeros(n, dtype=np.int64)
+    n_tri = np.zeros(n, dtype=np.int64)
+    if len(parents) >= 3:
+        valid = parents[:-2] == parents[2:]
+        if valid.any():
+            tp = parents[:-2][valid]
+            rows = np.empty((int(valid.sum()), 4), dtype=np.int64)
+            rows[:, 0] = tp
+            rows[:, 1] = codes[:-2][valid]
+            rows[:, 2] = codes[1:-1][valid]
+            rows[:, 3] = codes[2:][valid]
+            v = np.ascontiguousarray(rows).view(
+                np.dtype((np.void, rows.dtype.itemsize * 4))
+            ).ravel()
+            uv = np.unique(v)
+            udoc = np.frombuffer(uv.tobytes(), dtype=np.int64).reshape(-1, 4)[:, 0]
+            n_tri = np.bincount(tp, minlength=n).astype(np.int64)
+            dup_trigrams = n_tri - np.bincount(udoc, minlength=n).astype(np.int64)
+
+    safe_tok = np.maximum(n_tokens, 1)
+    safe_tri = np.maximum(n_tri, 1)
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_tokens": pa.array(n_tokens),
+            "distinct_tokens": pa.array(distinct_tokens),
+            "top_token_n": pa.array(top_token_n),
+            "dup_trigrams": pa.array(dup_trigrams),
+            "top_token_ppm": pa.array(top_token_n * 1_000_000 // safe_tok),
+            "distinct_ppm": pa.array(distinct_tokens * 1_000_000 // safe_tok),
+            "dup_trigram_ppm": pa.array(dup_trigrams * 1_000_000 // safe_tri),
+        }
+    )
+
+
+def repetition_signals(docs_ds):
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow"
+    )

@@ -173,3 +173,86 @@ def test_fingerprints_detect_copied_substring(ray_session):
     assert overlap_other == 0, overlap_other
     # per-doc sets are deduped by construction
     assert len(fps) == len(fps.drop_duplicates())
+
+
+def test_dup_clusters_transitive_chain(ray_session):
+    """A ~ B and B ~ C (but A !~ C) must land in ONE cluster with the
+    min doc_id as representative — the property pairwise dedupe lacks
+    and connected-components canonicalization exists to provide."""
+    import ray.data
+
+    from robosat_ray.stages.neardup import dup_clusters
+
+    base = [f"w{i}" for i in range(40)]
+    a = " ".join(base)
+    b = " ".join(base[:34] + [f"x{i}" for i in range(6)])   # j(a,b) high
+    c = " ".join(base[12:34] + [f"x{i}" for i in range(6)] + [f"y{i}" for i in range(8)])
+    lone = " ".join(f"z{i}" for i in range(40))
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 20, 30, 99], pa.int64()),
+                "text": pa.array([a, b, c, lone]),
+            }
+        )
+    )
+    out = dup_clusters(docs, threshold=0.5).to_pandas().set_index("doc_id")
+    from robosat_ray.functions.text_hash import jaccard_sorted, shingle_hash_set
+
+    sa, sb, sc = (np.array(sorted(shingle_hash_set(t))) for t in (a, b, c))
+    assert jaccard_sorted(sa, sb) >= 0.5 and jaccard_sorted(sb, sc) >= 0.5
+    assert jaccard_sorted(sa, sc) < 0.5  # genuinely transitive-only
+    assert out.loc[10, "cluster_id"] == 10 and out.loc[10, "keep"] == 1
+    assert out.loc[20, "cluster_id"] == 10 and out.loc[20, "keep"] == 0
+    assert out.loc[30, "cluster_id"] == 10 and out.loc[30, "keep"] == 0
+    assert out.loc[99, "cluster_id"] == 99 and out.loc[99, "cluster_size"] == 1
+    assert (out.loc[[10, 20, 30], "cluster_size"] == 3).all()
+
+
+def test_repetition_batch_vs_bruteforce():
+    from collections import Counter
+
+    from robosat_ray.stages.quality import repetition_batch
+
+    rng = np.random.default_rng(7)
+    texts = [
+        " ".join(rng.choice(["a", "b", "c", "dd", "e"], size=rng.integers(1, 30)))
+        for _ in range(60)
+    ] + ["solo", "x x", "p q p q p q"]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    out = repetition_batch(t).to_pandas().set_index("doc_id")
+    for i, txt in enumerate(texts):
+        toks = txt.split(" ")
+        cnt = Counter(toks)
+        tris = Counter(tuple(toks[j:j + 3]) for j in range(len(toks) - 2))
+        n_tri = max(len(toks) - 2, 0)
+        dup = n_tri - len(tris)
+        assert out.loc[i, "n_tokens"] == len(toks)
+        assert out.loc[i, "distinct_tokens"] == len(cnt)
+        assert out.loc[i, "top_token_n"] == max(cnt.values())
+        assert out.loc[i, "dup_trigrams"] == dup
+        assert out.loc[i, "top_token_ppm"] == max(cnt.values()) * 1_000_000 // len(toks)
+        assert out.loc[i, "dup_trigram_ppm"] == (
+            dup * 1_000_000 // n_tri if n_tri else 0
+        )
+
+
+def test_dup_clusters_distributed_cc_path_equal(ray_session, monkeypatch):
+    """Forcing DRIVER_CC_EDGE_CAP=0 routes clustering through the
+    distributed label-propagation CC; output must be identical."""
+    import ray.data
+
+    import robosat_ray.stages.neardup as nd
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(nd.with_variants_batch, batch_format="pyarrow")
+    base = nd.dup_clusters(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(nd, "DRIVER_CC_EDGE_CAP", 0)
+    dist = nd.dup_clusters(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, dist)
+    assert (base["cluster_size"] > 1).any()
