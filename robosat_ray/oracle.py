@@ -652,6 +652,27 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY n.n_name
 """
 
+# TPC-H-Q5 shape: local-supplier revenue per nation in one region;
+# the c_nationkey = s_nationkey predicate is the cross-side filter
+# the engine applies after its two broadcast joins.
+LOCAL_SUPPLIER_REVENUE = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
 # Exact quantiles, integer arithmetic only (mirrors stages/quantiles:
 # q-quantile = smallest value whose running count reaches
 # ceil(q*total/100) = (q*total + 99) // 100)

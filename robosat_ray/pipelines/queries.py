@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from robosat_ray import constants as C
@@ -535,6 +536,131 @@ def q_order_revenue(sf_dir: str):
     )
 
 
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H-Q5-shape pipeline: revenue from lineitems whose supplier
+    and ordering customer share a nation inside one region — a 6-table
+    join whose c_nationkey == s_nationkey predicate no single equi-join
+    key carries (it becomes a post-join filter). Shape: the dim chain
+    region ⋈ nation ⋈ supplier collapses into ONE broadcast supplier
+    map; orders(date-filtered) ⋈ customer is a second broadcast;
+    lineitem streams through both joins + the filter, and only the
+    tiny per-nation aggregate shuffles."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from robosat_ray.stages.join import auto_join, broadcast_join
+
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).filter(expr="r_name == 'ASIA'").map_batches(
+        lambda b: b.rename_columns(["n_regionkey", "r_name"]), batch_format="pyarrow"
+    )
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    nat_r = broadcast_join(nation, region, on="n_regionkey", how="inner")
+
+    def nat_key(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_nationkey": b.column("n_nationkey").cast(pa.int64()),
+                "n_name": b.column("n_name"),
+            }
+        )
+
+    nat_map = nat_r.map_batches(nat_key, batch_format="pyarrow")
+
+    def supp_key(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_suppkey": b.column("s_suppkey").cast(pa.int64()),
+                "s_nationkey": b.column("s_nationkey").cast(pa.int64()),
+            }
+        )
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(supp_key, batch_format="pyarrow")
+    supp_map = broadcast_join(supp, nat_map, on="s_nationkey", how="inner")
+
+    def cust_key(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b.column("c_custkey").cast(pa.int64()),
+                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_key, batch_format="pyarrow")
+
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1998-01-01").astype("datetime64[us]").astype(np.int64)
+
+    def o_window(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = (ts >= lo) & (ts < hi)
+        b = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "l_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": b.column("o_custkey").cast(pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_window, batch_format="pyarrow")
+    # materialized: small (date-filtered key map), and auto_join's
+    # strategy probe + the join itself would otherwise re-execute the
+    # whole orders⋈customer chain
+    orders_c = (
+        broadcast_join(orders, cust, on="o_custkey", how="inner")
+        .select_columns(["l_orderkey", "c_nationkey"])
+        .materialize()
+    )
+
+    def li_cents(b: pa.Table) -> pa.Table:
+        rev = b.column("l_extendedprice").to_numpy() * (
+            1.0 - b.column("l_discount").to_numpy()
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+                "l_suppkey": b.column("l_suppkey").cast(pa.int64()),
+                "rev_cents": pa.array(np.floor(rev * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_cents, batch_format="pyarrow")
+    li_s = broadcast_join(li, supp_map, on="l_suppkey", how="inner")
+    joined = auto_join(
+        li_s, orders_c, on="l_orderkey", how="inner",
+        schema_hints={
+            "left": {
+                "l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
+                "rev_cents": pa.int64(), "s_nationkey": pa.int64(),
+                "n_name": pa.string(),
+            },
+            "right": {"l_orderkey": pa.int64(), "c_nationkey": pa.int64()},
+        },
+    )
+
+    def local_only(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("s_nationkey"), b.column("c_nationkey"))
+        return b.filter(keep)
+
+    return joined.map_batches(local_only, batch_format="pyarrow").groupby(
+        "n_name"
+    ).aggregate(
+        Count(alias_name="n_lines"), Sum("rev_cents", alias_name="revenue_cents")
+    )
+
+
 def q_price_quantiles(sf_dir: str):
     """Exact distributed quantiles of lineitem price (integer cents)
     per returnflag — the scalable exact algorithm: algebraic
@@ -1032,6 +1158,7 @@ QUERIES = {
     "chunks": q_chunks,
     "dup_clusters": q_dup_clusters,
     "rep_signals": q_rep_signals,
+    "local_supplier_revenue": q_local_supplier_revenue,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -1094,4 +1221,5 @@ ORACLES = {
     "chunks": oracle.CHUNKS,
     "dup_clusters": oracle.DUP_CLUSTERS,
     "rep_signals": oracle.REP_SIGNALS,
+    "local_supplier_revenue": oracle.LOCAL_SUPPLIER_REVENUE,
 }
