@@ -58,8 +58,10 @@ def main(argv=None):
         "cover", "rasterize", "features", "merge", "merge-geometry",
         "dedupe", "predict", "weights", "join", "knn", "neardup",
         "embdup", "ann", "lineage", "asof", "rangejoin", "revenue",
-        "quantiles", "pivot", "fingerprints",
+        "quantiles", "pivot", "fingerprints", "extract",
     ])
+    p.add_argument("--type", default="parking",
+                   help="extractor plugin name for `extract` (registry in runtime/plugins.py)")
     p.add_argument("--sf", default="/root/testdata/sf0.001")
     p.add_argument("--out", default=None)
     p.add_argument("--num-cpus", type=int, default=8)
@@ -124,6 +126,14 @@ def main(argv=None):
         _emit(Q.q_events_pivot(sf), args.out)
     elif args.cmd == "fingerprints":
         _emit(Q.q_fingerprints(sf), args.out)
+    elif args.cmd == "extract":
+        from robosat_ray.runtime.plugins import run_extractor
+        from robosat_ray.synth.footprints import footprints_dataset
+
+        _emit(
+            run_extractor(footprints_dataset(sf), args.type).drop_columns(["rings"]),
+            args.out,
+        )
     elif args.cmd == "lineage":
         from robosat_ray.runtime.lineage import lineage_table
 
