@@ -103,7 +103,7 @@ def run_bench() -> dict:
         "cust_no_orders", "active_parts", "hopping_window",
         "daily_users", "hll_users", "order_counts_dist", "lang_families",
         "top_tokens", "quality_filter", "chunks", "dup_clusters",
-        "rep_signals", "local_supplier_revenue",
+        "rep_signals", "local_supplier_revenue", "events_rollup",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

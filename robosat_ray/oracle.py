@@ -652,6 +652,22 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY n.n_name
 """
 
+# ROLLUP(day, event_type) with sentinel keys (-1 / '(all)') instead
+# of NULLs so the hash compare is representation-independent; the
+# synthetic events carry no natural NULLs for either key.
+EVENTS_ROLLUP = """
+WITH base AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT COALESCE(day, -1) AS day,
+       COALESCE(event_type, '(all)') AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM base GROUP BY ROLLUP(day, event_type)
+"""
+
 # TPC-H-Q5 shape: local-supplier revenue per nation in one region;
 # the c_nationkey = s_nationkey predicate is the cross-side filter
 # the engine applies after its two broadcast joins.

@@ -536,6 +536,17 @@ def q_order_revenue(sf_dir: str):
     )
 
 
+def q_events_rollup(sf_dir: str):
+    """ROLLUP(day, event_type) counts + value cents: one algebraic
+    groupby over the stream, upper levels re-aggregated from the tiny
+    fine result (never a second data pass)."""
+    import ray.data
+
+    from robosat_ray.stages.events import rollup_day_type
+
+    return rollup_day_type(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_local_supplier_revenue(sf_dir: str):
     """TPC-H-Q5-shape pipeline: revenue from lineitems whose supplier
     and ordering customer share a nation inside one region — a 6-table
@@ -1159,6 +1170,7 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
     "rep_signals": q_rep_signals,
     "local_supplier_revenue": q_local_supplier_revenue,
+    "events_rollup": q_events_rollup,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -1222,4 +1234,5 @@ ORACLES = {
     "dup_clusters": oracle.DUP_CLUSTERS,
     "rep_signals": oracle.REP_SIGNALS,
     "local_supplier_revenue": oracle.LOCAL_SUPPLIER_REVENUE,
+    "events_rollup": oracle.EVENTS_ROLLUP,
 }

@@ -367,3 +367,78 @@ def sessionize(events_ds, gap_us: int = SESSION_GAP_US):
         .groupby("ubucket")
         .map_groups(lambda g: _sessionize_bucket(g, gap_us), batch_format="pandas")
     )
+
+
+DAY_US = 86_400_000_000
+
+
+def rollup_day_type(events_ds):
+    """ROLLUP-style multi-level aggregate in one shuffle: exact counts
+    and value cents at (day, event_type), (day) and () levels. Only
+    the finest level aggregates the raw stream (algebraic groupby);
+    the upper levels re-aggregate the already-tiny fine result, so no
+    second pass over the data. Rolled-up keys use sentinels
+    (day = -1, event_type = '(all)') rather than NULL so the result
+    hash-compares cleanly across engines."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def base(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        cents = np.floor(b.column("value").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "day": pa.array(ts // DAY_US),
+                "event_type": b.column("event_type"),
+                "cents": pa.array(cents),
+            }
+        )
+
+    fine = (
+        events_ds.select_columns(["ts", "event_type", "value"])
+        .map_batches(base, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="value_cents"))
+        .materialize()  # days x types rows — tiny at any input scale
+    )
+
+    by_day = fine.groupby("day").aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("value_cents", alias_name="value_cents")
+    )
+
+    def day_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": b.column("day"),
+                "event_type": pa.array(["(all)"] * len(b), pa.string()),
+                "n_events": b.column("n_events").cast(pa.int64()),
+                "value_cents": b.column("value_cents").cast(pa.int64()),
+            }
+        )
+
+    def fine_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": b.column("day"),
+                "event_type": b.column("event_type"),
+                "n_events": b.column("n_events").cast(pa.int64()),
+                "value_cents": b.column("value_cents").cast(pa.int64()),
+            }
+        )
+
+    tot = fine.aggregate(Sum("n_events", alias_name="n"), Sum("value_cents", alias_name="c"))
+    total = ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["(all)"], pa.string()),
+                "n_events": pa.array([int(tot["n"])], pa.int64()),
+                "value_cents": pa.array([int(tot["c"])], pa.int64()),
+            }
+        )
+    )
+    return (
+        fine.map_batches(fine_rows, batch_format="pyarrow")
+        .union(by_day.map_batches(day_rows, batch_format="pyarrow"))
+        .union(total)
+    )
