@@ -73,3 +73,4 @@ MERGE_EPS_Y = 0.0000024
 # embedding-cosine near-dup: threshold between the corpus's max
 # off-pair cosine (~0.51) and the scaled-variant pairs (cosine 1.0)
 EMB_DUP_THRESHOLD = 0.8
+EMB_DIM = 64  # synth embeddings dimension (all scales)

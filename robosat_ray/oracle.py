@@ -889,6 +889,59 @@ FROM alls a JOIN alls b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {C.EMB_DUP_THRESHOLD!r}
 """
 
+_U64 = "18446744073709551616"
+
+# Hyperplane-LSH near-dup, full plan in SQL: integer-quantized
+# vectors x md5-derived integer planes -> exact int64 sign bits ->
+# 4 x 16-bit band keys -> band-collision candidates -> cosine verify.
+# Mirrors stages/ann.py:emb_dup_pairs_lsh bit-for-bit on buckets.
+EMB_DUP_LSH = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+),
+vars AS (
+  SELECT -(v + 1) AS vec_id,
+         list_transform(embedding, x -> x * f) AS embedding
+  FROM (
+    SELECT vec_id AS v,
+           CAST(1.0 AS DOUBLE) + (CAST(vec_id % 5 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(100.0 AS DOUBLE) AS f,
+           CAST(embedding AS DOUBLE[]) AS embedding
+    FROM embeddings WHERE vec_id % 7 = 0
+  )
+),
+alls AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
+dims AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(FLOOR(unnest(embedding) * 1048576.0) AS BIGINT) AS qv
+  FROM alls
+),
+w AS MATERIALIZED (
+  SELECT p.p, d.d,
+         CAST((((md5_number('lshw-' || p.p || '-' || d.d) % {_U64}) + {_U64}) % {_U64}) % 16 AS BIGINT) - 8 AS wv
+  FROM generate_series(0, 63) p(p) CROSS JOIN generate_series(0, {C.EMB_DIM - 1}) d(d)
+),
+dots AS MATERIALIZED (
+  SELECT e.vec_id, w.p, SUM(e.qv * w.wv) AS dot
+  FROM dims e JOIN w ON w.d = e.d
+  GROUP BY e.vec_id, w.p
+),
+bandk AS MATERIALIZED (
+  SELECT vec_id, p // 16 AS band,
+         SUM(CASE WHEN dot > 0 THEN CAST(power(2, p % 16) AS BIGINT) ELSE 0 END) AS bkey
+  FROM dots GROUP BY vec_id, p // 16
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bandk x JOIN bandk y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+)
+SELECT c.a, c.b
+FROM cand c
+JOIN alls va ON va.vec_id = c.a
+JOIN alls vb ON vb.vec_id = c.b
+WHERE list_cosine_similarity(va.embedding, vb.embedding) >= {C.EMB_DUP_THRESHOLD!r}
+"""
+
 # Media feature chain (synth media -> md5-seeded Weyl fake decode ->
 # 16x16 nearest-neighbor resize -> mean/std/entropy) mirrored exactly:
 # the decode is integer HUGEINT arithmetic, moments are integer sums,
@@ -937,7 +990,6 @@ FROM mom JOIN ent USING (media_id)
 # of md5 little-endian == md5_number(t) mod 2^64 (HUGEINT, sign-fixed);
 # per-bit vote sum over token counts; bit 63 masked off like the
 # engine's `& 0x7FFFFFFFFFFFFFFF`.
-_U64 = "18446744073709551616"
 SIMHASH = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

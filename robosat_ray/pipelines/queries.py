@@ -283,6 +283,22 @@ def q_emb_dup(sf_dir: str):
     return emb_dup_pairs(emb, table, threshold=C.EMB_DUP_THRESHOLD)
 
 
+def q_emb_dup_lsh(sf_dir: str):
+    """Hyperplane-LSH embedding near-dup (the scale path of emb_dup):
+    64 integer hyperplanes, 4 x 16-bit bands, bucketed groupby
+    candidate mining, exact-cosine verify — bucket membership is
+    int64-exact, so the SQL twin reproduces the full LSH plan."""
+    import ray.data
+
+    from robosat_ray.stages.ann import emb_dup_pairs_lsh, with_emb_variants_batch
+
+    table = with_emb_variants_batch(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    )
+    emb = ray.data.from_arrow(table)
+    return emb_dup_pairs_lsh(emb, table, threshold=C.EMB_DUP_THRESHOLD)
+
+
 def q_class_weights(sf_dir: str):
     """A1: global per-class pixel histogram over rasterized masks +
     the reference's 1/ln(1.02+p) weight rule."""
@@ -1171,6 +1187,7 @@ QUERIES = {
     "rep_signals": q_rep_signals,
     "local_supplier_revenue": q_local_supplier_revenue,
     "events_rollup": q_events_rollup,
+    "emb_dup_lsh": q_emb_dup_lsh,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -1235,4 +1252,5 @@ ORACLES = {
     "rep_signals": oracle.REP_SIGNALS,
     "local_supplier_revenue": oracle.LOCAL_SUPPLIER_REVENUE,
     "events_rollup": oracle.EVENTS_ROLLUP,
+    "emb_dup_lsh": oracle.EMB_DUP_LSH,
 }

@@ -261,3 +261,125 @@ def ann_ivf_partitioned(
         )
     emb = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
     return ann_brute_topk(emb, qids, Q, k)
+
+
+# ---------------- hyperplane-LSH near-dup (the scale path the exact
+# CosineDupPairs docstring promises) ----------------
+
+EMB_LSH_PLANES = 64
+EMB_LSH_BANDS = 4
+EMB_LSH_BAND_BITS = 16
+EMB_LSH_SCALE = 1048576.0  # 2^20: integer-exact quantization
+EMB_LSH_NUM_BUCKETS = 4096
+_PLANE_CACHE: dict[int, np.ndarray] = {}
+
+
+def lsh_plane_matrix(dim: int) -> np.ndarray:
+    """Deterministic integer hyperplanes: w[p, d] = md5-derived value
+    in [-8, 8). Integer weights x integer-quantized vectors make every
+    sign bit exact int64 arithmetic — the SQL twin reproduces bucket
+    membership bit-for-bit, which float hyperplanes cannot promise."""
+    W = _PLANE_CACHE.get(dim)
+    if W is None:
+        from robosat_ray.functions.text_hash import hash64
+
+        W = np.empty((EMB_LSH_PLANES, dim), dtype=np.int64)
+        for p in range(EMB_LSH_PLANES):
+            for d in range(dim):
+                W[p, d] = hash64(f"lshw-{p}-{d}") % 16 - 8
+        _PLANE_CACHE[dim] = W
+    return W
+
+
+def _lsh_band_rows(batch: pa.Table) -> pa.Table:
+    """(vec_id, embedding) -> EMB_LSH_BANDS rows keyed by (band index
+    in high bits | 16 sign bits). A scaled duplicate flips a plane only
+    when |integer dot| < the quantization error bound (~2^-11 relative)
+    — pigeonhole: <= EMB_LSH_BANDS-1 flips still share a band."""
+    ids, E = _emb_matrix(batch)
+    Qv = np.floor(E * EMB_LSH_SCALE).astype(np.int64)
+    W = lsh_plane_matrix(E.shape[1])
+    bits = (Qv @ W.T > 0).astype(np.uint64)  # (N, P) exact int64 dots
+    weights = np.uint64(1) << np.arange(EMB_LSH_BAND_BITS, dtype=np.uint64)
+    keys = np.empty((len(ids), EMB_LSH_BANDS), dtype=np.int64)
+    for b in range(EMB_LSH_BANDS):
+        seg = bits[:, b * EMB_LSH_BAND_BITS:(b + 1) * EMB_LSH_BAND_BITS]
+        keys[:, b] = ((np.uint64(b) << np.uint64(EMB_LSH_BAND_BITS))
+                      | (seg * weights[None, :]).sum(axis=1)).astype(np.int64)
+    flat = keys.reshape(-1)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.repeat(ids, EMB_LSH_BANDS)),
+            "band_key": pa.array(flat),
+            "bucket": pa.array(flat % EMB_LSH_NUM_BUCKETS),
+        }
+    )
+
+
+def _lsh_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """All (a < b) pairs sharing an exact band_key inside one bucket."""
+    out_a, out_b = [], []
+    for _, g in group.groupby("band_key", sort=False):
+        ids = np.unique(g["vec_id"].to_numpy())
+        if len(ids) > 1:
+            ii, jj = np.triu_indices(len(ids), 1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+    if not out_a:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+        )
+    return pd.DataFrame(
+        {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+    )
+
+
+class LSHVerify:
+    """Broadcast corpus lookup + exact cosine threshold on candidate
+    pairs (the CosineDupPairs kernel narrowed to LSH candidates). At
+    corpus sizes past a worker heap this becomes the vec_id
+    co-partition join of stages/neardup.py:near_dup_pairs_ds."""
+
+    def __init__(self, ref, threshold: float):
+        import ray
+
+        ids, En = ray.get(ref)
+        self.ids = ids
+        self.En = En
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        ia = np.searchsorted(self.ids, a)
+        ib = np.searchsorted(self.ids, b)
+        sims = np.einsum("ij,ij->i", self.En[ia], self.En[ib])
+        keep = sims >= self.threshold
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+
+def emb_dup_pairs_lsh(emb_ds, emb_table: pa.Table, threshold: float = C.EMB_DUP_THRESHOLD):
+    """-> Dataset (a, b): cosine >= threshold pairs found via
+    hyperplane-LSH banding (64 integer planes, 4 x 16-bit bands,
+    bucketed groupby) + exact-cosine verify. Candidate mining never
+    does all-pairs: only exact 16-bit band collisions meet."""
+    import ray
+    from ray.data.aggregate import Count
+
+    bands = emb_ds.map_batches(_lsh_band_rows, batch_format="pyarrow")
+    cand = bands.groupby("bucket").map_groups(_lsh_bucket_pairs, batch_format="pandas")
+    pairs = (
+        cand.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    )
+    ids = emb_table.column("vec_id").to_numpy()
+    order = np.argsort(ids, kind="stable")
+    E = np.array(emb_table.column("embedding").to_pylist(), dtype=np.float64)[order]
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ref = ray.put((ids[order], En))
+    return pairs.map_batches(
+        LSHVerify,
+        fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )

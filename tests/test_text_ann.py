@@ -256,3 +256,18 @@ def test_dup_clusters_distributed_cc_path_equal(ray_session, monkeypatch):
 
     pd.testing.assert_frame_equal(base, dist)
     assert (base["cluster_size"] > 1).any()
+
+
+def test_emb_dup_lsh_equals_exact(ray_session):
+    """LSH-banded near-dup finds exactly the pairs the exact
+    threshold join finds on the variants corpus (scaled duplicates
+    flip at most quantization-noise sign bits, far under the 3-flip
+    pigeonhole budget)."""
+    from robosat_ray.pipelines.queries import q_emb_dup, q_emb_dup_lsh
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_emb_dup(sf).to_pandas()
+    lsh = q_emb_dup_lsh(sf).to_pandas()
+    key = lambda df: sorted(zip(df["a"].astype(int), df["b"].astype(int)))
+    assert key(lsh) == key(exact)
+    assert len(lsh) > 0
