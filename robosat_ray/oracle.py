@@ -891,6 +891,18 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {C.EMB_DUP_THRESHOLD!r
 
 _U64 = "18446744073709551616"
 
+# BPE-ish pretoken counts; the alternation is lookahead-free and its
+# branches are first-char-disjoint, so RE2 and Python re count the
+# same non-overlapping matches.
+BPE_TOKENS = """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe,
+  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+')) AS BIGINT) AS n_alpha_runs,
+  CAST(len(regexp_extract_all(text, ' ?[0-9]+')) AS BIGINT) AS n_digit_runs,
+  CAST(len(regexp_extract_all(text, ' ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_punct_runs
+FROM documents
+"""
+
 # Hyperplane-LSH near-dup, full plan in SQL: integer-quantized
 # vectors x md5-derived integer planes -> exact int64 sign bits ->
 # 4 x 16-bit band keys -> band-collision candidates -> cosine verify.

@@ -199,6 +199,14 @@ def q_near_dup(sf_dir: str):
     return near_dup_pairs(docs)
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish regex pretokenization counts (the second half of the
+    token-counting brief next to the whitespace tokenizer)."""
+    from robosat_ray.stages.text_ops import bpe_token_counts
+
+    return bpe_token_counts(_docs_ds(sf_dir))
+
+
 def q_dup_clusters(sf_dir: str):
     """Near-dup cluster canonicalization: LSH pairs -> distributed
     connected components -> per-doc (cluster_id, cluster_size, keep)
@@ -1188,6 +1196,7 @@ QUERIES = {
     "local_supplier_revenue": q_local_supplier_revenue,
     "events_rollup": q_events_rollup,
     "emb_dup_lsh": q_emb_dup_lsh,
+    "bpe_tokens": q_bpe_tokens,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -1253,4 +1262,5 @@ ORACLES = {
     "local_supplier_revenue": oracle.LOCAL_SUPPLIER_REVENUE,
     "events_rollup": oracle.EVENTS_ROLLUP,
     "emb_dup_lsh": oracle.EMB_DUP_LSH,
+    "bpe_tokens": oracle.BPE_TOKENS,
 }

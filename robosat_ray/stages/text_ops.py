@@ -213,3 +213,34 @@ def chunk_documents(documents_ds, w: int = CHUNK_W, s: int = CHUNK_S):
     return documents_ds.select_columns(["doc_id", "text"]).map_batches(
         lambda b: chunk_batch(b, w, s), batch_format="pyarrow"
     )
+
+
+# BPE-ish pretokenizer (GPT-2-style alternation, lookahead-free so
+# Python re and RE2 agree; branches are first-char-disjoint so
+# leftmost-first vs leftmost-longest cannot diverge either)
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+_BPE_ALPHA = r" ?[A-Za-z]+"
+_BPE_DIGIT = r" ?[0-9]+"
+_BPE_OTHER = r" ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> BPE-ish pretoken counts (full alternation +
+    per-class runs). pandas str.count = non-overlapping left-to-right
+    matches, the same rule as DuckDB regexp_extract_all length."""
+    s = batch.column("text").to_pandas()
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bpe": pa.array(s.str.count(BPE_PATTERN).to_numpy(np.int64)),
+            "n_alpha_runs": pa.array(s.str.count(_BPE_ALPHA).to_numpy(np.int64)),
+            "n_digit_runs": pa.array(s.str.count(_BPE_DIGIT).to_numpy(np.int64)),
+            "n_punct_runs": pa.array(s.str.count(_BPE_OTHER).to_numpy(np.int64)),
+        }
+    )
+
+
+def bpe_token_counts(documents_ds):
+    return documents_ds.select_columns(["doc_id", "text"]).map_batches(
+        bpe_token_batch, batch_format="pyarrow"
+    )

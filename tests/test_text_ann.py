@@ -271,3 +271,24 @@ def test_emb_dup_lsh_equals_exact(ray_session):
     key = lambda df: sorted(zip(df["a"].astype(int), df["b"].astype(int)))
     assert key(lsh) == key(exact)
     assert len(lsh) > 0
+
+
+def test_bpe_token_batch_vs_re():
+    import re
+
+    from robosat_ray.stages.text_ops import BPE_PATTERN, bpe_token_batch
+
+    texts = [
+        "hello world",
+        "a1b2 c3!  d--e",
+        "42 4 2",
+        "!!!",
+        "  double  spaces  ",
+        "mixedCASE tokens, punct; 2026-08-17",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    out = bpe_token_batch(t).to_pandas().set_index("doc_id")
+    for i, s in enumerate(texts):
+        assert out.loc[i, "n_bpe"] == len(re.findall(BPE_PATTERN, s))
+        assert out.loc[i, "n_alpha_runs"] == len(re.findall(r" ?[A-Za-z]+", s))
+        assert out.loc[i, "n_punct_runs"] == len(re.findall(r" ?[^A-Za-z0-9 ]+", s))
