@@ -903,6 +903,29 @@ SELECT doc_id,
 FROM documents
 """
 
+# TF-IDF-shape rarity score, logarithm-free so it stays integer-exact:
+# idf_milli = (1000 * N_docs) // df; doc score = mean idf over its
+# DISTINCT tokens (floor division). Mirrors text_ops.doc_rarity.
+DOC_RARITY = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS (
+  SELECT t, (1000 * n.n_docs) // COUNT(*) AS idf_milli
+  FROM pairs, n GROUP BY t, n.n_docs
+),
+ds AS (
+  SELECT p.doc_id, COUNT(*) AS n_distinct, SUM(i.idf_milli) AS s
+  FROM pairs p JOIN idf i ON i.t = p.t
+  GROUP BY p.doc_id
+)
+SELECT doc_id,
+       CAST(n_distinct AS BIGINT) AS distinct_tokens,
+       CAST(s // n_distinct AS BIGINT) AS rarity_milli
+FROM ds
+"""
+
 # Hyperplane-LSH near-dup, full plan in SQL: integer-quantized
 # vectors x md5-derived integer planes -> exact int64 sign bits ->
 # 4 x 16-bit band keys -> band-collision candidates -> cosine verify.

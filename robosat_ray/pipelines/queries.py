@@ -207,6 +207,14 @@ def q_bpe_tokens(sf_dir: str):
     return bpe_token_counts(_docs_ds(sf_dir))
 
 
+def q_doc_rarity(sf_dir: str):
+    """Corpus-statistics scoring (TF-IDF shape): global document
+    frequency -> broadcast idf map -> per-doc rarity, integer-exact."""
+    from robosat_ray.stages.text_ops import doc_rarity
+
+    return doc_rarity(_docs_ds(sf_dir))
+
+
 def q_dup_clusters(sf_dir: str):
     """Near-dup cluster canonicalization: LSH pairs -> distributed
     connected components -> per-doc (cluster_id, cluster_size, keep)
@@ -1197,6 +1205,7 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "emb_dup_lsh": q_emb_dup_lsh,
     "bpe_tokens": q_bpe_tokens,
+    "doc_rarity": q_doc_rarity,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -1263,4 +1272,5 @@ ORACLES = {
     "events_rollup": oracle.EVENTS_ROLLUP,
     "emb_dup_lsh": oracle.EMB_DUP_LSH,
     "bpe_tokens": oracle.BPE_TOKENS,
+    "doc_rarity": oracle.DOC_RARITY,
 }

@@ -10,6 +10,7 @@ import hashlib
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")  # mirrored by the oracle's regexp_extract_all
@@ -244,3 +245,79 @@ def bpe_token_counts(documents_ds):
     return documents_ds.select_columns(["doc_id", "text"]).map_batches(
         bpe_token_batch, batch_format="pyarrow"
     )
+
+
+def doc_rarity(documents_ds):
+    """TF-IDF-style two-phase corpus op, integer-exact end to end:
+    phase 1 aggregates global document frequency per token (in-batch
+    (doc, token) dedup first, so the shuffle is vocabulary-bounded —
+    the same pre-aggregation shape as top_tokens/daily_users); phase 2
+    broadcasts the (token, idf) map once via ray.put and scores every
+    document in-batch with factorize + searchsorted — no second
+    shuffle. idf_milli = (1000 * N_docs) // df avoids logarithms so
+    the SQL twin is bit-exact."""
+    import ray
+    from ray.data.aggregate import Count
+
+    docs = documents_ds.select_columns(["doc_id", "text"])
+    n_docs = docs.count()
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        lists = pa.compute.split_pattern(batch.column("text"), " ")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        parents = pa.compute.list_parent_indices(lists).to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(lists.values.to_pandas(), sort=False)
+        key = parents * max(len(uniq), 1) + codes.astype(np.int64)
+        sel = np.unique(key, return_index=True)[1]
+        return pa.table({"token": pa.array(np.asarray(uniq, dtype=object)[codes[sel]])})
+
+    df_tab = (
+        docs.map_batches(pair_rows, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="df"))
+    )
+
+    def to_idf(batch: pa.Table) -> pa.Table:
+        df = batch.column("df").to_numpy()
+        return pa.table(
+            {
+                "token": batch.column("token"),
+                "idf_milli": pa.array(1000 * n_docs // df),
+            }
+        )
+
+    idf = df_tab.map_batches(to_idf, batch_format="pyarrow").to_pandas()
+    order = np.argsort(idf["token"].to_numpy(dtype=object), kind="stable")
+    ref = ray.put(
+        (
+            idf["token"].to_numpy(dtype=object)[order],
+            idf["idf_milli"].to_numpy(dtype=np.int64)[order],
+        )
+    )
+
+    def score(batch: pa.Table, _ref=ref) -> pa.Table:
+        tokens_sorted, idf_vals = ray.get(_ref)
+        lists = pa.compute.split_pattern(batch.column("text"), " ")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        parents = pa.compute.list_parent_indices(lists).to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(lists.values.to_pandas(), sort=False)
+        n = len(batch)
+        k = max(len(uniq), 1)
+        ukey = np.unique(parents * k + codes.astype(np.int64))
+        updoc = ukey // k
+        ucode = ukey % k
+        pos = np.searchsorted(tokens_sorted, np.asarray(uniq, dtype=object)[ucode])
+        vals = idf_vals[pos]  # every corpus token is in the map by construction
+        n_distinct = np.bincount(updoc, minlength=n).astype(np.int64)
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, updoc, vals)
+        safe = np.maximum(n_distinct, 1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "distinct_tokens": pa.array(n_distinct),
+                "rarity_milli": pa.array(s // safe),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
