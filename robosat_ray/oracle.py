@@ -965,9 +965,13 @@ bandk AS MATERIALIZED (
          SUM(CASE WHEN dot > 0 THEN CAST(power(2, p % 16) AS BIGINT) ELSE 0 END) AS bkey
   FROM dots GROUP BY vec_id, p // 16
 ),
+bandc AS MATERIALIZED (
+  SELECT vec_id, band, bkey FROM bandk
+  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY vec_id) <= 200
+),
 cand AS (
   SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-  FROM bandk x JOIN bandk y
+  FROM bandc x JOIN bandc y
     ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
 )
 SELECT c.a, c.b

@@ -45,7 +45,10 @@ def _poly_rows(feat: dict, fid_default: int) -> list[tuple[int, str, int, list]]
         return []
     out = []
     for pi, rings in enumerate(polys):
-        conv = [[{"x": float(x), "y": float(y)} for x, y in ring] for ring in rings]
+        # p[:2]: RFC 7946 positions may carry altitude as a third element
+        conv = [
+            [{"x": float(p[0]), "y": float(p[1])} for p in ring] for ring in rings
+        ]
         out.append((fid, kind, pi, conv))
     return out
 
@@ -93,8 +96,14 @@ def write_feature_collections(
 ) -> pd.DataFrame:
     """features Dataset -> `{root}/part={id}.geojson` FC shards,
     hash-partitioned by feature_id with deterministic shard names and
-    atomic tmp+rename writes. Returns a manifest (part, features)."""
+    atomic tmp+rename writes. Returns a manifest (part, features).
+    Pre-existing `part=*.geojson` shards in root are removed first —
+    a re-write that occupies fewer partitions must not leave stale
+    shards for a later read to silently mix in."""
     os.makedirs(root, exist_ok=True)
+    for name in os.listdir(root):
+        if name.startswith("part=") and name.endswith(".geojson"):
+            os.remove(os.path.join(root, name))
 
     def assign(batch: pa.Table) -> pa.Table:
         keys = batch.column("feature_id").to_numpy()
@@ -104,17 +113,23 @@ def write_feature_collections(
 
     def write_group(group: pa.Table) -> pa.Table:
         part = int(group.column("__part")[0].as_py())
-        df = group.sort_by("feature_id")
         feats = [
-            _feature_json(f, k, r)
+            json.dumps(_feature_json(f, k, r), sort_keys=True)
             for f, k, r in zip(
-                df.column("feature_id").to_pylist(),
-                df.column("kind").to_pylist(),
-                df.column("rings").to_pylist(),
+                group.column("feature_id").to_pylist(),
+                group.column("kind").to_pylist(),
+                group.column("rings").to_pylist(),
             )
         ]
-        body = json.dumps(
-            {"type": "FeatureCollection", "features": feats}, sort_keys=True
+        # sort the serialized features: a TOTAL order (sort_by on
+        # feature_id alone is stable but leaves duplicate-fid rows in
+        # shuffle-arrival order), so shards stay byte-identical
+        # whatever the input block structure
+        feats.sort()
+        body = (
+            '{"type": "FeatureCollection", "features": ['
+            + ", ".join(feats)
+            + "]}"
         )
         final = os.path.join(root, f"part={part}.geojson")
         tmp = final + ".tmp"

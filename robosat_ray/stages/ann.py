@@ -316,11 +316,18 @@ def _lsh_band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+EMB_LSH_RUN_CAP = 200  # mirrored by the oracle's row_number QUALIFY
+
+
 def _lsh_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """All (a < b) pairs sharing an exact band_key inside one bucket."""
+    """All (a < b) pairs sharing an exact band_key inside one bucket.
+    A pathological band key (many identical/near-zero vectors) is
+    truncated to its EMB_LSH_RUN_CAP smallest vec_ids before pairing —
+    bounds any single task at cap² pairs, and the SQL twin applies the
+    identical deterministic truncation so parity survives."""
     out_a, out_b = [], []
     for _, g in group.groupby("band_key", sort=False):
-        ids = np.unique(g["vec_id"].to_numpy())
+        ids = np.unique(g["vec_id"].to_numpy())[:EMB_LSH_RUN_CAP]
         if len(ids) > 1:
             ii, jj = np.triu_indices(len(ids), 1)
             out_a.append(ids[ii])

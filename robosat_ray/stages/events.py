@@ -427,13 +427,17 @@ def rollup_day_type(events_ds):
         )
 
     tot = fine.aggregate(Sum("n_events", alias_name="n"), Sum("value_cents", alias_name="c"))
+    # empty input: SQL ROLLUP still emits the grand-total grouping set
+    # as one row (COUNT 0, SUM NULL) — mirror it exactly
+    n_tot = int(tot["n"]) if tot and tot.get("n") is not None else 0
+    c_tot = int(tot["c"]) if tot and tot.get("c") is not None else None
     total = ray.data.from_arrow(
         pa.table(
             {
                 "day": pa.array([-1], pa.int64()),
                 "event_type": pa.array(["(all)"], pa.string()),
-                "n_events": pa.array([int(tot["n"])], pa.int64()),
-                "value_cents": pa.array([int(tot["c"])], pa.int64()),
+                "n_events": pa.array([n_tot], pa.int64()),
+                "value_cents": pa.array([c_tot], pa.int64()),
             }
         )
     )

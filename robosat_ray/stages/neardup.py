@@ -537,7 +537,37 @@ def dup_clusters(docs_ds, threshold: float = 0.5):
         sizes = lab_map.groupby("cluster_id").aggregate(
             Count(alias_name="cluster_size")
         )
-        lab_sized = broadcast_join(lab_map, sizes, on="cluster_id", how="left")
+
+        def sz_rows(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "cluster_id": pc.cast(b.column("cluster_id"), pa.int64()),
+                    "cluster_size": pc.cast(b.column("cluster_size"), pa.int64()),
+                }
+            )
+
+        # label map may exceed driver memory here by construction, so
+        # BOTH attaches stay distributed: sizes onto labels, then the
+        # sized label map onto the corpus, each one hash-bucket shuffle
+        from robosat_ray.stages.join import copartition_join
+
+        i64 = pa.int64()
+        lab_sized = copartition_join(
+            lab_map, sizes.map_batches(sz_rows, batch_format="pyarrow"),
+            on="cluster_id", how="left",
+            schema_hints={
+                "left": {"doc_id": i64, "cluster_id": i64},
+                "right": {"cluster_id": i64, "cluster_size": i64},
+            },
+        )
+        joined = copartition_join(
+            ids, lab_sized, on="doc_id", how="left",
+            schema_hints={
+                "left": {"doc_id": i64},
+                "right": {"doc_id": i64, "cluster_id": i64, "cluster_size": i64},
+            },
+        )
+        return joined.map_batches(_finalize, batch_format="pyarrow")
 
     joined = broadcast_join(ids, lab_sized, on="doc_id", how="left")
     return joined.map_batches(_finalize, batch_format="pyarrow")

@@ -84,3 +84,65 @@ def test_fc_reader_multipolygon_normalization(ray_session, tmp_path):
     back = read_feature_collections(str(p)).to_pandas().sort_values("poly_idx")
     assert list(back["feature_id"]) == [7, 7]  # Point skipped, MP split
     assert list(back["poly_idx"]) == [0, 1]
+
+
+def test_fc_reader_altitude_positions(ray_session, tmp_path):
+    """RFC 7946 allows [lon, lat, alt] positions; altitude is dropped."""
+    fc = {
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature",
+            "properties": {"feature_id": 1, "kind": "building"},
+            "geometry": {"type": "Polygon",
+                         "coordinates": [[[0, 0, 5], [1, 0, 5], [1, 1, 5], [0, 0, 5]]]},
+        }],
+    }
+    p = tmp_path / "alt.geojson"
+    p.write_text(json.dumps(fc))
+    back = read_feature_collections(str(p)).to_pandas()
+    assert len(back) == 1
+    assert [(pt["x"], pt["y"]) for pt in back["rings"][0][0]] == [
+        (0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]
+
+
+def test_fc_writer_duplicate_fid_deterministic(ray_session, tmp_path):
+    """Duplicate feature_ids (MultiPolygon split rows) must still give
+    byte-identical shards under any block order: the writer sorts the
+    SERIALIZED features (a total order), not just the fid."""
+    import ray.data
+
+    rows = []
+    for i in range(30):
+        for pi in range(3):  # 3 rows per fid, distinct rings
+            x = float(pi)
+            rows.append({
+                "feature_id": i % 5,  # heavy duplication
+                "kind": "building",
+                "rings": [[{"x": x, "y": 0.0}, {"x": x + 1, "y": 0.0},
+                           {"x": x + 1, "y": 1.0}, {"x": x, "y": 0.0}]],
+            })
+    ds = ray.data.from_items(rows)
+    r1, r2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_feature_collections(ds, r1, num_partitions=3)
+    write_feature_collections(ds.random_shuffle(seed=3), r2, num_partitions=3)
+    for name in sorted(os.listdir(r1)):
+        assert open(os.path.join(r1, name), "rb").read() == open(
+            os.path.join(r2, name), "rb").read(), name
+
+
+def test_fc_writer_removes_stale_shards(ray_session, tmp_path):
+    import ray.data
+
+    from robosat_ray.synth.footprints import footprints_dataset
+
+    feet = footprints_dataset(SF).select_columns(["feature_id", "kind", "rings"])
+    root = str(tmp_path / "fc")
+    write_feature_collections(feet, root, num_partitions=16)
+    small = ray.data.from_items([{
+        "feature_id": 1, "kind": "building",
+        "rings": [[{"x": 0.0, "y": 0.0}, {"x": 1.0, "y": 0.0},
+                   {"x": 1.0, "y": 1.0}, {"x": 0.0, "y": 0.0}]],
+    }])
+    write_feature_collections(small, root, num_partitions=4)
+    back = read_feature_collections(root).to_pandas()
+    assert len(back) == 1  # no stale shards mixed in

@@ -1,6 +1,7 @@
 """Text sketches, langid, ANN — property/recall tests (non-SQL ops)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -292,3 +293,49 @@ def test_bpe_token_batch_vs_re():
         assert out.loc[i, "n_bpe"] == len(re.findall(BPE_PATTERN, s))
         assert out.loc[i, "n_alpha_runs"] == len(re.findall(r" ?[A-Za-z]+", s))
         assert out.loc[i, "n_punct_runs"] == len(re.findall(r" ?[^A-Za-z0-9 ]+", s))
+
+
+def test_emb_dup_lsh_pathological_bucket_capped(ray_session):
+    """300 identical vectors share every band key; the run cap bounds
+    candidate mining at C(200,2) pairs of the smallest vec_ids (the
+    oracle applies the identical truncation)."""
+    import ray.data
+
+    from robosat_ray.stages.ann import EMB_LSH_RUN_CAP, emb_dup_pairs_lsh
+
+    n = 300
+    vec = (np.arange(64, dtype=np.float64) % 7 - 3.0) / 10.0
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([list(vec)] * n, pa.list_(pa.float64())),
+        }
+    )
+    pairs = emb_dup_pairs_lsh(ray.data.from_arrow(tbl), tbl).to_pandas()
+    cap = EMB_LSH_RUN_CAP
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert pairs["a"].max() < cap and pairs["b"].max() < cap
+
+
+def test_events_rollup_empty_input(ray_session):
+    """SQL ROLLUP on empty input still emits the grand-total grouping
+    set: one row (day=-1, '(all)', 0, NULL). The engine must match."""
+    import ray.data
+
+    from robosat_ray.stages.events import rollup_day_type
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    out = rollup_day_type(ray.data.from_arrow(empty)).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["day"] == -1 and row["event_type"] == "(all)"
+    assert row["n_events"] == 0 and pd.isna(row["value_cents"])
