@@ -58,7 +58,8 @@ def main(argv=None):
         "cover", "rasterize", "features", "merge", "merge-geometry",
         "dedupe", "predict", "weights", "join", "knn", "neardup",
         "embdup", "ann", "lineage", "asof", "rangejoin", "revenue",
-        "quantiles", "pivot", "fingerprints", "extract",
+        "quantiles", "pivot", "fingerprints", "extract", "rollup",
+        "dupclusters", "rarity", "bpetokens", "embdup-lsh",
     ])
     p.add_argument("--type", default="parking",
                    help="extractor plugin name for `extract` (registry in runtime/plugins.py)")
@@ -126,6 +127,16 @@ def main(argv=None):
         _emit(Q.q_events_pivot(sf), args.out)
     elif args.cmd == "fingerprints":
         _emit(Q.q_fingerprints(sf), args.out)
+    elif args.cmd == "rollup":
+        _emit(Q.q_events_rollup(sf), args.out)
+    elif args.cmd == "dupclusters":
+        _emit(Q.q_dup_clusters(sf), args.out)
+    elif args.cmd == "rarity":
+        _emit(Q.q_doc_rarity(sf), args.out)
+    elif args.cmd == "bpetokens":
+        _emit(Q.q_bpe_tokens(sf), args.out)
+    elif args.cmd == "embdup-lsh":
+        _emit(Q.q_emb_dup_lsh(sf), args.out)
     elif args.cmd == "extract":
         from robosat_ray.runtime.plugins import run_extractor
         from robosat_ray.synth.footprints import footprints_dataset

@@ -576,7 +576,11 @@ def q_events_rollup(sf_dir: str):
 
     from robosat_ray.stages.events import rollup_day_type
 
-    return rollup_day_type(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+    return rollup_day_type(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+    )
 
 
 def q_local_supplier_revenue(sf_dir: str):
@@ -589,54 +593,52 @@ def q_local_supplier_revenue(sf_dir: str):
     lineitem streams through both joins + the filter, and only the
     tiny per-nation aggregate shuffles."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from robosat_ray.stages.join import auto_join, broadcast_join
 
-    region = ray.data.read_parquet(
-        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
-    ).filter(expr="r_name == 'ASIA'").map_batches(
-        lambda b: b.rename_columns(["n_regionkey", "r_name"]), batch_format="pyarrow"
-    )
-    nation = ray.data.read_parquet(
+    # dims are small BY DEFINITION of the broadcast pattern, so they
+    # are prepared as plain Arrow tables on the driver (each Ray
+    # micro-execution for a 25-row dim costs ~2 s of fixed scheduling
+    # — measured 6 serial prep executions = half the query wall time)
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    asia = region.filter(pc.equal(region.column("r_name"), "ASIA"))
+    rkeys = asia.column("r_regionkey").to_numpy().astype(np.int64)
+    nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
     )
-    nat_r = broadcast_join(nation, region, on="n_regionkey", how="inner")
+    nmask = np.isin(nation.column("n_regionkey").to_numpy().astype(np.int64), rkeys)
+    nat = nation.filter(pa.array(nmask))
+    nat_keys = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    nat_order = np.argsort(nat_keys, kind="stable")
+    nat_keys = nat_keys[nat_order]
+    nat_names = np.asarray(nat.column("n_name").to_pylist(), dtype=object)[nat_order]
 
-    def nat_key(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "s_nationkey": b.column("n_nationkey").cast(pa.int64()),
-                "n_name": b.column("n_name"),
-            }
-        )
-
-    nat_map = nat_r.map_batches(nat_key, batch_format="pyarrow")
-
-    def supp_key(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_suppkey": b.column("s_suppkey").cast(pa.int64()),
-                "s_nationkey": b.column("s_nationkey").cast(pa.int64()),
-            }
-        )
-
-    supp = ray.data.read_parquet(
+    supp = pq.read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).map_batches(supp_key, batch_format="pyarrow")
-    supp_map = broadcast_join(supp, nat_map, on="s_nationkey", how="inner")
+    )
+    snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    smask = np.isin(snat, nat_keys)
+    spos = np.searchsorted(nat_keys, snat[smask])
+    supp_map = pa.table(
+        {
+            "l_suppkey": pa.array(
+                supp.column("s_suppkey").to_numpy().astype(np.int64)[smask]
+            ),
+            "s_nationkey": pa.array(snat[smask]),
+            "n_name": pa.array(nat_names[spos], pa.string()),
+        }
+    )
 
-    def cust_key(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_custkey": b.column("c_custkey").cast(pa.int64()),
-                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
-            }
-        )
-
-    cust = ray.data.read_parquet(
+    cust_t = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).map_batches(cust_key, batch_format="pyarrow")
+    )
+    cust = pa.table(
+        {
+            "o_custkey": cust_t.column("c_custkey").cast(pa.int64()),
+            "c_nationkey": cust_t.column("c_nationkey").cast(pa.int64()),
+        }
+    )
 
     lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
     hi = np.datetime64("1998-01-01").astype("datetime64[us]").astype(np.int64)
@@ -693,14 +695,29 @@ def q_local_supplier_revenue(sf_dir: str):
         },
     )
 
-    def local_only(b: pa.Table) -> pa.Table:
-        keep = pc.equal(b.column("s_nationkey"), b.column("c_nationkey"))
-        return b.filter(keep)
+    def local_partial(b: pa.Table) -> pa.Table:
+        # filter + in-batch combiner: the global groupby then shuffles
+        # (batches x nations) partial rows, not every joined line
+        import pandas as pd
 
-    return joined.map_batches(local_only, batch_format="pyarrow").groupby(
+        keep = pc.equal(b.column("s_nationkey"), b.column("c_nationkey"))
+        b = b.filter(keep)
+        names = b.column("n_name").to_pandas()
+        codes, uniq = pd.factorize(names, sort=False)
+        cents = b.column("rev_cents").to_numpy()
+        k = len(uniq)
+        return pa.table(
+            {
+                "n_name": pa.array(np.asarray(uniq, dtype=object), pa.string()),
+                "pn": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
+                "pc": pa.array(np.bincount(codes, weights=cents, minlength=k).astype(np.int64)),
+            }
+        )
+
+    return joined.map_batches(local_partial, batch_format="pyarrow").groupby(
         "n_name"
     ).aggregate(
-        Count(alias_name="n_lines"), Sum("rev_cents", alias_name="revenue_cents")
+        Sum("pn", alias_name="n_lines"), Sum("pc", alias_name="revenue_cents")
     )
 
 

@@ -270,7 +270,10 @@ EMB_LSH_PLANES = 64
 EMB_LSH_BANDS = 4
 EMB_LSH_BAND_BITS = 16
 EMB_LSH_SCALE = 1048576.0  # 2^20: integer-exact quantization
-EMB_LSH_NUM_BUCKETS = 4096
+# few, fat buckets: map_groups pays per-group pandas overhead, so the
+# shuffle groups by a coarse bucket and the per-band-key runs are
+# found vectorized (lexsort + run boundaries) inside each group
+EMB_LSH_NUM_BUCKETS = 64
 _PLANE_CACHE: dict[int, np.ndarray] = {}
 
 
@@ -320,18 +323,28 @@ EMB_LSH_RUN_CAP = 200  # mirrored by the oracle's row_number QUALIFY
 
 
 def _lsh_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """All (a < b) pairs sharing an exact band_key inside one bucket.
-    A pathological band key (many identical/near-zero vectors) is
-    truncated to its EMB_LSH_RUN_CAP smallest vec_ids before pairing —
-    bounds any single task at cap² pairs, and the SQL twin applies the
-    identical deterministic truncation so parity survives."""
+    """All (a < b) pairs sharing an exact band_key inside one bucket,
+    fully vectorized: lexsort by (band_key, vec_id), run boundaries by
+    diff, per-run triu pairing. A pathological band key (many
+    identical/near-zero vectors) is truncated to its EMB_LSH_RUN_CAP
+    smallest vec_ids before pairing — bounds any single task at cap²
+    pairs, and the SQL twin applies the identical deterministic
+    truncation so parity survives."""
+    keys = group["band_key"].to_numpy()
+    ids = group["vec_id"].to_numpy()
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    starts = np.concatenate([[0], np.nonzero(np.diff(keys))[0] + 1, [len(keys)]])
     out_a, out_b = [], []
-    for _, g in group.groupby("band_key", sort=False):
-        ids = np.unique(g["vec_id"].to_numpy())[:EMB_LSH_RUN_CAP]
-        if len(ids) > 1:
-            ii, jj = np.triu_indices(len(ids), 1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
+    for s, e in zip(starts[:-1], starts[1:]):
+        if e - s < 2:
+            continue
+        run = np.unique(ids[s:e])[:EMB_LSH_RUN_CAP]
+        if len(run) < 2:
+            continue
+        ii, jj = np.triu_indices(len(run), 1)
+        out_a.append(run[ii])
+        out_b.append(run[jj])
     if not out_a:
         return pd.DataFrame(
             {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}

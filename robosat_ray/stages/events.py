@@ -399,50 +399,50 @@ def rollup_day_type(events_ds):
         .map_batches(base, batch_format="pyarrow")
         .groupby(["day", "event_type"])
         .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="value_cents"))
-        .materialize()  # days x types rows — tiny at any input scale
     )
 
-    by_day = fine.groupby("day").aggregate(
-        Sum("n_events", alias_name="n_events"), Sum("value_cents", alias_name="value_cents")
-    )
-
-    def day_rows(b: pa.Table) -> pa.Table:
-        return pa.table(
+    # the fine result is bounded by |days| x |event_types| whatever the
+    # input scale — the upper grouping sets re-aggregate IT on the
+    # driver (three extra Ray executions for a few-thousand-row table
+    # cost more scheduling than compute)
+    fp = fine.to_pandas()
+    if len(fp) == 0:  # empty dataset loses its schema entirely
+        fp = pd.DataFrame(
             {
-                "day": b.column("day"),
-                "event_type": pa.array(["(all)"] * len(b), pa.string()),
-                "n_events": b.column("n_events").cast(pa.int64()),
-                "value_cents": b.column("value_cents").cast(pa.int64()),
+                "day": pd.Series([], dtype=np.int64),
+                "event_type": pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype=np.int64),
+                "value_cents": pd.Series([], dtype=np.int64),
             }
         )
-
-    def fine_rows(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "day": b.column("day"),
-                "event_type": b.column("event_type"),
-                "n_events": b.column("n_events").cast(pa.int64()),
-                "value_cents": b.column("value_cents").cast(pa.int64()),
-            }
-        )
-
-    tot = fine.aggregate(Sum("n_events", alias_name="n"), Sum("value_cents", alias_name="c"))
-    # empty input: SQL ROLLUP still emits the grand-total grouping set
-    # as one row (COUNT 0, SUM NULL) — mirror it exactly
-    n_tot = int(tot["n"]) if tot and tot.get("n") is not None else 0
-    c_tot = int(tot["c"]) if tot and tot.get("c") is not None else None
-    total = ray.data.from_arrow(
-        pa.table(
-            {
-                "day": pa.array([-1], pa.int64()),
-                "event_type": pa.array(["(all)"], pa.string()),
-                "n_events": pa.array([n_tot], pa.int64()),
-                "value_cents": pa.array([c_tot], pa.int64()),
-            }
-        )
+    else:
+        fp = fp.astype({"day": np.int64, "n_events": np.int64, "value_cents": np.int64})
+    by_day = (
+        fp.groupby("day", as_index=False)[["n_events", "value_cents"]]
+        .sum()
+        .assign(event_type="(all)")
     )
-    return (
-        fine.map_batches(fine_rows, batch_format="pyarrow")
-        .union(by_day.map_batches(day_rows, batch_format="pyarrow"))
-        .union(total)
+    if len(fp) == 0:
+        # SQL ROLLUP still emits the grand-total grouping set on empty
+        # input: one row (COUNT 0, SUM NULL) — mirror it exactly
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "day": pa.array([-1], pa.int64()),
+                    "event_type": pa.array(["(all)"], pa.string()),
+                    "n_events": pa.array([0], pa.int64()),
+                    "value_cents": pa.array([None], pa.int64()),
+                }
+            )
+        )
+    total = pd.DataFrame(
+        {
+            "day": np.array([-1], dtype=np.int64),
+            "event_type": ["(all)"],
+            "n_events": np.array([fp["n_events"].sum()], dtype=np.int64),
+            "value_cents": np.array([fp["value_cents"].sum()], dtype=np.int64),
+        }
     )
+    cols = ["day", "event_type", "n_events", "value_cents"]
+    out = pd.concat([fp[cols], by_day[cols], total[cols]], ignore_index=True)
+    return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
