@@ -104,7 +104,7 @@ def run_bench() -> dict:
         "daily_users", "hll_users", "order_counts_dist", "lang_families",
         "top_tokens", "quality_filter", "chunks", "dup_clusters",
         "rep_signals", "local_supplier_revenue", "events_rollup",
-        "emb_dup_lsh", "bpe_tokens", "doc_rarity",
+        "emb_dup_lsh", "bpe_tokens", "doc_rarity", "sample_weighted",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

@@ -800,6 +800,22 @@ WHERE ((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761 + 7) % 4294967296)
       < {int(0.2 * 4294967296)}
 """
 
+# Quality-weighted deterministic sampling: P(keep) == alpha ratio,
+# realized as integer threshold (n_alpha * 2^32 // n_chars) vs the
+# stable key hash. Mirrors stages/sampling.py:weighted_sample.
+SAMPLE_WEIGHTED = """
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
+  FROM documents
+)
+SELECT doc_id, n_chars, n_alpha
+FROM q
+WHERE ((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761 + 7) % 4294967296)
+      < (n_alpha * 4294967296) // GREATEST(n_chars, 1)
+"""
+
 TOP_DOCS_PER_LANG = """
 SELECT lang, doc_id, n_chars, rank FROM (
   SELECT lang, doc_id, n_chars,

@@ -207,6 +207,14 @@ def q_bpe_tokens(sf_dir: str):
     return bpe_token_counts(_docs_ds(sf_dir))
 
 
+def q_sample_weighted(sf_dir: str):
+    """Deterministic quality-weighted subsample: P(keep) = alpha
+    ratio, integer threshold vs the stable key hash."""
+    from robosat_ray.stages.sampling import weighted_sample
+
+    return weighted_sample(_docs_ds(sf_dir))
+
+
 def q_doc_rarity(sf_dir: str):
     """Corpus-statistics scoring (TF-IDF shape): global document
     frequency -> broadcast idf map -> per-doc rarity, integer-exact."""
@@ -1223,6 +1231,7 @@ QUERIES = {
     "emb_dup_lsh": q_emb_dup_lsh,
     "bpe_tokens": q_bpe_tokens,
     "doc_rarity": q_doc_rarity,
+    "sample_weighted": q_sample_weighted,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -1290,4 +1299,5 @@ ORACLES = {
     "emb_dup_lsh": oracle.EMB_DUP_LSH,
     "bpe_tokens": oracle.BPE_TOKENS,
     "doc_rarity": oracle.DOC_RARITY,
+    "sample_weighted": oracle.SAMPLE_WEIGHTED,
 }

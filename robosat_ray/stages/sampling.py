@@ -53,3 +53,33 @@ def top_k_per_group(ds, group_col: str, order_cols, ascending, k: int):
     return ds.groupby(group_col).map_groups(
         lambda g: _topk_group(g, order_cols, ascending, k), batch_format="pandas"
     )
+
+
+def weighted_sample(docs_ds, seed: int = 7):
+    """Deterministic weighted subsample (the data-mixing primitive):
+    keep a document with probability equal to its alpha ratio, as an
+    integer threshold in 2^32 units compared against the stable key
+    hash. Pure per-batch map — scale-free, reproducible across
+    partitionings, join-stable — and bit-exact against the SQL twin
+    (threshold and hash are both integer arithmetic)."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        n_chars = pc.utf8_length(texts).cast(pa.int64()).to_numpy()
+        alpha_only = pc.replace_substring_regex(texts, "[^A-Za-z]", "")
+        n_alpha = pc.utf8_length(alpha_only).cast(pa.int64()).to_numpy()
+        thr = n_alpha * (1 << 32) // np.maximum(n_chars, 1)
+        h = sample_hash(batch.column("doc_id").to_numpy(), seed).astype(np.int64)
+        keep = pa.array(h < thr)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(keep),
+                "n_chars": pa.array(n_chars).filter(keep),
+                "n_alpha": pa.array(n_alpha).filter(keep),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
