@@ -668,6 +668,18 @@ SELECT COALESCE(day, -1) AS day,
 FROM base GROUP BY ROLLUP(day, event_type)
 """
 
+# Semi-join with a Bloom runtime filter in the engine; Bloom has no
+# false negatives and the copartition verify is exact, so the result
+# IS the plain semi-join.
+RECENT_LINEITEMS = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o_orderdate < TIMESTAMP '1998-01-01')
+GROUP BY l_returnflag
+"""
+
 # TPC-H-Q5 shape: local-supplier revenue per nation in one region;
 # the c_nationkey = s_nationkey predicate is the cross-side filter
 # the engine applies after its two broadcast joins.

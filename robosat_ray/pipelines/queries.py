@@ -576,6 +576,56 @@ def q_order_revenue(sf_dir: str):
     )
 
 
+def q_recent_lineitems(sf_dir: str):
+    """Exact semi-join accelerated by a Bloom runtime filter: lineitem
+    ⋉ date-windowed orders. The filter is built distributed from the
+    orders side (one bit-array row per block, OR'd on the driver,
+    broadcast once) and prunes non-matching lineitems BEFORE the
+    all-to-all, so the exact copartition semi-join shuffles only
+    matches + the ~1% FP tail. No false negatives => result identical
+    to the plain semi-join (the oracle)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from robosat_ray.stages.join import BLOOM_BITS_PER_KEY, bloom_semi_join
+
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1998-01-01").astype("datetime64[us]").astype(np.int64)
+
+    def o_keys(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate").cast(pa.int64()).to_numpy()
+        b = b.filter(pa.array((ts >= lo) & (ts < hi)))
+        return pa.table({"l_orderkey": b.column("o_orderkey").cast(pa.int64())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(o_keys, batch_format="pyarrow")
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    joined = bloom_semi_join(
+        li, orders, on="l_orderkey",
+        num_bits=BLOOM_BITS_PER_KEY * n_orders,
+        schema_hints={"left": {"l_orderkey": pa.int64(), "l_returnflag": pa.string()}},
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        codes, uniq = pd.factorize(b.column("l_returnflag").to_pandas(), sort=False)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(np.asarray(uniq, dtype=object), pa.string()),
+                "pn": pa.array(np.bincount(codes, minlength=len(uniq)).astype(np.int64)),
+            }
+        )
+
+    return joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "l_returnflag"
+    ).aggregate(Sum("pn", alias_name="n_lines"))
+
+
 def q_events_rollup(sf_dir: str):
     """ROLLUP(day, event_type) counts + value cents: one algebraic
     groupby over the stream, upper levels re-aggregated from the tiny
@@ -1232,6 +1282,7 @@ QUERIES = {
     "bpe_tokens": q_bpe_tokens,
     "doc_rarity": q_doc_rarity,
     "sample_weighted": q_sample_weighted,
+    "recent_lineitems": q_recent_lineitems,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -1300,4 +1351,5 @@ ORACLES = {
     "bpe_tokens": oracle.BPE_TOKENS,
     "doc_rarity": oracle.DOC_RARITY,
     "sample_weighted": oracle.SAMPLE_WEIGHTED,
+    "recent_lineitems": oracle.RECENT_LINEITEMS,
 }

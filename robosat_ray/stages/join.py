@@ -374,3 +374,80 @@ def auto_join(left_ds, right_ds, on: str, how: str = "inner",
         left_ds, right_ds, on=on, how=how,
         num_buckets=num_buckets, schema_hints=schema_hints,
     )
+
+
+# ---------------- Bloom-filter join pruning ----------------
+
+BLOOM_BITS_PER_KEY = 10  # ~1% FP at K=7 hashes
+BLOOM_K = 7
+
+
+def _bloom_positions(keys: np.ndarray, num_bits: int) -> np.ndarray:
+    """(n, K) bit positions by double hashing: g_i = h1 + i*h2 mod m
+    (Kirsch-Mitzenmacher). splitmix64-style mixes, all uint64."""
+    k = keys.astype(np.uint64)
+    h = (k + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h1 = h * np.uint64(0x94D049BB133111EB)
+    h2 = (h ^ (h >> np.uint64(31))) | np.uint64(1)  # odd => full-period stride
+    i = np.arange(BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(num_bits))
+
+
+def build_bloom(right_ds, on: str, num_bits: int):
+    """Distributed Bloom build: every batch folds its keys into a full
+    num_bits array and emits ONE binary row (num_bits/8 bytes); the
+    per-batch rows — one per block, not per key — OR together on the
+    driver. Size num_bits ~= BLOOM_BITS_PER_KEY x distinct keys."""
+    words = (num_bits + 63) // 64
+
+    def fold(batch: pa.Table) -> pa.Table:
+        vk = batch.column(on).filter(pa.compute.is_valid(batch.column(on)))
+        arr = np.zeros(words, dtype=np.uint64)
+        if len(vk):
+            pos = _bloom_positions(vk.to_numpy(zero_copy_only=False), num_bits).ravel()
+            np.bitwise_or.at(arr, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bits": pa.array([arr.tobytes()], pa.binary())})
+
+    parts = right_ds.map_batches(fold, batch_format="pyarrow").to_pandas()
+    out = np.zeros(words, dtype=np.uint64)
+    for b in parts["bits"]:
+        out |= np.frombuffer(b, dtype=np.uint64)
+    return out
+
+
+def bloom_contains(bloom: np.ndarray, num_bits: int, keys: np.ndarray) -> np.ndarray:
+    pos = _bloom_positions(keys, num_bits)
+    bits = (bloom[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))) & np.uint64(1)
+    return bits.all(axis=1)
+
+
+def bloom_semi_join(left_ds, right_ds, on: str, num_bits: int,
+                    schema_hints: dict | None = None):
+    """Exact semi-join with Bloom pre-shuffle pruning: the filter
+    (built distributed from the right side, broadcast once via
+    ray.put) drops every left row whose key is provably absent BEFORE
+    the all-to-all, so the exact copartition semi-join shuffles only
+    the ~matching rows plus the FP tail (~1%). No false negatives =>
+    the result equals the plain semi-join bit-for-bit; the filter only
+    changes how many rows ride the shuffle. This is the standard
+    runtime-filter optimization for large ⋉ large joins where neither
+    side fits a broadcast."""
+    import ray
+
+    bloom = build_bloom(right_ds, on, num_bits)
+    ref = ray.put(bloom)
+
+    def prefilter(batch: pa.Table, _ref=ref) -> pa.Table:
+        blm = ray.get(_ref)
+        k = batch.column(on).to_numpy(zero_copy_only=False)
+        valid = pa.compute.is_valid(batch.column(on)).to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(batch), dtype=bool)
+        if valid.any():
+            keep[valid] = bloom_contains(blm, num_bits, k[valid])
+        return batch.filter(pa.array(keep))
+
+    pruned = left_ds.map_batches(prefilter, batch_format="pyarrow")
+    return copartition_semi_join(pruned, right_ds, on, schema_hints=schema_hints)

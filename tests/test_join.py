@@ -266,3 +266,49 @@ def test_long_outlier_string_key():
         ray.data.from_pandas(left), ray.data.from_pandas(right), on="k", how="inner"
     ).to_pandas()
     assert sorted(got["rv"]) == [1, 2]
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    from robosat_ray.stages.join import (
+        BLOOM_BITS_PER_KEY,
+        _bloom_positions,
+        bloom_contains,
+    )
+
+    rng = np.random.default_rng(0)
+    keys = np.unique(rng.integers(0, 2**62, 20000).astype(np.int64))
+    m = BLOOM_BITS_PER_KEY * len(keys)
+    words = (m + 63) // 64
+    arr = np.zeros(words, dtype=np.uint64)
+    pos = _bloom_positions(keys, m).ravel()
+    np.bitwise_or.at(
+        arr, (pos >> np.uint64(6)).astype(np.int64), np.uint64(1) << (pos & np.uint64(63))
+    )
+    assert bloom_contains(arr, m, keys).all()  # NO false negatives, ever
+    probe = rng.integers(0, 2**62, 50000).astype(np.int64)
+    novel = probe[~np.isin(probe, keys)]
+    fp = bloom_contains(arr, m, novel).mean()
+    assert fp < 0.03  # ~1% design point at 10 bits/key, K=7
+
+
+def test_bloom_semi_join_equals_plain_semi(ray_session):
+    import ray.data
+
+    from robosat_ray.stages.join import bloom_semi_join, copartition_semi_join
+
+    rng = np.random.default_rng(1)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 3000, 20000).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 100, 20000).astype(np.int64)),
+        }
+    )
+    right = pa.table({"k": pa.array(np.arange(0, 3000, 7, dtype=np.int64))})
+    lds = ray.data.from_arrow(left).repartition(8)
+    rds = ray.data.from_arrow(right).repartition(4)
+    hints = {"left": {"k": pa.int64(), "v": pa.int64()}}
+    a = bloom_semi_join(lds, rds, on="k", num_bits=10 * 3000, schema_hints=hints).to_pandas()
+    b = copartition_semi_join(lds, rds, on="k", schema_hints=hints).to_pandas()
+    key = lambda df: sorted(zip(df["k"].astype(int), df["v"].astype(int)))
+    assert key(a) == key(b)
+    assert len(a) > 0
