@@ -152,6 +152,25 @@ def _empty_with(batch: pa.Table, rtab: pa.Table, rcols: list) -> pa.Table:
     return out
 
 
+def _bucket_of_column(col, n: int) -> np.ndarray:
+    """Bucket ids for a join-key COLUMN, null-safe and dtype-stable.
+    An integer column carrying nulls widens to float64 under
+    to_numpy(), which would route key_bucket down the string-hash path
+    and DESYNCHRONIZE the two sides of the shuffle (an int64 32 and a
+    float64 32.0 hash differently). Nulls bucket as the type's zero —
+    harmless, since null keys never match anything."""
+    if pa.types.is_integer(col.type):
+        filled = pa.compute.fill_null(col, 0)
+        return key_bucket(
+            filled.to_numpy(zero_copy_only=False).astype(np.int64), n
+        )
+    a = col.to_numpy(zero_copy_only=False)
+    mask = pd.isna(a)
+    if mask.any():
+        a = np.where(mask, "", a)
+    return key_bucket(a, n)
+
+
 def _merge_bucket(
     group: pd.DataFrame, on: str, lcols: list, rcols: list, how: str,
     ldtypes: dict, rdtypes: dict,
@@ -159,10 +178,26 @@ def _merge_bucket(
     lmask = group["_side"].to_numpy() == 0
     # the null-filled union columns widened ints to float64 in the
     # pandas block; each side's OWN columns are null-free, so restore
-    # the original dtypes before merging
+    # the original dtypes before merging. Exception: under how='left'
+    # the KEY column legitimately carries the left side's null keys
+    # (they ride through to come out null-extended), so an integer key
+    # restores to pandas nullable Int*/UInt* instead of crashing on
+    # NaN->int. Right-side null keys were dropped pre-shuffle, so a
+    # null key can never find a match partner.
+    if how == "left" and group.loc[lmask, on].isna().any():
+        ldtypes = {**ldtypes, on: _nullable_dtype(ldtypes[on])}
+        rdtypes = {**rdtypes, on: _nullable_dtype(rdtypes[on])}
     left = group.loc[lmask, [on] + lcols].astype(ldtypes)
     right = group.loc[~lmask, [on] + rcols].astype(rdtypes)
     return left.merge(right, on=on, how=how)
+
+
+def _nullable_dtype(np_dtype):
+    kind = np.dtype(np_dtype).kind
+    if kind in "iu":
+        name = np.dtype(np_dtype).name  # e.g. int64 -> Int64
+        return name[0].upper() + name[1:]
+    return np_dtype
 
 
 def copartition_join(left_ds, right_ds, on: str, how: str = "inner",
@@ -218,8 +253,9 @@ def copartition_join(left_ds, right_ds, on: str, how: str = "inner",
         for c in rcols:
             t = t.append_column(c, pa.nulls(len(t), rtypes[c]))
         t = t.append_column("_side", pa.array(np.full(len(t), 0, np.int8)))
-        k = batch.column(on).to_numpy()
-        return t.append_column("_bucket", pa.array(key_bucket(k, num_buckets)))
+        return t.append_column(
+            "_bucket", pa.array(_bucket_of_column(batch.column(on), num_buckets))
+        )
 
     both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
@@ -311,12 +347,13 @@ def copartition_semi_join(left_ds, right_ds, on: str, anti: bool = False,
         return t.append_column("_bucket", pa.array(key_bucket(k, num_buckets)))
 
     def tag_left(batch: pa.Table) -> pa.Table:
-        k = batch.column(on).to_numpy()
         t = pa.table({on: batch.column(on)})
         for c in lcols:
             t = t.append_column(c, batch.column(c))
-        t = t.append_column("_side", pa.array(np.zeros(len(k), np.int8)))
-        return t.append_column("_bucket", pa.array(key_bucket(k, num_buckets)))
+        t = t.append_column("_side", pa.array(np.zeros(len(batch), np.int8)))
+        return t.append_column(
+            "_bucket", pa.array(_bucket_of_column(batch.column(on), num_buckets))
+        )
 
     both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(key_rows, batch_format="pyarrow")
@@ -342,7 +379,13 @@ def copartition_semi_join(left_ds, right_ds, on: str, anti: bool = False,
             member[lvalid] = rkeys[pos] == lv
         keep = ~member if anti else member
         out = left.iloc[np.nonzero(keep)[0]]
-        return out.drop(columns=["_side", "_bucket"]).astype(ldtypes)
+        out = out.drop(columns=["_side", "_bucket"])
+        # anti keeps null-keyed rows: an integer key restores to the
+        # pandas nullable dtype instead of crashing on NaN -> int
+        types = dict(ldtypes)
+        if out[on].isna().any():
+            types[on] = _nullable_dtype(ldtypes[on])
+        return out.astype(types)
 
     return both.groupby("_bucket").map_groups(filter_bucket, batch_format="pandas")
 

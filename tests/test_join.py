@@ -312,3 +312,69 @@ def test_bloom_semi_join_equals_plain_semi(ray_session):
     key = lambda df: sorted(zip(df["k"].astype(int), df["v"].astype(int)))
     assert key(a) == key(b)
     assert len(a) > 0
+
+
+def test_join_family_randomized_vs_pandas(ray_session):
+    """Randomized cross-check of every join strategy against pandas
+    merge/isin on 40 seeded frames with duplicate keys, null keys,
+    disjoint and overlapping ranges — inner/left x broadcast/
+    copartition, plus semi/anti both strategies."""
+    import ray.data
+
+    from robosat_ray.stages.join import (
+        broadcast_join,
+        broadcast_semi_join,
+        copartition_join,
+        copartition_semi_join,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial in range(10):
+        nl = int(rng.integers(1, 400))
+        nr = int(rng.integers(1, 120))
+        lk = rng.integers(0, 50, nl).astype(np.float64)
+        rk = rng.integers(int(rng.integers(0, 40)), 90, nr).astype(np.float64)
+        lk[rng.random(nl) < 0.1] = np.nan  # null keys
+        rk[rng.random(nr) < 0.1] = np.nan
+        left = pd.DataFrame({"k": pd.array(lk).astype("Int64"), "lv": np.arange(nl, dtype=np.int64)})
+        right = pd.DataFrame({"k": pd.array(rk).astype("Int64"), "rv": np.arange(nr, dtype=np.int64)})
+        lds = ray.data.from_pandas(left).repartition(3)
+        rds = ray.data.from_pandas(right).repartition(2)
+        hints = {
+            "left": {"k": pa.int64(), "lv": pa.int64()},
+            "right": {"k": pa.int64(), "rv": pa.int64()},
+        }
+
+        for how in ("inner", "left"):
+            want = left.merge(right, on="k", how=how)
+            # pandas merge matches null==null; the engine (and SQL)
+            # never match null keys — align the expectation
+            if how == "inner":
+                want = want[want["k"].notna()]
+            else:
+                matched = left.merge(right[right["k"].notna()], on="k", how="inner")
+                unmatched = left[~left["lv"].isin(matched["lv"])].copy()
+                unmatched["rv"] = pd.NA
+                want = pd.concat([matched, unmatched], ignore_index=True)
+            for got in (
+                broadcast_join(lds, rds, on="k", how=how).to_pandas(),
+                copartition_join(lds, rds, on="k", how=how, schema_hints=hints).to_pandas(),
+            ):
+                key = lambda df: sorted(
+                    (int(r.lv), -1 if pd.isna(r.rv) else int(r.rv))
+                    for r in df.itertuples()
+                )
+                assert key(got) == key(want), (trial, how)
+
+        rvalid = set(right["k"].dropna().astype(int))
+        lknum = left["k"]
+        member = lknum.notna() & lknum.astype("float").isin(rvalid)
+        for anti in (False, True):
+            expect = left[(~member if anti else member) | (lknum.isna() & anti)]
+            a = broadcast_semi_join(lds, rds, on="k", anti=anti).to_pandas()
+            b = copartition_semi_join(
+                lds, rds, on="k", anti=anti,
+                schema_hints={"left": {"k": pa.int64(), "lv": pa.int64()}},
+            ).to_pandas()
+            assert sorted(a["lv"]) == sorted(expect["lv"]), (trial, anti)
+            assert sorted(b["lv"]) == sorted(expect["lv"]), (trial, anti)
