@@ -195,3 +195,59 @@ def test_joins_partitioning_invariant():
     one = run(ray.data.from_arrow(t))
     many = run(ray.data.from_arrow(t).repartition(13))
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_asof_join_randomized_vs_merge_asof(ray_session):
+    """Randomized cross-check vs pandas.merge_asof: heavy (user, ts)
+    tie density, users with no candidates, exact-ts matches."""
+    import ray.data
+
+    from robosat_ray.stages.events import asof_join
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    events = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(
+                rng.integers(0, 2000, n).astype("datetime64[s]").astype("datetime64[us]")
+            ),
+            "user_id": pa.array(rng.integers(0, 30, n).astype(np.int64)),
+            "event_type": pa.array(
+                np.asarray(["purchase", "view", "click"], dtype=object)[
+                    rng.integers(0, 3, n)
+                ],
+                pa.string(),
+            ),
+            "value": pa.array(np.round(rng.random(n), 3)),
+        }
+    )
+    got = (
+        asof_join(ray.data.from_arrow(events).repartition(5))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    df = events.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    L = df[df["event_type"] == "purchase"].sort_values(["ts_us", "event_id"])
+    R = df[df["event_type"] == "view"].sort_values(["ts_us", "event_id"])
+    R = R.assign(rts=R["ts_us"], rid=R["event_id"], rval=R["value"])
+    exp = pd.merge_asof(
+        L, R[["ts_us", "user_id", "rts", "rid", "rval"]],
+        on="ts_us", by="user_id", direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+    # merge_asof picks the LAST right row in sort order for ts ties ==
+    # the engine's max-event_id tie-break (R sorted by (ts, event_id))
+    assert len(got) == len(exp)
+    assert (got["event_id"].to_numpy() == exp["event_id"].to_numpy()).all()
+    match = exp["rid"].fillna(-1).astype(np.int64).to_numpy()
+    assert (got["match_event_id"].to_numpy() == match).all()
+    lag = (exp["ts_us"] - exp["rts"]).fillna(-1).astype(np.int64).to_numpy()
+    got_lag = got["lag_us"].to_numpy()
+    ok = match == -1
+    assert (got_lag[~ok] == lag[~ok]).all()
+    assert (got_lag[ok] == -1).all()
+    assert (got.loc[match == -1, "match_value"] == 0.0).all()
+    assert (match != -1).sum() > 100 and (match == -1).sum() > 0
