@@ -101,3 +101,49 @@ def test_window_rank_ties():
     assert out["value_rank"].tolist() == [2, 2, 4, 1]
     assert out["roll3_vmicro"].tolist() == [2000000, 4000000, 5000000, 6000000]
     assert out["lead_vmicro"].tolist() == [2000000, 1000000, 3000000, 0]
+
+
+def test_window_functions_randomized_vs_pandas(ray_session):
+    """Randomized cross-check of the ordered window functions against
+    pandas groupby transforms, on data dense with (user, ts) ties and
+    duplicate vmicro values (RANK tie semantics)."""
+    import ray.data
+
+    from robosat_ray.stages.window import window_functions
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(
+                rng.integers(0, 400, n).astype("datetime64[s]").astype("datetime64[us]")
+            ),
+            "user_id": pa.array(rng.integers(0, 25, n).astype(np.int64)),
+            "value": pa.array(rng.integers(0, 8, n).astype(np.float64) / 4.0),
+        }
+    )
+    got = (
+        window_functions(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    df["vmicro"] = np.floor(df["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    df = df.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+    g = df.groupby("user_id", sort=False)
+    df["rn"] = g.cumcount() + 1
+    df["lag_vmicro"] = g["vmicro"].shift(1).fillna(0).astype(np.int64)
+    df["lead_vmicro"] = g["vmicro"].shift(-1).fillna(0).astype(np.int64)
+    df["roll3_vmicro"] = (
+        g["vmicro"].rolling(3, min_periods=1).sum().reset_index(drop=True).astype(np.int64)
+    )
+    df["value_rank"] = (
+        df.groupby("user_id")["vmicro"].rank(method="min", ascending=False).astype(np.int64)
+    )
+    exp = df.sort_values("event_id").reset_index(drop=True)
+    for col in ("rn", "lag_vmicro", "lead_vmicro", "roll3_vmicro", "value_rank"):
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
