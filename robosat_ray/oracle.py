@@ -668,6 +668,24 @@ SELECT COALESCE(day, -1) AS day,
 FROM base GROUP BY ROLLUP(day, event_type)
 """
 
+# Per-column profiling stats, micro-quantized so min/max/sum/mean are
+# int64-exact (mirrors stages/profile.py:table_stats).
+_STATS_COL = """
+SELECT '{c}' AS "column",
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_null,
+       CAST(MIN(CAST(FLOOR({c} * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS min_micro,
+       CAST(MAX(CAST(FLOOR({c} * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS max_micro,
+       CAST(SUM(CAST(FLOOR({c} * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
+       CAST(SUM(CAST(FLOOR({c} * 1000000.0 + 0.5) AS BIGINT))
+            // GREATEST(COUNT({c}), 1) AS BIGINT) AS mean_micro
+FROM lineitem
+"""
+TABLE_STATS = " UNION ALL ".join(
+    _STATS_COL.format(c=c)
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+)
+
 # Semi-join with a Bloom runtime filter in the engine; Bloom has no
 # false negatives and the copartition verify is exact, so the result
 # IS the plain semi-join.

@@ -576,6 +576,19 @@ def q_order_revenue(sf_dir: str):
     )
 
 
+def q_table_stats(sf_dir: str):
+    """Data-profiling primitive: exact integer column statistics over
+    lineitem in one streaming pass + a 4-row combine."""
+    import ray.data
+
+    from robosat_ray.stages.profile import table_stats
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return table_stats(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols), cols
+    )
+
+
 def q_recent_lineitems(sf_dir: str):
     """Exact semi-join accelerated by a Bloom runtime filter: lineitem
     ⋉ date-windowed orders. The filter is built distributed from the
@@ -1283,6 +1296,7 @@ QUERIES = {
     "doc_rarity": q_doc_rarity,
     "sample_weighted": q_sample_weighted,
     "recent_lineitems": q_recent_lineitems,
+    "table_stats": q_table_stats,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -1352,4 +1366,5 @@ ORACLES = {
     "doc_rarity": oracle.DOC_RARITY,
     "sample_weighted": oracle.SAMPLE_WEIGHTED,
     "recent_lineitems": oracle.RECENT_LINEITEMS,
+    "table_stats": oracle.TABLE_STATS,
 }
