@@ -698,6 +698,19 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders
 GROUP BY l_returnflag
 """
 
+EVENTS_CUBE = """
+WITH base AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT COALESCE(day, -1) AS day,
+       COALESCE(event_type, '(all)') AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM base GROUP BY CUBE(day, event_type)
+"""
+
 # TPC-H-Q5 shape: local-supplier revenue per nation in one region;
 # the c_nationkey = s_nationkey predicate is the cross-side filter
 # the engine applies after its two broadcast joins.

@@ -576,6 +576,22 @@ def q_order_revenue(sf_dir: str):
     )
 
 
+def q_events_cube(sf_dir: str):
+    """CUBE(day, event_type): the rollup plus the (event_type)-only
+    grouping set — still one data pass, upper sets from the tiny fine
+    result."""
+    import ray.data
+
+    from robosat_ray.stages.events import rollup_day_type
+
+    return rollup_day_type(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        ),
+        cube=True,
+    )
+
+
 def q_table_stats(sf_dir: str):
     """Data-profiling primitive: exact integer column statistics over
     lineitem in one streaming pass + a 4-row combine."""
@@ -1297,6 +1313,7 @@ QUERIES = {
     "sample_weighted": q_sample_weighted,
     "recent_lineitems": q_recent_lineitems,
     "table_stats": q_table_stats,
+    "events_cube": q_events_cube,
 }
 
 # remaining rows-only entries: media_features (binary payloads),
@@ -1367,4 +1384,5 @@ ORACLES = {
     "sample_weighted": oracle.SAMPLE_WEIGHTED,
     "recent_lineitems": oracle.RECENT_LINEITEMS,
     "table_stats": oracle.TABLE_STATS,
+    "events_cube": oracle.EVENTS_CUBE,
 }

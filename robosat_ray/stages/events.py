@@ -372,9 +372,10 @@ def sessionize(events_ds, gap_us: int = SESSION_GAP_US):
 DAY_US = 86_400_000_000
 
 
-def rollup_day_type(events_ds):
+def rollup_day_type(events_ds, cube: bool = False):
     """ROLLUP-style multi-level aggregate in one shuffle: exact counts
-    and value cents at (day, event_type), (day) and () levels. Only
+    and value cents at (day, event_type), (day) and () levels —
+    with cube=True also the (event_type) set, i.e. CUBE(day, type). Only
     the finest level aggregates the raw stream (algebraic groupby);
     the upper levels re-aggregate the already-tiny fine result, so no
     second pass over the data. Rolled-up keys use sentinels
@@ -444,5 +445,13 @@ def rollup_day_type(events_ds):
         }
     )
     cols = ["day", "event_type", "n_events", "value_cents"]
-    out = pd.concat([fp[cols], by_day[cols], total[cols]], ignore_index=True)
+    pieces = [fp[cols], by_day[cols], total[cols]]
+    if cube:
+        by_type = (
+            fp.groupby("event_type", as_index=False)[["n_events", "value_cents"]]
+            .sum()
+            .assign(day=np.int64(-1))
+        )
+        pieces.insert(2, by_type[cols])
+    out = pd.concat(pieces, ignore_index=True)
     return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
