@@ -105,7 +105,7 @@ def run_bench() -> dict:
         "top_tokens", "quality_filter", "chunks", "dup_clusters",
         "rep_signals", "local_supplier_revenue", "events_rollup",
         "emb_dup_lsh", "bpe_tokens", "doc_rarity", "sample_weighted",
-        "recent_lineitems", "table_stats",
+        "recent_lineitems", "table_stats", "events_cube",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)
