@@ -251,3 +251,50 @@ def test_asof_join_randomized_vs_merge_asof(ray_session):
     assert (got_lag[ok] == -1).all()
     assert (got.loc[match == -1, "match_value"] == 0.0).all()
     assert (match != -1).sum() > 100 and (match == -1).sum() > 0
+
+
+def test_range_join_randomized_vs_bruteforce(ray_session):
+    """Randomized interval-join cross-check vs an O(n*m) brute force:
+    boundary inclusivity [ts-w, ts), same-ts exclusion, empty users."""
+    import ray.data
+
+    from robosat_ray.stages.events import range_join
+
+    rng = np.random.default_rng(9)
+    n = 2500
+    w = 50 * US
+    ts_us = rng.integers(0, 600, n) * US  # coarse grid: many exact-boundary hits
+    events = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts_us.astype("datetime64[us]")),
+            "user_id": pa.array(rng.integers(0, 20, n).astype(np.int64)),
+            "event_type": pa.array(
+                np.asarray(["purchase", "click", "view"], dtype=object)[
+                    rng.integers(0, 3, n)
+                ],
+                pa.string(),
+            ),
+            "value": pa.array(np.round(rng.random(n), 3)),
+        }
+    )
+    got = (
+        range_join(ray.data.from_arrow(events).repartition(4), window_us=w)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = events.to_pandas()
+    df["tus"] = df["ts"].astype("int64")
+    L = df[df["event_type"] == "purchase"]
+    R = df[df["event_type"] == "click"]
+    assert len(got) == len(L)
+    for _, row in L.sample(200, random_state=0).iterrows():
+        m = R[
+            (R["user_id"] == row["user_id"])
+            & (R["tus"] >= row["tus"] - w)
+            & (R["tus"] < row["tus"])
+        ]
+        g = got[got["event_id"] == row["event_id"]].iloc[0]
+        assert g["n_prior"] == len(m), row["event_id"]
+        assert abs(g["sum_prior"] - round(m["value"].sum(), 6)) < 1e-9, row["event_id"]
