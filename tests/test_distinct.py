@@ -195,3 +195,37 @@ def test_chunking_covers_all_tokens_with_overlap():
         chunks = [r.split(" ") for r in sub["chunk"]]
         for a, b in zip(chunks, chunks[1:]):
             assert a[48:] == b[: len(a) - 48]
+
+
+def test_group_quantiles_randomized_vs_bruteforce(ray_session):
+    """Randomized exact-quantile cross-check: the two-pass histogram
+    machinery must equal the direct rule (smallest value whose running
+    count reaches ceil(q*total/100)) on skewed, duplicate-heavy data."""
+    import ray.data
+
+    from robosat_ray.stages.quantiles import group_quantiles
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    g = rng.choice(np.asarray(["a", "b", "c"], dtype=object), n)
+    # heavy duplication + skew + negatives + huge spread
+    v = np.where(
+        rng.random(n) < 0.5,
+        rng.integers(-50, 50, n),
+        rng.integers(-10**9, 10**9, n),
+    ).astype(np.int64)
+    tbl = pa.table({"grp": pa.array(g, pa.string()), "val": pa.array(v)})
+    got = (
+        group_quantiles(ray.data.from_arrow(tbl).repartition(6), "grp", "val")
+        .to_pandas()
+        .set_index(["grp", "q_pct"])
+        .sort_index()
+    )
+    df = pd.DataFrame({"grp": g, "val": v})
+    for grp, sub in df.groupby("grp"):
+        s = np.sort(sub["val"].to_numpy())
+        total = len(s)
+        for q in (25, 50, 75, 95):
+            rank = (q * total + 99) // 100  # ceil(q*total/100)
+            expect = int(s[rank - 1])
+            assert got.loc[(grp, q), "value"] == expect, (grp, q)
