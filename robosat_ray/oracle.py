@@ -781,30 +781,34 @@ WITH p AS (
 ),
 v AS (
   SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
-         MAX(event_id) AS veid, ROUND(MAX_BY(value, event_id), 6) AS vval
+         MAX(event_id) AS veid,
+         CAST(floor(MAX_BY(value, event_id) * 1e6 + 0.5) AS BIGINT) AS vval
   FROM events WHERE event_type = 'view' GROUP BY 1, 2
 )
 SELECT p.event_id, p.user_id, p.tsu AS ts_us,
        COALESCE(v.veid, -1) AS match_event_id,
-       COALESCE(v.vval, 0.0) AS match_value,
+       COALESCE(v.vval, CAST(0 AS BIGINT)) AS match_value_micro,
        COALESCE(p.tsu - v.tsu, -1) AS lag_us
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.tsu >= v.tsu
 """
 
-# Sliding-interval range join; SUM rounded to 6 dp on both sides
-# (engine computes window sums as prefix-sum differences)
+# Sliding-interval range join; values quantized per row to int64
+# micro-units with the identical IEEE expression the engine uses, so
+# the window sums are exact integers on both sides (no
+# summation-order or rounding-mode parity hazard)
 EVENTS_RANGE_JOIN = f"""
 WITH p AS (
   SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
   FROM events WHERE event_type = 'purchase'
 ),
 c AS (
-  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu, value
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vmicro
   FROM events WHERE event_type = 'click'
 )
 SELECT p.event_id, p.user_id,
        CAST(COUNT(c.tsu) AS BIGINT) AS n_prior,
-       ROUND(COALESCE(SUM(c.value), 0.0), 6) AS sum_prior
+       CAST(COALESCE(SUM(c.vmicro), 0) AS BIGINT) AS sum_prior_micro
 FROM p LEFT JOIN c ON p.user_id = c.user_id
    AND c.tsu >= p.tsu - {3_600_000_000}
    AND c.tsu < p.tsu
@@ -895,16 +899,20 @@ def _fp_sql() -> str:
     from robosat_ray.stages.text_ops import FP_B, FP_K, FP_M, FP_P
 
     pows = "[" + ", ".join(str(pow(FP_B, FP_K - 1 - j, FP_M)) for j in range(FP_K)) + "]"
+    # window starts generated PER DOCUMENT (range over its own length),
+    # so no fixed upper bound silently truncates long documents
     return f"""
 SELECT DISTINCT doc_id, fp FROM (
-  SELECT d.doc_id, p.i,
-         CAST(SUM(CAST(ord(substr(d.text, CAST(p.i + j.j AS INTEGER), 1)) AS BIGINT)
+  SELECT p.doc_id, p.i,
+         CAST(SUM(CAST(ord(substr(p.text, CAST(p.i + j.j AS INTEGER), 1)) AS BIGINT)
              * list_extract({pows}, CAST(j.j AS INTEGER) + 1)) % {FP_M} AS BIGINT) AS fp
-  FROM documents d
-  CROSS JOIN generate_series(1, 8192) p(i)
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(1, length(text) - {FP_K - 2})) AS i
+    FROM documents
+  ) p
   CROSS JOIN generate_series(0, {FP_K - 1}) j(j)
-  WHERE p.i <= length(d.text) - {FP_K - 1}
-  GROUP BY d.doc_id, p.i
+  GROUP BY p.doc_id, p.i
 ) WHERE fp % {FP_P} = 0
 """
 
@@ -963,21 +971,29 @@ FROM documents
 """
 
 # TF-IDF-shape rarity score, logarithm-free so it stays integer-exact:
-# idf_milli = (1000 * N_docs) // df; doc score = mean idf over its
-# DISTINCT tokens (floor division). Mirrors text_ops.doc_rarity.
-DOC_RARITY = """
+# tokens feature-hashed into 2^18 buckets (md5 low 8 bytes LE ==
+# md5_number mod 2^64, the SimHash convention), df per BUCKET,
+# idf_milli = (1000 * N_docs) // df; doc score = mean bucket idf over
+# its DISTINCT tokens (floor division). Mirrors text_ops.doc_rarity
+# bit-for-bit, including the capped-by-construction hashed vocabulary.
+DOC_RARITY = f"""
 WITH pairs AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 ),
+tb AS (
+  SELECT doc_id, t,
+         CAST((((md5_number(t) % {_U64}) + {_U64}) % {_U64}) % 262144 AS BIGINT) AS b
+  FROM pairs
+),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 idf AS (
-  SELECT t, (1000 * n.n_docs) // COUNT(*) AS idf_milli
-  FROM pairs, n GROUP BY t, n.n_docs
+  SELECT b, (1000 * n.n_docs) // COUNT(DISTINCT doc_id) AS idf_milli
+  FROM tb, n GROUP BY b, n.n_docs
 ),
 ds AS (
-  SELECT p.doc_id, COUNT(*) AS n_distinct, SUM(i.idf_milli) AS s
-  FROM pairs p JOIN idf i ON i.t = p.t
-  GROUP BY p.doc_id
+  SELECT tb.doc_id, COUNT(*) AS n_distinct, SUM(i.idf_milli) AS s
+  FROM tb JOIN idf i ON i.b = tb.b
+  GROUP BY tb.doc_id
 )
 SELECT doc_id,
        CAST(n_distinct AS BIGINT) AS distinct_tokens,
@@ -1380,10 +1396,16 @@ bands AS (
          (simhash // CAST(power(2, b.b * 16) AS BIGINT)) % 65536 AS band_val
   FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
 ),
+bandc AS (
+  -- mirror the engine's _SIMDUP_RUN_CAP: each equal-(band, band_val)
+  -- run truncates deterministically to its 1000 smallest doc_ids
+  SELECT doc_id, simhash, band, band_val FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band, band_val ORDER BY doc_id) <= 1000
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS ha, b.simhash AS hb
-  FROM bands a JOIN bands b
+  FROM bandc a JOIN bandc b
     ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming

@@ -20,6 +20,10 @@ from robosat_ray.stages.text_ops import exact_dedup_groups, token_counts
 from robosat_ray.synth.footprints import footprints_dataset
 from robosat_ray.synth.pages import page_coords, pages_dataset
 
+# broadcast cap for the customer side of q_local_supplier_revenue —
+# module-level so tests can lower it to force the co-partition path
+CUSTOMER_BROADCAST_ROWS = 2_000_000
+
 
 def q_extract_text(sf_dir: str):
     """pages.html -> text, byte-identical per url (BASELINE invariant)."""
@@ -270,11 +274,24 @@ def q_langid(sf_dir: str):
 
 
 def _ann_queries(sf_dir: str):
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy()
-    sel = ids % C.ANN_STRIDE == 0
-    Q = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[sel]
-    return ids[sel], Q
+    """Select the 1/ANN_STRIDE query vectors with a STREAMING scan —
+    each record batch keeps only its selected rows, so driver memory
+    is bounded by the (stride-bounded) query set, never the full
+    embedding column."""
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    ids_parts, emb_parts = [], []
+    for rb in f.iter_batches(columns=["vec_id", "embedding"]):
+        ids = rb.column(0).to_numpy().astype(np.int64)
+        sel = np.flatnonzero(ids % C.ANN_STRIDE == 0)
+        if len(sel):
+            ids_parts.append(ids[sel])
+            emb_parts.append(
+                np.array(rb.column(1).take(pa.array(sel)).to_pylist(), dtype=np.float64)
+            )
+    qids = np.concatenate(ids_parts)
+    Q = np.concatenate(emb_parts)
+    order = np.argsort(qids, kind="stable")
+    return qids[order], Q[order]
 
 
 def q_ann(sf_dir: str):
@@ -676,7 +693,9 @@ def q_local_supplier_revenue(sf_dir: str):
     join whose c_nationkey == s_nationkey predicate no single equi-join
     key carries (it becomes a post-join filter). Shape: the dim chain
     region ⋈ nation ⋈ supplier collapses into ONE broadcast supplier
-    map; orders(date-filtered) ⋈ customer is a second broadcast;
+    map; orders(date-filtered) ⋈ customer broadcasts while customer
+    fits (probed from parquet METADATA — zero execution cost) and
+    falls back to the distributed co-partition join above the cap;
     lineitem streams through both joins + the filter, and only the
     tiny per-nation aggregate shuffles."""
     import ray.data
@@ -717,16 +736,6 @@ def q_local_supplier_revenue(sf_dir: str):
         }
     )
 
-    cust_t = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    cust = pa.table(
-        {
-            "o_custkey": cust_t.column("c_custkey").cast(pa.int64()),
-            "c_nationkey": cust_t.column("c_nationkey").cast(pa.int64()),
-        }
-    )
-
     lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
     hi = np.datetime64("1998-01-01").astype("datetime64[us]").astype(np.int64)
 
@@ -744,14 +753,43 @@ def q_local_supplier_revenue(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(o_window, batch_format="pyarrow")
+
+    # orders ⋈ customer: broadcast while customer fits in a worker
+    # heap, co-partition shuffle above the cap. The probe is parquet
+    # METADATA (num_rows), not an execution — zero cost either way.
+    def c_cols(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b.column("c_custkey").cast(pa.int64()),
+                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+            }
+        )
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if n_cust <= CUSTOMER_BROADCAST_ROWS:
+        cust = c_cols(
+            pq.read_table(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+            )
+        )
+        oc = broadcast_join(orders, cust, on="o_custkey", how="inner")
+    else:
+        from robosat_ray.stages.join import copartition_join
+
+        cust_ds = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).map_batches(c_cols, batch_format="pyarrow")
+        oc = copartition_join(
+            orders, cust_ds, on="o_custkey", how="inner",
+            schema_hints={
+                "left": {"l_orderkey": pa.int64(), "o_custkey": pa.int64()},
+                "right": {"o_custkey": pa.int64(), "c_nationkey": pa.int64()},
+            },
+        )
     # materialized: small (date-filtered key map), and auto_join's
     # strategy probe + the join itself would otherwise re-execute the
     # whole orders⋈customer chain
-    orders_c = (
-        broadcast_join(orders, cust, on="o_custkey", how="inner")
-        .select_columns(["l_orderkey", "c_nationkey"])
-        .materialize()
-    )
+    orders_c = oc.select_columns(["l_orderkey", "c_nationkey"]).materialize()
 
     def li_cents(b: pa.Table) -> pa.Table:
         rev = b.column("l_extendedprice").to_numpy() * (
@@ -793,11 +831,15 @@ def q_local_supplier_revenue(sf_dir: str):
         codes, uniq = pd.factorize(names, sort=False)
         cents = b.column("rev_cents").to_numpy()
         k = len(uniq)
+        # int64 accumulation (np.add.at), never a float64 weighted
+        # bincount — partial sums stay exact integer cents end to end
+        pc_sum = np.zeros(k, dtype=np.int64)
+        np.add.at(pc_sum, codes, cents)
         return pa.table(
             {
                 "n_name": pa.array(np.asarray(uniq, dtype=object), pa.string()),
                 "pn": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
-                "pc": pa.array(np.bincount(codes, weights=cents, minlength=k).astype(np.int64)),
+                "pc": pa.array(pc_sum),
             }
         )
 
@@ -940,11 +982,27 @@ def q_media_features(sf_dir: str):
 
 
 def _ivf_centroids(sf_dir: str):
+    """Centroid training sample = embeddings of the 400 SMALLEST
+    vec_ids — enforced explicitly (oracle parity: ORDER BY vec_id
+    LIMIT 400) instead of assuming the file is vec_id-ascending — via
+    a streaming scan holding at most 2x the sample on the driver."""
     from robosat_ray.stages.ann import train_centroids
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    sample = np.array(t.column("embedding").to_pylist()[:400], dtype=np.float64)
-    return train_centroids(sample, n_lists=16)
+    limit = 400
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    best_ids = np.empty(0, dtype=np.int64)
+    best_emb = np.empty((0, C.EMB_DIM), dtype=np.float64)
+    for rb in f.iter_batches(columns=["vec_id", "embedding"]):
+        ids = rb.column(0).to_numpy().astype(np.int64)
+        take = np.argsort(ids, kind="stable")[:limit]
+        emb = np.array(
+            rb.column(1).take(pa.array(take)).to_pylist(), dtype=np.float64
+        )
+        best_ids = np.concatenate([best_ids, ids[take]])
+        best_emb = np.concatenate([best_emb, emb])
+        keep = np.argsort(best_ids, kind="stable")[:limit]
+        best_ids, best_emb = best_ids[keep], best_emb[keep]
+    return train_centroids(best_emb, n_lists=16)
 
 
 def ivf_index_dir(sf_dir: str, force: bool = False) -> str:

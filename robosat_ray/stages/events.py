@@ -131,9 +131,9 @@ def _asof_bucket(group: pd.DataFrame) -> pd.DataFrame:
 
     lmask = side == 1
     rmask = ~lmask
-    out_cols = ("event_id", "user_id", "ts_us", "match_event_id", "match_value", "lag_us")
+    out_cols = ("event_id", "user_id", "ts_us", "match_event_id", "match_value_micro", "lag_us")
     if not lmask.any():
-        return pd.DataFrame({c: np.empty(0, dtype=np.float64 if c == "match_value" else np.int64) for c in out_cols})
+        return pd.DataFrame({c: np.empty(0, dtype=np.int64) for c in out_cols})
 
     base = int(ts.min())
     span = int(ts.max()) - base + 2
@@ -168,7 +168,9 @@ def _asof_bucket(group: pd.DataFrame) -> pd.DataFrame:
             "user_id": l_uid,
             "ts_us": l_ts,
             "match_event_id": m_eid,
-            "match_value": np.round(m_val, 6),
+            # int64 micro-units (identical IEEE expression on the SQL
+            # side) — no float-rounding-mode parity hazard
+            "match_value_micro": np.floor(m_val * 1e6 + 0.5).astype(np.int64),
             "lag_us": lag,
         }
     )
@@ -207,8 +209,8 @@ def asof_join(events_ds, left_type: str = "purchase", right_type: str = "view"):
     reference has no analog for; ray guide co-partition pattern): for
     each `left_type` event, the latest `right_type` event of the same
     user with ts <= the left event's ts. -> (event_id, user_id, ts_us,
-    match_event_id|-1, match_value|0.0, lag_us|-1). Ties on (user, ts)
-    resolve to max event_id, matching the SQL oracle's dedup."""
+    match_event_id|-1, match_value_micro|0, lag_us|-1). Ties on (user,
+    ts) resolve to max event_id, matching the SQL oracle's dedup."""
     return (
         _tag_union(events_ds, left_type, right_type)
         .groupby("ubucket")
@@ -223,7 +225,11 @@ def _range_bucket(group: pd.DataFrame, window_us: int) -> pd.DataFrame:
     """One bucket: for each left row, COUNT and SUM of right-side rows
     of the same user in [ts - window_us, ts). Two searchsorteds over
     composite keys + prefix-sum difference — O((n+m) log m), fully
-    vectorized."""
+    vectorized. Values are quantized to int64 micro-units per row
+    BEFORE the prefix sum (same pattern as window.py / hopping), so
+    window sums are exact integers regardless of bucket size — a
+    float64 cumsum's rounding error grows with row count and would
+    eventually diverge from the oracle's direct SUM."""
     side = group["side"].to_numpy()
     uid = group["user_id"].to_numpy().astype(np.int64)
     ts = group["ts"].to_numpy().astype(np.int64)
@@ -238,7 +244,7 @@ def _range_bucket(group: pd.DataFrame, window_us: int) -> pd.DataFrame:
                 "event_id": np.empty(0, dtype=np.int64),
                 "user_id": np.empty(0, dtype=np.int64),
                 "n_prior": np.empty(0, dtype=np.int64),
-                "sum_prior": np.empty(0, dtype=np.float64),
+                "sum_prior_micro": np.empty(0, dtype=np.int64),
             }
         )
 
@@ -256,18 +262,19 @@ def _range_bucket(group: pd.DataFrame, window_us: int) -> pd.DataFrame:
         rcomp = _composite_keys(r_uid, r_ts, base, span)
         lo = np.searchsorted(rcomp, _composite_keys(l_uid, l_ts - window_us, base, span), side="left")
         hi = np.searchsorted(rcomp, _composite_keys(l_uid, l_ts, base, span), side="left")
-        prefix = np.concatenate(([0.0], np.cumsum(r_val)))
+        r_micro = np.floor(r_val * 1e6 + 0.5).astype(np.int64)
+        prefix = np.concatenate(([0], np.cumsum(r_micro)))
         n = (hi - lo).astype(np.int64)
-        s = np.where(n > 0, prefix[hi] - prefix[lo], 0.0)
+        s = np.where(n > 0, prefix[hi] - prefix[lo], 0)
     else:
         n = np.zeros(len(l_uid), dtype=np.int64)
-        s = np.zeros(len(l_uid), dtype=np.float64)
+        s = np.zeros(len(l_uid), dtype=np.int64)
     return pd.DataFrame(
         {
             "event_id": l_eid,
             "user_id": l_uid,
             "n_prior": n,
-            "sum_prior": np.round(s, 6),
+            "sum_prior_micro": s.astype(np.int64),
         }
     )
 
@@ -281,8 +288,8 @@ def range_join(
     """Sliding-interval range join: for each `left_type` event, count
     and sum the `right_type` events of the same user in the preceding
     [ts - window, ts) interval. Same one-shuffle co-partition shape as
-    asof_join; float sums rounded to 6 dp on both sides (events_window
-    precedent: partial-aggregation order differs from SQL)."""
+    asof_join; sums are exact int64 micro-units on both sides, so
+    partial-aggregation order can never diverge from SQL."""
     return (
         _tag_union(events_ds, left_type, right_type)
         .groupby("ubucket")

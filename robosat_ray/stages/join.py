@@ -423,6 +423,13 @@ def auto_join(left_ds, right_ds, on: str, how: str = "inner",
 
 BLOOM_BITS_PER_KEY = 10  # ~1% FP at K=7 hashes
 BLOOM_K = 7
+# Hard ceiling on the broadcast filter: 2^30 bits = 128 MiB, safely
+# shippable via ray.put at any right-side cardinality. Above
+# 2^30 / BITS_PER_KEY (~107M) distinct keys the FP rate degrades
+# gracefully (the filter only prunes the shuffle — the exact
+# co-partition semi-join downstream guarantees correctness), instead
+# of the filter itself growing into a multi-GB broadcast.
+BLOOM_MAX_BITS = 1 << 30
 
 
 def _bloom_positions(keys: np.ndarray, num_bits: int) -> np.ndarray:
@@ -477,9 +484,13 @@ def bloom_semi_join(left_ds, right_ds, on: str, num_bits: int,
     the result equals the plain semi-join bit-for-bit; the filter only
     changes how many rows ride the shuffle. This is the standard
     runtime-filter optimization for large ⋉ large joins where neither
-    side fits a broadcast."""
+    side fits a broadcast. num_bits is clamped to BLOOM_MAX_BITS so
+    the broadcast size is bounded by construction — a right side with
+    billions of keys trades FP rate (more shuffled rows), never
+    correctness or driver memory."""
     import ray
 
+    num_bits = min(int(num_bits), BLOOM_MAX_BITS)
     bloom = build_bloom(right_ds, on, num_bits)
     ref = ray.put(bloom)
 

@@ -331,8 +331,11 @@ SIMHASH_N_BANDS = 4
 SIMHASH_BAND_BITS = 16
 SIMHASH_MAX_HAMMING = 3
 # cap pathological equal-band runs (a run that large means thousands of
-# near-identical fingerprints — exact dedup upstream is the real fix);
-# logged assumption, same pattern as _bucket_pairs' 200-doc run cap
+# near-identical fingerprints — exact dedup upstream is the real fix).
+# The cap TRUNCATES each run deterministically to its smallest doc_ids
+# (never drops the whole run) and is mirrored bit-for-bit in the
+# SIMHASH_DUP oracle's QUALIFY row_number() <= cap, so engine and SQL
+# stay identical even on skewed corpora that exceed the cap.
 _SIMDUP_RUN_CAP = 1000
 
 
@@ -372,7 +375,8 @@ def _simband_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _simband_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+def _simband_pairs(group: pd.DataFrame, max_hamming: int,
+                   run_cap: int = _SIMDUP_RUN_CAP) -> pd.DataFrame:
     """One compact bucket: sort by exact band key, all-pairs within
     each equal-key run, popcount(xor) filter — fully vectorized."""
     keys = group["band_key"].to_numpy()
@@ -383,8 +387,11 @@ def _simband_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     starts = np.concatenate([[0], np.nonzero(np.diff(keys))[0] + 1, [len(keys)]])
     out_a, out_b, out_h = [], [], []
     for s, e in zip(starts[:-1], starts[1:]):
+        # rows are (key, doc_id)-sorted, so s..s+cap keeps the run's
+        # smallest doc_ids — the same subset the oracle's QUALIFY keeps
+        e = min(e, s + run_cap)
         n = e - s
-        if n < 2 or n > _SIMDUP_RUN_CAP:
+        if n < 2:
             continue
         ii, jj = np.triu_indices(n, k=1)
         h = popcount64(sh[s + ii] ^ sh[s + jj])
@@ -412,7 +419,8 @@ def _simband_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     )
 
 
-def simhash_dup_pairs(docs_ds, max_hamming: int = SIMHASH_MAX_HAMMING):
+def simhash_dup_pairs(docs_ds, max_hamming: int = SIMHASH_MAX_HAMMING,
+                      run_cap: int = _SIMDUP_RUN_CAP):
     """-> Dataset (doc_a, doc_b, hamming): all document pairs whose
     63-bit SimHash fingerprints differ by <= max_hamming bits.
 
@@ -428,7 +436,8 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = SIMHASH_MAX_HAMMING):
         sh.map_batches(_simband_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(
-            lambda g: _simband_pairs(g, max_hamming), batch_format="pandas"
+            lambda g: _simband_pairs(g, max_hamming, run_cap),
+            batch_format="pandas",
         )
     )
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(

@@ -62,32 +62,52 @@ def quality_scores(docs_ds):
 
 
 class LangId:
-    """Stateful stage (actor pool): profiles + compiled tokenizer built
-    once per actor (__init__), scoring per batch. Prediction = argmax
-    stopword-hit ratio; ties -> 'und' (undetermined)."""
+    """Stateful stage (actor pool): sorted stopword profiles built once
+    per actor (__init__), scoring per batch. Prediction = unique argmax
+    stopword-hit count (ties or zero hits -> 'und'); stop_ratio =
+    max hits / word count.
+
+    Fully vectorized: one RE2 split on the complement of the word
+    class (identical word set to findall('[a-zäöüéèêàçñ]+')), one
+    factorize for word codes, then per-language np.isin over the
+    BATCH-UNIQUE words only + bincount per doc — no per-token Python
+    (the same factorize pattern doc_rarity/repetition_batch use)."""
 
     def __init__(self):
-        self.word = re.compile(r"[a-zäöüéèêàçñ]+")
-        self.profiles = {k: frozenset(v) for k, v in LANG_PROFILES.items()}
+        self.profiles = [
+            np.sort(np.asarray(sorted(LANG_PROFILES[lang]), dtype=object))
+            for lang in _LANGS
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        preds, scores = [], []
-        for t in texts:
-            words = self.word.findall(t.lower())
-            if not words:
-                preds.append("und")
-                scores.append(0.0)
-                continue
-            hits = {
-                lang: sum(w in prof for w in words)
-                for lang, prof in self.profiles.items()
-            }
-            best = max(_LANGS, key=lambda l: hits[l])
-            n = hits[best]
-            second = max(v for l, v in hits.items() if l != best)
-            preds.append(best if n > 0 and n > second else "und")
-            scores.append(n / len(words))
+        import pandas as pd
+
+        n = len(batch)
+        lower = pc.utf8_lower(batch.column("text"))
+        lists = pc.split_pattern_regex(lower, "[^a-zäöüéèêàçñ]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        parents = pc.list_parent_indices(lists).to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(lists.values.to_pandas(), sort=False)
+        uniq = np.asarray(uniq, dtype=object)
+        nonempty = uniq != ""  # split emits "" at word-class boundaries
+        word_rows = nonempty[codes]
+        n_words = np.bincount(parents[word_rows], minlength=n).astype(np.int64)
+
+        hits = np.zeros((len(_LANGS), n), dtype=np.int64)
+        for li, prof in enumerate(self.profiles):
+            member = np.isin(uniq, prof)
+            rows = member[codes]
+            if rows.any():
+                hits[li] = np.bincount(parents[rows], minlength=n)
+        mx = hits.max(axis=0)
+        n_at_max = (hits == mx[None, :]).sum(axis=0)
+        best_idx = np.argmax(hits == mx[None, :], axis=0)  # first (lex-min) winner
+        langs_arr = np.asarray(_LANGS, dtype=object)
+        preds = np.where(
+            (mx > 0) & (n_at_max == 1) & (n_words > 0), langs_arr[best_idx], "und"
+        )
+        scores = np.where(n_words > 0, mx / np.maximum(n_words, 1), 0.0)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -247,56 +247,68 @@ def bpe_token_counts(documents_ds):
     )
 
 
+# Feature-hashing width for doc_rarity's vocabulary: the idf map is a
+# dense int64 array of exactly this many slots (2 MiB broadcast)
+# REGARDLESS of corpus vocabulary — web-scale token sets (urls, hex
+# ids, typos) are unbounded, so the map must be capped by
+# construction, not by assumption. Hash = md5 low-8-bytes
+# little-endian (functions/text_hash.hash64), the same stable
+# convention the SimHash oracle already mirrors via md5_number.
+N_RARITY_BUCKETS = 1 << 18
+
+
+def _token_buckets(uniq: np.ndarray) -> np.ndarray:
+    """md5-bucket for each batch-unique token (cached per worker)."""
+    from robosat_ray.functions.text_hash import _token_hash
+
+    return np.fromiter(
+        (_token_hash(t) % N_RARITY_BUCKETS for t in uniq),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+
+
 def doc_rarity(documents_ds):
     """TF-IDF-style two-phase corpus op, integer-exact end to end:
-    phase 1 aggregates global document frequency per token (in-batch
-    (doc, token) dedup first, so the shuffle is vocabulary-bounded —
-    the same pre-aggregation shape as top_tokens/daily_users); phase 2
-    broadcasts the (token, idf) map once via ray.put and scores every
-    document in-batch with factorize + searchsorted — no second
-    shuffle. idf_milli = (1000 * N_docs) // df avoids logarithms so
-    the SQL twin is bit-exact."""
+    phase 1 aggregates global document frequency per HASHED token
+    bucket (in-batch (doc, bucket) dedup first, so the shuffle rows
+    are bounded by buckets x blocks, never the raw vocabulary);
+    phase 2 broadcasts the dense bucket->idf array once via ray.put
+    and scores every document in-batch with factorize + gather — no
+    second shuffle. idf_milli = (1000 * N_docs) // df avoids
+    logarithms so the SQL twin is bit-exact; df is per BUCKET, the
+    standard feature-hashing trade (rare tokens sharing a bucket
+    share an idf) that keeps the broadcast capped by construction."""
     import ray
     from ray.data.aggregate import Count
 
     docs = documents_ds.select_columns(["doc_id", "text"])
     n_docs = docs.count()
 
-    def pair_rows(batch: pa.Table) -> pa.Table:
+    def bucket_rows(batch: pa.Table) -> pa.Table:
         lists = pa.compute.split_pattern(batch.column("text"), " ")
         lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
         parents = pa.compute.list_parent_indices(lists).to_numpy().astype(np.int64)
         codes, uniq = pd.factorize(lists.values.to_pandas(), sort=False)
-        key = parents * max(len(uniq), 1) + codes.astype(np.int64)
-        sel = np.unique(key, return_index=True)[1]
-        return pa.table({"token": pa.array(np.asarray(uniq, dtype=object)[codes[sel]])})
+        bkt = _token_buckets(np.asarray(uniq, dtype=object))
+        # distinct (doc, bucket): docs are whole within a batch, so
+        # in-batch dedup IS global dedup
+        key = parents * np.int64(N_RARITY_BUCKETS) + bkt[codes]
+        ub = np.unique(key) % N_RARITY_BUCKETS
+        return pa.table({"bucket": pa.array(ub.astype(np.int64))})
 
     df_tab = (
-        docs.map_batches(pair_rows, batch_format="pyarrow")
-        .groupby("token")
+        docs.map_batches(bucket_rows, batch_format="pyarrow")
+        .groupby("bucket")
         .aggregate(Count(alias_name="df"))
-    )
-
-    def to_idf(batch: pa.Table) -> pa.Table:
-        df = batch.column("df").to_numpy()
-        return pa.table(
-            {
-                "token": batch.column("token"),
-                "idf_milli": pa.array(1000 * n_docs // df),
-            }
-        )
-
-    idf = df_tab.map_batches(to_idf, batch_format="pyarrow").to_pandas()
-    order = np.argsort(idf["token"].to_numpy(dtype=object), kind="stable")
-    ref = ray.put(
-        (
-            idf["token"].to_numpy(dtype=object)[order],
-            idf["idf_milli"].to_numpy(dtype=np.int64)[order],
-        )
-    )
+    ).to_pandas()
+    idf_dense = np.zeros(N_RARITY_BUCKETS, dtype=np.int64)
+    bs = df_tab["bucket"].to_numpy(dtype=np.int64)
+    idf_dense[bs] = 1000 * n_docs // df_tab["df"].to_numpy(dtype=np.int64)
+    ref = ray.put(idf_dense)
 
     def score(batch: pa.Table, _ref=ref) -> pa.Table:
-        tokens_sorted, idf_vals = ray.get(_ref)
+        idf_vals = ray.get(_ref)
         lists = pa.compute.split_pattern(batch.column("text"), " ")
         lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
         parents = pa.compute.list_parent_indices(lists).to_numpy().astype(np.int64)
@@ -306,8 +318,8 @@ def doc_rarity(documents_ds):
         ukey = np.unique(parents * k + codes.astype(np.int64))
         updoc = ukey // k
         ucode = ukey % k
-        pos = np.searchsorted(tokens_sorted, np.asarray(uniq, dtype=object)[ucode])
-        vals = idf_vals[pos]  # every corpus token is in the map by construction
+        bkt = _token_buckets(np.asarray(uniq, dtype=object))
+        vals = idf_vals[bkt[ucode]]  # every scored bucket has df >= 1
         n_distinct = np.bincount(updoc, minlength=n).astype(np.int64)
         s = np.zeros(n, dtype=np.int64)
         np.add.at(s, updoc, vals)

@@ -56,7 +56,7 @@ def test_asof_ties_and_unmatched():
     )
     # tie at ts=100: max event_id (11) wins, value follows the winner
     assert out.loc[12, "match_event_id"] == 11
-    assert out.loc[12, "match_value"] == 2.5
+    assert out.loc[12, "match_value_micro"] == 2_500_000
     assert out.loc[12, "lag_us"] == 100 * US
     # equal-ts match allowed (<= semantics)
     assert out.loc[13, "match_event_id"] == 11
@@ -79,10 +79,10 @@ def test_range_join_boundaries():
     # window [ts-1h, ts): includes 40 (== lo) and 41, excludes 42 (== ts)
     # and 43 (lo - 1)
     assert out.loc[44, "n_prior"] == 2
-    assert out.loc[44, "sum_prior"] == pytest.approx(3.0)
+    assert out.loc[44, "sum_prior_micro"] == 3_000_000
     # purchases with no clicks at all -> zeros
     assert out.loc[12, "n_prior"] == 0
-    assert out.loc[12, "sum_prior"] == 0.0
+    assert out.loc[12, "sum_prior_micro"] == 0
 
 
 def test_asof_matches_bruteforce_random():
@@ -120,14 +120,14 @@ def test_asof_matches_bruteforce_random():
             best_ts = cand.tsu.max()
             at = cand[cand.tsu == best_ts]
             w = at.loc[at.event_id.idxmax()]
-            want_rows.append((p.event_id, w.event_id, round(w.value, 6), p.tsu - w.tsu))
+            want_rows.append((p.event_id, w.event_id, int(np.floor(w.value * 1e6 + 0.5)), p.tsu - w.tsu))
         else:
-            want_rows.append((p.event_id, -1, 0.0, -1))
+            want_rows.append((p.event_id, -1, 0, -1))
     want = pd.DataFrame(
-        want_rows, columns=["event_id", "match_event_id", "match_value", "lag_us"]
+        want_rows, columns=["event_id", "match_event_id", "match_value_micro", "lag_us"]
     ).sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(
-        got[["event_id", "match_event_id", "match_value", "lag_us"]], want
+        got[["event_id", "match_event_id", "match_value_micro", "lag_us"]], want
     )
 
 
@@ -162,11 +162,11 @@ def test_range_matches_bruteforce_random():
             & (df.tsu >= p.tsu - HOUR)
             & (df.tsu < p.tsu)
         ]
-        want_rows.append((p.event_id, len(cand), round(cand.value.sum(), 6)))
-    want = pd.DataFrame(want_rows, columns=["event_id", "n_prior", "sum_prior"]).sort_values(
+        want_rows.append((p.event_id, len(cand), int(np.floor(cand.value.to_numpy() * 1e6 + 0.5).astype(np.int64).sum())))
+    want = pd.DataFrame(want_rows, columns=["event_id", "n_prior", "sum_prior_micro"]).sort_values(
         "event_id"
     ).reset_index(drop=True)
-    pd.testing.assert_frame_equal(got[["event_id", "n_prior", "sum_prior"]], want)
+    pd.testing.assert_frame_equal(got[["event_id", "n_prior", "sum_prior_micro"]], want)
 
 
 def test_joins_partitioning_invariant():
@@ -249,7 +249,7 @@ def test_asof_join_randomized_vs_merge_asof(ray_session):
     ok = match == -1
     assert (got_lag[~ok] == lag[~ok]).all()
     assert (got_lag[ok] == -1).all()
-    assert (got.loc[match == -1, "match_value"] == 0.0).all()
+    assert (got.loc[match == -1, "match_value_micro"] == 0).all()
     assert (match != -1).sum() > 100 and (match == -1).sum() > 0
 
 
@@ -297,4 +297,4 @@ def test_range_join_randomized_vs_bruteforce(ray_session):
         ]
         g = got[got["event_id"] == row["event_id"]].iloc[0]
         assert g["n_prior"] == len(m), row["event_id"]
-        assert abs(g["sum_prior"] - round(m["value"].sum(), 6)) < 1e-9, row["event_id"]
+        assert g["sum_prior_micro"] == int(np.floor(m["value"].to_numpy() * 1e6 + 0.5).astype(np.int64).sum()), row["event_id"]

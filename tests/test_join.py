@@ -378,3 +378,20 @@ def test_join_family_randomized_vs_pandas(ray_session):
             ).to_pandas()
             assert sorted(a["lv"]) == sorted(expect["lv"]), (trial, anti)
             assert sorted(b["lv"]) == sorted(expect["lv"]), (trial, anti)
+
+
+def test_local_supplier_revenue_copartition_path(ray_session, monkeypatch):
+    """Lowering the customer broadcast cap must flip the orders⋈customer
+    join to the distributed co-partition plan WITHOUT changing the
+    result (strategy switch correctness)."""
+    import robosat_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    base = Q.QUERIES["local_supplier_revenue"](sf).to_pandas()
+    monkeypatch.setattr(Q, "CUSTOMER_BROADCAST_ROWS", 0)
+    flipped = Q.QUERIES["local_supplier_revenue"](sf).to_pandas()
+    cols = sorted(base.columns)
+    pd.testing.assert_frame_equal(
+        base[cols].sort_values(cols).reset_index(drop=True),
+        flipped[cols].sort_values(cols).reset_index(drop=True),
+    )

@@ -147,3 +147,32 @@ def test_window_functions_randomized_vs_pandas(ray_session):
     exp = df.sort_values("event_id").reset_index(drop=True)
     for col in ("rn", "lag_vmicro", "lead_vmicro", "roll3_vmicro", "value_rank"):
         assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+
+
+def test_simdup_run_cap_truncates_to_smallest_ids():
+    """An equal-band run longer than the cap TRUNCATES to the run's
+    smallest doc_ids (the oracle's QUALIFY rule) instead of dropping
+    every pair in the run."""
+    # 6 identical texts -> identical simhash -> one run of 6 per band;
+    # cap 4 keeps doc_ids {1,2,3,4} -> C(4,2)=6 pairs at hamming 0
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1, 7, dtype=np.int64)),
+            "text": pa.array(["the same doc text here"] * 6),
+        }
+    )
+    got = (
+        simhash_dup_pairs(ray.data.from_arrow(t), run_cap=4)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    ii, jj = np.triu_indices(4, k=1)
+    want = pd.DataFrame(
+        {
+            "doc_a": (ii + 1).astype(np.int64),
+            "doc_b": (jj + 1).astype(np.int64),
+            "hamming": np.zeros(len(ii), dtype=np.int64),
+        }
+    ).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(np.int64), want)
