@@ -282,6 +282,231 @@ SELECT a.component_id, CAST(a.n_members AS BIGINT) AS n_members,
 FROM agg a JOIN areas ar USING (component_id)
 """
 
+def _snap_map_sql(vals: str, orig: str) -> str:
+    """SQL mirror of geo/rectilinear._snap_vals as a (component, v) ->
+    snapped-value MAP: snap each distinct value to the nearest original
+    coordinate of the same component within a 1e-12 relative tolerance,
+    preferring the smallest original >= v (the engine's
+    searchsorted-hi-first rule). Join-based (no correlated subqueries)
+    so DuckDB evaluates it once per distinct value."""
+    return f"""
+  SELECT r.component_id, r.v,
+         COALESCE(MIN(o.o) FILTER (WHERE o.o >= r.v),
+                  MAX(o.o) FILTER (WHERE o.o < r.v), r.v) AS sv
+  FROM {vals} r LEFT JOIN {orig} o
+    ON o.component_id = r.component_id
+   AND ABS(r.v - o.o) <= 1e-12 * GREATEST(CAST(1.0 AS DOUBLE), ABS(r.v))
+  GROUP BY r.component_id, r.v
+"""
+
+
+_TX = 2.0 * C.MERGE_EPS_X
+_TY = 2.0 * C.MERGE_EPS_Y
+
+# Hash-hard serialization of the merged ring geometry
+# (stages/merge.merge_ring_cells): candidate compressed-grid cells
+# (member bbox cuts, their ±2t closing offsets — snapped & clipped
+# exactly like closing_grid) with each cell's membership in the
+# CLOSED (dilate-then-erode) rect union, derived here from the set
+# rule — a candidate cell is OUTSIDE iff some uncovered cell of the
+# dilated union's grid, re-dilated by (tx, ty), contains it (erosion
+# via complement, the same formulation closing_grid implements). The
+# engine derives the identical rows by even-odd-testing the cells
+# against its traced output rings, so a match pins the rings.
+MERGE_RING_CELLS = f"""
+WITH RECURSIVE {feet_cte()},
+edges AS (
+  SELECT a.feature_id AS fa, b.feature_id AS fb
+  FROM feet a JOIN feet b ON a.feature_id <> b.feature_id
+   AND a.minx - {C.MERGE_EPS_X!r} <= b.maxx + {C.MERGE_EPS_X!r}
+   AND b.minx - {C.MERGE_EPS_X!r} <= a.maxx + {C.MERGE_EPS_X!r}
+   AND a.miny - {C.MERGE_EPS_Y!r} <= b.maxy + {C.MERGE_EPS_Y!r}
+   AND b.miny - {C.MERGE_EPS_Y!r} <= a.maxy + {C.MERGE_EPS_Y!r}
+),
+reach(n, l) AS (
+  SELECT feature_id, feature_id FROM feet
+  UNION
+  SELECT e.fb, r.l FROM reach r JOIN edges e ON e.fa = r.n WHERE r.l < e.fb
+),
+comp AS MATERIALIZED (SELECT n AS feature_id, MIN(l) AS component_id FROM reach GROUP BY n),
+m AS MATERIALIZED (
+  SELECT c.component_id, f.minx, f.miny, f.maxx, f.maxy
+  FROM comp c JOIN feet f ON f.feature_id = c.feature_id
+),
+ox AS MATERIALIZED (SELECT component_id, minx AS o FROM m UNION SELECT component_id, maxx FROM m),
+oy AS MATERIALIZED (SELECT component_id, miny AS o FROM m UNION SELECT component_id, maxy FROM m),
+frx AS MATERIALIZED (
+  SELECT component_id, MIN(minx - {_TX!r}) + {_TX!r} AS g0r,
+         MAX(maxx + {_TX!r}) - {_TX!r} AS g1r
+  FROM m GROUP BY component_id
+),
+fry AS MATERIALIZED (
+  SELECT component_id, MIN(miny - {_TY!r}) + {_TY!r} AS g0r,
+         MAX(maxy + {_TY!r}) - {_TY!r} AS g1r
+  FROM m GROUP BY component_id
+),
+dxe AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT component_id, v AS x0,
+           LEAD(v) OVER (PARTITION BY component_id ORDER BY v) AS x1
+    FROM (SELECT DISTINCT component_id, minx - {_TX!r} AS v FROM m
+          UNION SELECT DISTINCT component_id, maxx + {_TX!r} FROM m)
+  ) WHERE x1 IS NOT NULL AND x1 > x0
+),
+dye AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT component_id, v AS y0,
+           LEAD(v) OVER (PARTITION BY component_id ORDER BY v) AS y1
+    FROM (SELECT DISTINCT component_id, miny - {_TY!r} AS v FROM m
+          UNION SELECT DISTINCT component_id, maxy + {_TY!r} FROM m)
+  ) WHERE y1 IS NOT NULL AND y1 > y0
+),
+unc AS MATERIALIZED (
+  SELECT x.component_id, x.x0, x.x1, y.y0, y.y1
+  FROM dxe x JOIN dye y USING (component_id)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM m r WHERE r.component_id = x.component_id
+      AND r.minx - {_TX!r} <= x.x0 AND x.x1 <= r.maxx + {_TX!r}
+      AND r.miny - {_TY!r} <= y.y0 AND y.y1 <= r.maxy + {_TY!r})
+),
+uncr AS MATERIALIZED (
+  SELECT component_id, x0 - {_TX!r} AS rx0, x1 + {_TX!r} AS rx1,
+         y0 - {_TY!r} AS ry0, y1 + {_TY!r} AS ry1
+  FROM unc
+),
+cxr AS (
+  SELECT component_id, minx AS v FROM m
+  UNION SELECT component_id, maxx FROM m
+  UNION SELECT component_id, (minx - {_TX!r}) - {_TX!r} FROM m
+  UNION SELECT component_id, (maxx + {_TX!r}) + {_TX!r} FROM m
+),
+cyr AS (
+  SELECT component_id, miny AS v FROM m
+  UNION SELECT component_id, maxy FROM m
+  UNION SELECT component_id, (miny - {_TY!r}) - {_TY!r} FROM m
+  UNION SELECT component_id, (maxy + {_TY!r}) + {_TY!r} FROM m
+),
+sxv AS MATERIALIZED (
+  SELECT DISTINCT component_id, v FROM (
+    SELECT component_id, v FROM cxr
+    UNION ALL SELECT component_id, rx0 FROM uncr
+    UNION ALL SELECT component_id, rx1 FROM uncr
+    UNION ALL SELECT component_id, g0r FROM frx
+    UNION ALL SELECT component_id, g1r FROM frx)
+),
+syv AS MATERIALIZED (
+  SELECT DISTINCT component_id, v FROM (
+    SELECT component_id, v FROM cyr
+    UNION ALL SELECT component_id, ry0 FROM uncr
+    UNION ALL SELECT component_id, ry1 FROM uncr
+    UNION ALL SELECT component_id, g0r FROM fry
+    UNION ALL SELECT component_id, g1r FROM fry)
+),
+sxm AS MATERIALIZED ({_snap_map_sql('sxv', 'ox')}),
+sym AS MATERIALIZED ({_snap_map_sql('syv', 'oy')}),
+fsx AS MATERIALIZED (
+  SELECT f.component_id, a.sv AS g0, b.sv AS g1
+  FROM frx f
+  JOIN sxm a ON a.component_id = f.component_id AND a.v = f.g0r
+  JOIN sxm b ON b.component_id = f.component_id AND b.v = f.g1r
+),
+fsy AS MATERIALIZED (
+  SELECT f.component_id, a.sv AS g0, b.sv AS g1
+  FROM fry f
+  JOIN sym a ON a.component_id = f.component_id AND a.v = f.g0r
+  JOIN sym b ON b.component_id = f.component_id AND b.v = f.g1r
+),
+cxe AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT component_id, v AS x0,
+           LEAD(v) OVER (PARTITION BY component_id ORDER BY v) AS x1
+    FROM (SELECT DISTINCT c.component_id, GREATEST(f.g0, LEAST(f.g1, s.sv)) AS v
+          FROM cxr c
+          JOIN sxm s ON s.component_id = c.component_id AND s.v = c.v
+          JOIN fsx f ON f.component_id = c.component_id WHERE f.g0 < f.g1)
+  ) WHERE x1 IS NOT NULL AND x1 > x0
+),
+cye AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT component_id, v AS y0,
+           LEAD(v) OVER (PARTITION BY component_id ORDER BY v) AS y1
+    FROM (SELECT DISTINCT c.component_id, GREATEST(f.g0, LEAST(f.g1, s.sv)) AS v
+          FROM cyr c
+          JOIN sym s ON s.component_id = c.component_id AND s.v = c.v
+          JOIN fsy f ON f.component_id = c.component_id WHERE f.g0 < f.g1)
+  ) WHERE y1 IS NOT NULL AND y1 > y0
+),
+uncs AS MATERIALIZED (
+  SELECT t.component_id,
+         GREATEST(fx.g0, LEAST(fx.g1, a.sv)) AS sx0,
+         GREATEST(fx.g0, LEAST(fx.g1, b.sv)) AS sx1,
+         GREATEST(fy.g0, LEAST(fy.g1, c2.sv)) AS sy0,
+         GREATEST(fy.g0, LEAST(fy.g1, d2.sv)) AS sy1
+  FROM uncr t
+  JOIN sxm a ON a.component_id = t.component_id AND a.v = t.rx0
+  JOIN sxm b ON b.component_id = t.component_id AND b.v = t.rx1
+  JOIN sym c2 ON c2.component_id = t.component_id AND c2.v = t.ry0
+  JOIN sym d2 ON d2.component_id = t.component_id AND d2.v = t.ry1
+  JOIN fsx fx ON fx.component_id = t.component_id
+  JOIN fsy fy ON fy.component_id = t.component_id
+),
+-- island-merge the removal rects in x within each (sy0, sy1) band:
+-- endpoints lie on candidate cuts, so touching/overlapping intervals
+-- union losslessly at cell granularity (MERGE_UNIONS scanline shape)
+ub1 AS (
+  SELECT *, CASE WHEN sx0 > COALESCE(MAX(sx1) OVER (
+       PARTITION BY component_id, sy0, sy1 ORDER BY sx0, sx1
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), sx0 - 1.0)
+     THEN 1 ELSE 0 END AS brk
+  FROM uncs
+),
+ub2 AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY component_id, sy0, sy1
+       ORDER BY sx0, sx1 ROWS UNBOUNDED PRECEDING) AS g
+  FROM ub1
+),
+uncb AS MATERIALIZED (
+  SELECT component_id, sy0, sy1, MIN(sx0) AS sx0, MAX(sx1) AS sx1
+  FROM ub2 GROUP BY component_id, sy0, sy1, g
+),
+-- per candidate y-cell: overlapping removal intervals, island-merged
+yint AS (
+  SELECT y.component_id, y.y0, y.y1, u.sx0, u.sx1
+  FROM cye y JOIN uncb u
+    ON u.component_id = y.component_id AND u.sy0 <= y.y0 AND y.y1 <= u.sy1
+),
+yi1 AS (
+  SELECT *, CASE WHEN sx0 > COALESCE(MAX(sx1) OVER (
+       PARTITION BY component_id, y0 ORDER BY sx0, sx1
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), sx0 - 1.0)
+     THEN 1 ELSE 0 END AS brk
+  FROM yint
+),
+yi2 AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY component_id, y0
+       ORDER BY sx0, sx1 ROWS UNBOUNDED PRECEDING) AS g
+  FROM yi1
+),
+yisl AS MATERIALIZED (
+  SELECT component_id, y0, MIN(sx0) AS ix0, MAX(sx1) AS ix1
+  FROM yi2 GROUP BY component_id, y0, g
+),
+cells AS (
+  SELECT x.component_id, x.x0, x.x1, y.y0, y.y1
+  FROM cxe x JOIN cye y USING (component_id)
+)
+SELECT c.component_id,
+  CAST(floor(c.x0 * 1e10 + 0.5) AS BIGINT) AS x0q,
+  CAST(floor(c.y0 * 1e10 + 0.5) AS BIGINT) AS y0q,
+  CAST(floor(c.x1 * 1e10 + 0.5) AS BIGINT) AS x1q,
+  CAST(floor(c.y1 * 1e10 + 0.5) AS BIGINT) AS y1q,
+  CAST(CASE WHEN EXISTS (
+    SELECT 1 FROM yisl i WHERE i.component_id = c.component_id
+      AND i.y0 = c.y0 AND i.ix0 <= c.x0 AND c.x1 <= i.ix1)
+  THEN 0 ELSE 1 END AS BIGINT) AS inside
+FROM cells c
+"""
+
 _RS = 64  # oracle rasterization size (pixel grid per tile)
 
 # Featurize invariants, per 8-connected mask component: pixel count
@@ -543,7 +768,53 @@ FEATURIZE_STATS = FEATURIZE_STATS_TEMPLATE.format(
     nf=repr(_N),
 )
 
+# Canonical boundary-edge serialization of the featurize ring
+# geometry: a unit edge of the pixel grid is a boundary edge of a
+# component iff its in-component side pixel has an out-of-component
+# 4-neighbor across it. The engine decomposes its OUTPUT rings into
+# the same canonical rows (stages/featurize.py:_edges_batch), so the
+# sorted value-hash pins the full geometry. ckey = the component's
+# lexicographically-(y,x)-smallest boundary corner (y*1024 + x) —
+# unique per component (two 8-connected components can never share a
+# corner) and always the first endpoint of some canonical edge.
+FEATURIZE_EDGES_TEMPLATE = _FEATURIZE_PREFIX + """,
+dirs(dx, dy) AS (VALUES (0, -1), (0, 1), (-1, 0), (1, 0)),
+bed AS (
+  SELECT c.tx, c.ty, c.cid,
+         c.i + (CASE WHEN d.dx = 1 THEN 1 ELSE 0 END) AS x0,
+         c.j + (CASE WHEN d.dy = 1 THEN 1 ELSE 0 END) AS y0,
+         c.i + (CASE WHEN d.dx = 1 THEN 1 ELSE 0 END)
+             + (CASE WHEN d.dy <> 0 THEN 1 ELSE 0 END) AS x1,
+         c.j + (CASE WHEN d.dy = 1 THEN 1 ELSE 0 END)
+             + (CASE WHEN d.dx <> 0 THEN 1 ELSE 0 END) AS y1
+  FROM cpx c JOIN dirs d ON TRUE
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cpx nb
+    WHERE nb.tx = c.tx AND nb.ty = c.ty AND nb.cid = c.cid
+      AND nb.i = c.i + d.dx AND nb.j = c.j + d.dy)
+),
+ck AS (
+  SELECT tx, ty, cid, MIN(y0 * 1024 + x0) AS ckey
+  FROM bed GROUP BY tx, ty, cid
+)
+SELECT e.tx AS tile_x, e.ty AS tile_y, k.ckey,
+       CAST(e.x0 AS BIGINT) AS x0, CAST(e.y0 AS BIGINT) AS y0,
+       CAST(e.x1 AS BIGINT) AS x1, CAST(e.y1 AS BIGINT) AS y1
+FROM bed e JOIN ck k ON k.tx = e.tx AND k.ty = e.ty AND k.cid = e.cid
+"""
+
 FEATURIZE_MOMENTS = FEATURIZE_MOMENTS_TEMPLATE.format(
+    feet=feet_cte(),
+    tx_minx=tile_x("f.minx"),
+    ty_miny=tile_y("f.miny"),
+    tx_maxx=tile_x("f.maxx"),
+    ty_maxy=tile_y("f.maxy"),
+    rs1=_RS - 1,
+    rsf=repr(float(_RS)),
+    nf=repr(_N),
+)
+
+FEATURIZE_EDGES = FEATURIZE_EDGES_TEMPLATE.format(
     feet=feet_cte(),
     tx_minx=tile_x("f.minx"),
     ty_miny=tile_y("f.miny"),

@@ -101,13 +101,16 @@ def q_rasterize_fg(sf_dir: str):
 
 def q_featurize(sf_dir: str):
     """Masks -> vector polygons (threshold/contours/simplify/px->world;
-    reference rs features). Rows-only: geometry round-trips are
-    pixel-exact in tests (tests/test_featurize.py)."""
-    from robosat_ray.stages.featurize import featurize
+    reference rs features), serialized as the canonical boundary-edge
+    rows of the OUTPUT rings — a lossless, order-free form the DuckDB
+    oracle derives independently from its recursive-CTE component
+    pixels, making the full ring geometry (incl. holes) hash-hard
+    instead of rows-only."""
+    from robosat_ray.stages.featurize import featurize, featurize_edges
     from robosat_ray.stages.rasterize import rasterize
 
     masks = rasterize(footprints_dataset(sf_dir), size=64)
-    return featurize(masks).drop_columns(["rings"])
+    return featurize_edges(featurize(masks), size=64)
 
 
 def q_featurize_stats(sf_dir: str):
@@ -169,16 +172,18 @@ def q_merge_unions(sf_dir: str):
 
 
 def q_merge_geometry(sf_dir: str):
-    """Reference merge chain output (tools/merge.py:63-81): per
-    component the MERGED ring geometry (buffer-union-erode closing,
-    oriented), with area/ring-count invariants. Geometry columns are
-    not SQL-expressible (rows-only); exactness is tested in
-    tests/test_merge_union.py (singleton == original rect bit-exact,
-    ring area == grid area, gap-closure invariants)."""
-    from robosat_ray.stages.merge import merge_geometry
+    """Reference merge chain output (tools/merge.py:63-81), serialized
+    hash-hard: the engine traces the MERGED rings (buffer-union-erode
+    closing) and even-odd-tests every candidate compressed-grid cell
+    against them; the oracle derives the same (cell, inside) rows from
+    the dilate/erode set rule without tracing — a value-hash match
+    pins the ring geometry exactly. The raw ring dump remains
+    available via stages/merge.merge_geometry (exactness additionally
+    tested in tests/test_merge_union.py)."""
+    from robosat_ray.stages.merge import merge_ring_cells
     from robosat_ray.synth.footprints import footprints_table
 
-    return merge_geometry(footprints_dataset(sf_dir), footprints_table(sf_dir))
+    return merge_ring_cells(footprints_dataset(sf_dir), footprints_table(sf_dir))
 
 
 def q_dedupe(sf_dir: str):
@@ -1374,11 +1379,10 @@ QUERIES = {
     "events_cube": q_events_cube,
 }
 
-# remaining rows-only entries: media_features (binary payloads),
-# ann_ivf (approximate index; recall asserted in tests),
-# merge_geometry / featurize rings (geometry columns; invariants
-# oracle-checked via merge_unions / featurize_stats),
-# segmentation_metrics (stand-in model conv; formulas tested)
+# every queries() entry has a DuckDB oracle (zero rows-only): the two
+# former geometry dumps are now hash-hard via canonical serializations
+# (featurize -> boundary-edge rows, merge_geometry -> candidate-grid
+# cell membership vs the traced rings)
 ORACLES = {
     "extract_text": oracle.EXTRACT_TEXT,
     "tile_assign": oracle.TILE_ASSIGN,
@@ -1403,8 +1407,10 @@ ORACLES = {
     "events_running": oracle.EVENTS_RUNNING,
     "top_tiles": oracle.TOP_TILES,
     "merge_unions": oracle.MERGE_UNIONS,
+    "merge_geometry": oracle.MERGE_RING_CELLS,
     "simhash": oracle.SIMHASH,
     "langid": oracle.LANGID,
+    "featurize": oracle.FEATURIZE_EDGES,
     "featurize_stats": oracle.FEATURIZE_STATS,
     "featurize_moments": oracle.FEATURIZE_MOMENTS,
     "segmentation_metrics": oracle.SEGMENTATION_METRICS,

@@ -205,6 +205,108 @@ def _moments_batch(batch: pa.Table, z: int, size: int) -> pa.Table:
     )
 
 
+def _edges_batch(batch: pa.Table, z: int, size: int) -> pa.Table:
+    """One featurize-output batch -> canonical boundary-edge rows, the
+    LOSSLESS serialization of the ring geometry: every output ring is a
+    rectilinear path on integer pixel corners, so decomposing its
+    segments into unit edges recovers exactly the boundary-edge SET of
+    the component's pixel region (rings <-> edge set up to traversal
+    order, which is non-semantic). Rows: (tile_x, tile_y, ckey, x0,
+    y0, x1, y1) with each edge's lexicographically-(y,x)-smaller corner
+    first and ckey = the component's smallest boundary corner — the
+    same rows the FEATURIZE_EDGES SQL oracle derives from its
+    recursive-CTE component pixels, so the driver's sorted value-hash
+    pins the full geometry (incl. holes), not just invariants."""
+    txs = batch.column("tile_x").to_numpy()
+    tys = batch.column("tile_y").to_numpy()
+    col = batch.column("rings")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    ring_arr = col.values
+    pts = ring_arr.values
+    flat_x = pts.field("x").to_numpy()
+    flat_y = pts.field("y").to_numpy()
+    poly_off = np.asarray(col.offsets)
+    ring_off = np.asarray(ring_arr.offsets)
+
+    n = float(1 << z)
+    out_tx, out_ty, out_ck = [], [], []
+    out_x0, out_y0, out_x1, out_y1 = [], [], [], []
+    for r in range(len(batch)):
+        tx, ty = int(txs[r]), int(tys[r])
+        west = tx / n * 360.0 - 180.0
+        east = (tx + 1) / n * 360.0 - 180.0
+        north = ty / n
+        south = (ty + 1) / n
+        fx = (east - west) / size
+        fy = (south - north) / size
+        seg_x0, seg_y0, seg_x1, seg_y1 = [], [], [], []
+        for k in range(poly_off[r], poly_off[r + 1]):
+            lon = flat_x[ring_off[k] : ring_off[k + 1]]
+            my = flat_y[ring_off[k] : ring_off[k + 1]]
+            xs = np.round((lon - west) / fx).astype(np.int64)
+            ys = np.round((my - north) / fy).astype(np.int64)
+            seg_x0.append(xs[:-1])
+            seg_y0.append(ys[:-1])
+            seg_x1.append(xs[1:])
+            seg_y1.append(ys[1:])
+        if not seg_x0:
+            continue
+        X0 = np.concatenate(seg_x0)
+        Y0 = np.concatenate(seg_y0)
+        X1 = np.concatenate(seg_x1)
+        Y1 = np.concatenate(seg_y1)
+        dx = np.sign(X1 - X0)
+        dy = np.sign(Y1 - Y0)
+        L = np.abs(X1 - X0) + np.abs(Y1 - Y0)  # axis-aligned segments
+        idx = np.repeat(np.arange(len(L)), L)
+        off = np.arange(int(L.sum()), dtype=np.int64) - np.repeat(np.cumsum(L) - L, L)
+        ex0 = X0[idx] + dx[idx] * off
+        ey0 = Y0[idx] + dy[idx] * off
+        ex1 = ex0 + dx[idx]
+        ey1 = ey0 + dy[idx]
+        k0 = ey0 * 1024 + ex0
+        k1 = ey1 * 1024 + ex1
+        swap = k1 < k0
+        cx0 = np.where(swap, ex1, ex0)
+        cy0 = np.where(swap, ey1, ey0)
+        cx1 = np.where(swap, ex0, ex1)
+        cy1 = np.where(swap, ey0, ey1)
+        ck = int(np.minimum(k0, k1).min())
+        m = len(ex0)
+        out_tx.append(np.full(m, tx, dtype=np.int64))
+        out_ty.append(np.full(m, ty, dtype=np.int64))
+        out_ck.append(np.full(m, ck, dtype=np.int64))
+        out_x0.append(cx0)
+        out_y0.append(cy0)
+        out_x1.append(cx1)
+        out_y1.append(cy1)
+
+    def cat(parts):
+        return pa.array(
+            np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        )
+
+    return pa.table(
+        {
+            "tile_x": cat(out_tx),
+            "tile_y": cat(out_ty),
+            "ckey": cat(out_ck),
+            "x0": cat(out_x0),
+            "y0": cat(out_y0),
+            "x1": cat(out_x1),
+            "y1": cat(out_y1),
+        }
+    )
+
+
+def featurize_edges(feats_ds, z: int = C.Z_JOIN, size: int = 64):
+    """Featurize output -> canonical boundary-edge serialization (see
+    _edges_batch) — the hash-hard driver form of the ring geometry."""
+    return feats_ds.select_columns(["tile_x", "tile_y", "rings"]).map_batches(
+        lambda b: _edges_batch(b, z, size), batch_format="pyarrow"
+    )
+
+
 def ring_pixel_moments(feats_ds, z: int = C.Z_JOIN, size: int = 64):
     """Featurize output -> per-polygon pixel moments of the ring-
     enclosed region (holes subtracted by the even-odd fill). The

@@ -427,3 +427,114 @@ def merge_geometry(
         )
 
     return tagged.groupby("bucket").map_groups(geom_comp, batch_format="pandas")
+
+
+def _candidate_cuts(vmin: np.ndarray, vmax: np.ndarray, t: float) -> np.ndarray:
+    """Candidate result-grid cut values for one component along one
+    axis: member bbox coords plus their ±2t closing offsets, snapped to
+    original coordinates (the same _snap_vals rule closing_grid uses)
+    and clipped to the snapped shrunk frame. By construction this is a
+    SUPERSET of the closing result's cut set, so every candidate cell
+    is wholly inside or outside the merged geometry — cell-center
+    membership serializes the geometry exactly. Mirrored bit-for-bit
+    by the MERGE_RING_CELLS SQL oracle."""
+    from robosat_ray.geo.rectilinear import _snap_vals
+
+    orig = np.concatenate([vmin, vmax])
+    g0 = _snap_vals(np.array([(vmin - t).min() + t]), orig)[0]
+    g1 = _snap_vals(np.array([(vmax + t).max() - t]), orig)[0]
+    if g0 >= g1:
+        return np.empty(0, dtype=np.float64)
+    raw = np.concatenate([vmin, vmax, (vmin - t) - t, (vmax + t) + t])
+    return np.unique(np.clip(_snap_vals(raw, orig), g0, g1))
+
+
+def _pip_grid_even_odd(ccx: np.ndarray, ccy: np.ndarray, rings) -> np.ndarray:
+    """Even-odd membership of a GRID of probe points (ccx x ccy) vs
+    closed rectilinear rings: per probe row, the active vertical
+    segments' x's are sorted once and each probe column resolves with
+    one searchsorted (+x ray parity) — O(ny * (S + nx log S)), never
+    points-x-segments. Probes are cell centers, never on cut lines, so
+    there are no boundary ties. Returns bool (len(ccx), len(ccy))."""
+    vx_p, vy0_p, vy1_p = [], [], []
+    for rx, ry in rings:
+        x0, y0, x1, y1 = rx[:-1], ry[:-1], rx[1:], ry[1:]
+        vert = x0 == x1
+        if vert.any():
+            vx_p.append(x0[vert])
+            vy0_p.append(np.minimum(y0[vert], y1[vert]))
+            vy1_p.append(np.maximum(y0[vert], y1[vert]))
+    inside = np.zeros((len(ccx), len(ccy)), dtype=bool)
+    if not vx_p:
+        return inside
+    vx = np.concatenate(vx_p)
+    vy0 = np.concatenate(vy0_p)
+    vy1 = np.concatenate(vy1_p)
+    for j, yc in enumerate(ccy):
+        xs = np.sort(vx[(vy0 <= yc) & (yc < vy1)])
+        cnt = len(xs) - np.searchsorted(xs, ccx)
+        inside[:, j] = (cnt & 1).astype(bool)
+    return inside
+
+
+def merge_ring_cells(
+    feet_ds,
+    feet_table: pa.Table,
+    z: int = C.Z_JOIN,
+    eps_x: float = C.MERGE_EPS_X,
+    eps_y: float = C.MERGE_EPS_Y,
+):
+    """Hash-hard serialization of the merge_geometry RING OUTPUT: per
+    component, the candidate compressed grid (member bbox cuts ± the
+    closing offsets) with each cell's even-odd membership AGAINST THE
+    TRACED OUTPUT RINGS. Because the candidate cuts are a superset of
+    the result cuts, the (cell, inside) rows determine the merged
+    geometry 1:1 — the MERGE_RING_CELLS oracle derives the same rows
+    from the dilate/erode set rule without ever tracing rings, so a
+    sorted value-hash match pins the ring geometry exactly (reference
+    chain: robosat/tools/merge.py:63-81). Exact for rectilinear
+    members (the synth corpus); rows: (component_id, x0q, y0q, x1q,
+    y1q, inside) with bounds quantized at 1e-10."""
+    from robosat_ray.geo.rectilinear import closing_grid, trace_rings
+
+    tagged = _tagged_feet(
+        feet_ds, feet_table, z, eps_x, eps_y,
+        ["feature_id", "minx", "miny", "maxx", "maxy"],
+    )
+    tx, ty = 2.0 * eps_x, 2.0 * eps_y
+
+    def cells_comp(group: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "component_id": [], "x0q": [], "y0q": [], "x1q": [], "y1q": [],
+            "inside": [],
+        }
+        for cid, g in group.groupby("component_id", sort=False):
+            minx = g["minx"].to_numpy()
+            miny = g["miny"].to_numpy()
+            maxx = g["maxx"].to_numpy()
+            maxy = g["maxy"].to_numpy()
+            cxs = _candidate_cuts(minx, maxx, tx)
+            cys = _candidate_cuts(miny, maxy, ty)
+            if len(cxs) < 2 or len(cys) < 2:
+                continue
+            xs, ys, cov = closing_grid(minx, miny, maxx, maxy, tx, ty)
+            rings = trace_rings(xs, ys, cov)
+            ccx = 0.5 * (cxs[:-1] + cxs[1:])
+            ccy = 0.5 * (cys[:-1] + cys[1:])
+            inside = _pip_grid_even_odd(ccx, ccy, rings).ravel()
+            bx0, by0 = np.meshgrid(cxs[:-1], cys[:-1], indexing="ij")
+            bx1, by1 = np.meshgrid(cxs[1:], cys[1:], indexing="ij")
+            n = inside.size
+            out["component_id"].append(np.full(n, int(cid), dtype=np.int64))
+            out["x0q"].append(np.floor(bx0.ravel() * 1e10 + 0.5).astype(np.int64))
+            out["y0q"].append(np.floor(by0.ravel() * 1e10 + 0.5).astype(np.int64))
+            out["x1q"].append(np.floor(bx1.ravel() * 1e10 + 0.5).astype(np.int64))
+            out["y1q"].append(np.floor(by1.ravel() * 1e10 + 0.5).astype(np.int64))
+            out["inside"].append(inside.astype(np.int64))
+        if not out["component_id"]:
+            return pd.DataFrame(
+                {k: pd.Series([], dtype=np.int64) for k in out}
+            )
+        return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    return tagged.groupby("bucket").map_groups(cells_comp, batch_format="pandas")
