@@ -1,14 +1,16 @@
 """Multimodal columns: image/audio/video as opaque `binary` columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The sandbox has no image/audio codecs (no PIL/cv2/ffmpeg), so DECODE
-is stubbed two ways (task brief):
-  - decode_stub(strict=True)  -> raises NotImplementedError (the seam
-    where PIL.Image.open / soundfile.read drops in)
-  - decode_stub(strict=False) -> deterministic fake decode: the bytes
-    are hashed into a fixed-shape uint8 tensor, so every downstream
-    stage (resize, feature extract, frame sampling) runs real Arrow /
-    numpy plumbing with stable golden values.
+The image path is REAL bytes->pixels: the synth side encodes each
+deterministic pixel tensor as a genuine BMP file (8-bpp grayscale,
+codecs/bmp.py — the one raster format a pure-numpy codec can own in a
+container without PIL/cv2/ffmpeg) and MediaDecoder parses the BMP
+back. Pixel VALUES stay the md5-seeded Weyl sequence so the DuckDB
+MEDIA_FEATURES oracle reproduces the whole decode->resize->feature
+chain exactly. Formats the numpy codec can't parse raise
+NotImplementedError (mode="strict") — the seam where PIL.Image.open /
+soundfile.read drops in at deployment; mode="fake" keeps the
+hash-derived decode for payloads that aren't real containers.
 
 Schema (media table):
   media_id: int64, kind: string {image,audio,video},
@@ -35,19 +37,27 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def synth_media_batch(batch: pa.Table) -> pa.Table:
-    """documents batch -> deterministic media rows (payload = utf-8
-    text bytes standing in for encoded media; dims from doc_id)."""
+    """documents batch -> deterministic media rows: pixel tensor =
+    md5(text)-seeded Weyl sequence (SQL-mirrorable), payload = that
+    tensor REALLY ENCODED as a BMP file, so the decode stage exercises
+    actual container parsing, not a hash stand-in."""
+    from robosat_ray.codecs.bmp import encode_bmp_gray8
+
     ids = batch.column("doc_id").to_numpy()
     texts = batch.column("text").to_pylist()
     kinds = np.asarray(["image", "audio", "video"], dtype=object)[(ids % 3).astype(np.int64)]
     w = (32 + (ids % 4) * 16).astype(np.int32)
     h = (32 + (ids % 3) * 16).astype(np.int32)
     nf = np.where(ids % 3 == 2, 8 + (ids % 5), 1).astype(np.int32)
+    payloads = [
+        encode_bmp_gray8(fake_decode(t.encode(), int(wi), int(hi)))
+        for t, wi, hi in zip(texts, w, h)
+    ]
     return pa.table(
         {
             "media_id": pa.array(ids),
             "kind": pa.array(kinds, pa.string()),
-            "payload": pa.array([t.encode() for t in texts], pa.binary()),
+            "payload": pa.array(payloads, pa.binary()),
             "width": pa.array(w),
             "height": pa.array(h),
             "n_frames": pa.array(nf),
@@ -70,22 +80,30 @@ def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 class MediaDecoder:
-    """Actor-pool stage: decoder state (codec handles / model) would
-    load once per actor here. strict=True marks the undecodable seam."""
+    """Actor-pool stage: decoder state (codec LUTs / model handles)
+    builds once per actor in __init__. mode='bmp' REALLY parses the
+    payload bytes (codecs/bmp.py); mode='fake' hashes them into a
+    deterministic tensor; mode='strict' raises at the seam where a
+    full codec stack (PIL/cv2/ffmpeg) drops in."""
 
-    def __init__(self, strict: bool = False):
-        self.strict = strict
+    def __init__(self, mode: str = "bmp", strict: bool = False):
+        self.mode = "strict" if strict else mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
+        if self.mode == "strict":
             raise NotImplementedError(
-                "media decode requires an image/audio codec (PIL/cv2/ffmpeg), "
-                "not available in this environment — fake_decode is the test path"
+                "media decode beyond 8-bpp BMP requires a codec stack "
+                "(PIL/cv2/ffmpeg), not available in this environment"
             )
         payloads = batch.column("payload").to_pylist()
         ws = batch.column("width").to_numpy()
         hs = batch.column("height").to_numpy()
-        pixels = [fake_decode(p, int(w), int(h)).tobytes() for p, w, h in zip(payloads, ws, hs)]
+        if self.mode == "bmp":
+            from robosat_ray.codecs.bmp import decode_bmp_gray8
+
+            pixels = [decode_bmp_gray8(p).tobytes() for p in payloads]
+        else:
+            pixels = [fake_decode(p, int(w), int(h)).tobytes() for p, w, h in zip(payloads, ws, hs)]
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -171,14 +189,15 @@ def frame_sample_batch(batch: pa.Table, every: int = 4) -> pa.Table:
 
 
 def media_pipeline(sf_dir: str, concurrency=(1, 4)):
-    """documents -> media -> decode (actor pool) -> resize -> features."""
+    """documents -> media (real BMP payloads) -> decode (actor pool,
+    real byte parsing) -> resize -> features."""
     import ray.data
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = docs.map_batches(synth_media_batch, batch_format="pyarrow")
     decoded = media.map_batches(
         MediaDecoder,
-        fn_constructor_kwargs={"strict": False},
+        fn_constructor_kwargs={"mode": "bmp"},
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
