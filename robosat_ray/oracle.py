@@ -329,9 +329,17 @@ reach(n, l) AS (
   SELECT e.fb, r.l FROM reach r JOIN edges e ON e.fa = r.n WHERE r.l < e.fb
 ),
 comp AS MATERIALIZED (SELECT n AS feature_id, MIN(l) AS component_id FROM reach GROUP BY n),
-m AS MATERIALIZED (
+m0 AS MATERIALIZED (
   SELECT c.component_id, f.minx, f.miny, f.maxx, f.maxy
   FROM comp c JOIN feet f ON f.feature_id = c.feature_id
+),
+-- verification-size cap (engine: MERGE_CELLS_MEMBER_CAP): the cell
+-- serialization is quadratic in member count, so giant components are
+-- pinned by MERGE_UNIONS/MERGE_COMPONENTS instead
+m AS MATERIALIZED (
+  SELECT m0.* FROM m0
+  JOIN (SELECT component_id FROM m0 GROUP BY component_id
+        HAVING COUNT(*) <= 256) k USING (component_id)
 ),
 ox AS MATERIALIZED (SELECT component_id, minx AS o FROM m UNION SELECT component_id, maxx FROM m),
 oy AS MATERIALIZED (SELECT component_id, miny AS o FROM m UNION SELECT component_id, maxy FROM m),

@@ -477,12 +477,17 @@ def _pip_grid_even_odd(ccx: np.ndarray, ccy: np.ndarray, rings) -> np.ndarray:
     return inside
 
 
+# verification-size cap for merge_ring_cells (see its docstring)
+MERGE_CELLS_MEMBER_CAP = 256
+
+
 def merge_ring_cells(
     feet_ds,
     feet_table: pa.Table,
     z: int = C.Z_JOIN,
     eps_x: float = C.MERGE_EPS_X,
     eps_y: float = C.MERGE_EPS_Y,
+    member_cap: int = MERGE_CELLS_MEMBER_CAP,
 ):
     """Hash-hard serialization of the merge_geometry RING OUTPUT: per
     component, the candidate compressed grid (member bbox cuts ± the
@@ -494,7 +499,15 @@ def merge_ring_cells(
     sorted value-hash match pins the ring geometry exactly (reference
     chain: robosat/tools/merge.py:63-81). Exact for rectilinear
     members (the synth corpus); rows: (component_id, x0q, y0q, x1q,
-    y1q, inside) with bounds quantized at 1e-10."""
+    y1q, inside) with bounds quantized at 1e-10.
+
+    The serialization is quadratic in member count (candidate cells ~
+    (4n)^2), so it CAPS at MERGE_CELLS_MEMBER_CAP members — mirrored
+    by the oracle's HAVING COUNT(*) <= cap — keeping the verification
+    query bounded at any corpus scale (a whole-city 1500-member
+    component would alone emit 36M rows). Components above the cap
+    remain pinned by the merge_unions exact-area/bbox and
+    merge_components oracles, which have no size cap."""
     from robosat_ray.geo.rectilinear import closing_grid, trace_rings
 
     tagged = _tagged_feet(
@@ -509,6 +522,8 @@ def merge_ring_cells(
             "inside": [],
         }
         for cid, g in group.groupby("component_id", sort=False):
+            if len(g) > member_cap:
+                continue
             minx = g["minx"].to_numpy()
             miny = g["miny"].to_numpy()
             maxx = g["maxx"].to_numpy()

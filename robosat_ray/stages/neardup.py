@@ -23,7 +23,6 @@ from robosat_ray.functions.hashing import hash_bucket
 from robosat_ray.functions.text_hash import (
     N_BANDS,
     band_keys,
-    jaccard_sorted,
     minhash_signature,
     shingle_hash_set,
 )
@@ -175,24 +174,45 @@ def _attach_hashes(group: pd.DataFrame) -> pd.DataFrame:
 
 def _verify_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
     """Within one pair bucket: each (a, b) has exactly two rows (the a
-    side and the b side); exact sorted-set Jaccard decides."""
+    side and the b side); exact sorted-set Jaccard decides.
+
+    Vectorized across the whole bucket: all hash sets concatenate into
+    one flat array tagged by pair index; after one lexsort, adjacent
+    equal (pair, hash) runs count the intersections (each side is a
+    UNIQUE set, so multiplicity within a pair is at most 2) — no
+    per-pair Python set ops."""
     a = group["a"].to_numpy()
     b = group["b"].to_numpy()
     order = np.lexsort((b, a))
     a, b = a[order], b[order]
+    n = len(a)
+    empty = pd.DataFrame(
+        {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+    )
+    if n == 0:
+        return empty
+    assert n % 2 == 0 and (a[0::2] == a[1::2]).all() and (
+        b[0::2] == b[1::2]
+    ).all(), "pair side missing"
     hashes = group["hashes"].to_numpy()[order]
-    keep_a, keep_b = [], []
-    for i in range(0, len(a) - 1, 2):
-        assert a[i] == a[i + 1] and b[i] == b[i + 1], "pair side missing"
-        ha = np.asarray(hashes[i], dtype=np.uint64)
-        hb = np.asarray(hashes[i + 1], dtype=np.uint64)
-        if jaccard_sorted(ha, hb) >= threshold:
-            keep_a.append(a[i])
-            keep_b.append(b[i])
+    lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+    npairs = n // 2
+    if lens.sum():
+        flat = np.concatenate([np.asarray(h, dtype=np.uint64) for h in hashes])
+    else:
+        flat = np.empty(0, dtype=np.uint64)
+    rp = np.repeat(np.arange(n, dtype=np.int64) // 2, lens)
+    o2 = np.lexsort((flat, rp))
+    fp, pp = flat[o2], rp[o2]
+    eqm = (pp[1:] == pp[:-1]) & (fp[1:] == fp[:-1])
+    inter = np.bincount(pp[1:][eqm], minlength=npairs).astype(np.int64)
+    union = (lens[0::2] + lens[1::2]) - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)  # 0/0 => 1.0
+    keep = jac >= threshold
     return pd.DataFrame(
         {
-            "a": pd.Series(keep_a, dtype=np.int64),
-            "b": pd.Series(keep_b, dtype=np.int64),
+            "a": a[0::2][keep].astype(np.int64),
+            "b": b[0::2][keep].astype(np.int64),
         }
     )
 

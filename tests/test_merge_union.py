@@ -183,3 +183,53 @@ def test_merge_geometry_general_member_fallback(ray_session):
     cell = (gx[1] - gx[0]) * (gy[1] - gy[0])
     approx = ero.sum() * cell
     assert abs(gen["merged_area"] - approx) / approx < 0.08, (gen["merged_area"], approx)
+
+
+def test_merge_ring_cells_matches_direct_grid(ray_session):
+    """The serialized (cell, inside) rows must reproduce the closing
+    grid DIRECTLY (membership read off cov instead of rings) — an
+    engine-internal cross-check independent of the SQL oracle — and a
+    lowered member cap must drop exactly the too-big components."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from robosat_ray.geo.rectilinear import closing_grid, grid_area
+    from robosat_ray.stages.merge import merge_ring_cells
+    from robosat_ray.synth.footprints import footprints_table
+
+    sf = "/root/testdata/sf0.001"
+    feet = footprints_table(sf)
+    ds = ray.data.from_arrow(feet)
+    out = merge_ring_cells(ds, feet).to_pandas()
+    assert len(out) > 0 and set(out["inside"].unique()) <= {0, 1}
+    # per component: total inside-cell area == closing-grid area
+    tx, ty = 2.0 * 0.0004, 2.0 * 0.0000024
+    import pandas as pd
+
+    fdf = feet.to_pandas()
+    from robosat_ray.stages.merge import merge_components
+
+    comp = merge_components(ds, feet).to_pandas()
+    fdf = fdf.merge(comp, on="feature_id")
+    for cid, g in list(fdf.groupby("component_id"))[:50]:
+        xs, ys, cov = closing_grid(
+            g["minx"].to_numpy(), g["miny"].to_numpy(),
+            g["maxx"].to_numpy(), g["maxy"].to_numpy(), tx, ty,
+        )
+        want_area = grid_area(xs, ys, cov)
+        rows = out[out["component_id"] == cid]
+        got_area = float(
+            ((rows["x1q"] - rows["x0q"]) * (rows["y1q"] - rows["y0q"]))[
+                rows["inside"] == 1
+            ].sum()
+        ) / 1e20
+        assert abs(got_area - want_area) <= 1e-9 * max(want_area, 1.0), cid
+    # cap: with member_cap=1 only singleton components survive
+    capped = merge_ring_cells(ds, feet, member_cap=1).to_pandas()
+    sizes = comp.groupby("component_id").size()
+    allowed = set(sizes[sizes <= 1].index)
+    assert set(capped["component_id"].unique()) <= allowed
+    assert len(set(capped["component_id"])) == len(
+        set(out["component_id"]) & allowed
+    )
