@@ -106,6 +106,10 @@ def run_bench() -> dict:
         "rep_signals", "local_supplier_revenue", "events_rollup",
         "emb_dup_lsh", "bpe_tokens", "doc_rarity", "sample_weighted",
         "recent_lineitems", "table_stats", "events_cube",
+        # round-3 additions: vectorized language-ID, the hash-hard ring
+        # serializations, and the real-BMP multimodal chain
+        "langid", "quality", "featurize", "merge_geometry",
+        "media_features",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

@@ -395,3 +395,34 @@ def test_local_supplier_revenue_copartition_path(ray_session, monkeypatch):
         base[cols].sort_values(cols).reset_index(drop=True),
         flipped[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+def test_bloom_num_bits_clamped_to_cap(ray_session):
+    """A num_bits request above BLOOM_MAX_BITS must clamp (bounded
+    broadcast by construction) and still return the exact semi-join
+    rows — the filter only prunes, never decides."""
+    import ray.data
+
+    from robosat_ray.stages.join import (
+        BLOOM_MAX_BITS,
+        bloom_semi_join,
+        copartition_semi_join,
+    )
+
+    rng = np.random.default_rng(3)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 500, 4000).astype(np.int64)),
+            "v": pa.array(np.arange(4000, dtype=np.int64)),
+        }
+    )
+    right = pa.table({"k": pa.array(np.arange(0, 500, 3, dtype=np.int64))})
+    lds = ray.data.from_arrow(left).repartition(4)
+    rds = ray.data.from_arrow(right).repartition(2)
+    hints = {"left": {"k": pa.int64(), "v": pa.int64()}}
+    a = bloom_semi_join(
+        lds, rds, on="k", num_bits=BLOOM_MAX_BITS * 64, schema_hints=hints
+    ).to_pandas()
+    b = copartition_semi_join(lds, rds, on="k", schema_hints=hints).to_pandas()
+    key = lambda df: sorted(zip(df["k"].astype(int), df["v"].astype(int)))
+    assert key(a) == key(b) and len(a) > 0
