@@ -91,22 +91,94 @@ def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def _batch_token_hashes(texts: list[str]):
+    """All documents' tokens hashed in one pass: ONE factorize over the
+    batch's flat token array, md5 ONCE per batch-unique token (cached
+    per worker), then a gather — the per-token Python of a
+    doc-at-a-time loop collapses to a per-UNIQUE-token loop. Returns
+    (th uint64 flat token hashes, doc_off int64 doc boundaries)."""
+    import pandas as pd
+
+    toks = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+    doc_off = np.concatenate([[0], np.cumsum(lens)])
+    flat = np.concatenate([np.asarray(x, dtype=object) for x in toks]) if len(toks) else np.empty(0, object)
+    codes, uniq = pd.factorize(pd.Series(flat, dtype=object), sort=False)
+    uh = np.fromiter(
+        (_token_hash(u) for u in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    th = uh[codes] if len(codes) else np.empty(0, np.uint64)
+    return th, doc_off
+
+
+def batch_shingle_sets(texts: list[str], k: int = 3):
+    """Distinct shingle hashes for a whole batch in one vectorized
+    pass (identical values to per-doc shingle_hash_set, tested):
+    rolling polynomial combine over the flat token-hash array with
+    per-doc boundaries, then ONE lexsort + adjacent-dedup for the
+    per-doc sorted unique sets. Returns (flat sorted-unique hashes,
+    set_off int64 per-doc offsets)."""
+    th, doc_off = _batch_token_hashes(texts)
+    n_docs = len(doc_off) - 1
+    lens = np.diff(doc_off)
+    n_sh = np.maximum(lens - k + 1, 0)
+    sh_off = np.concatenate([[0], np.cumsum(n_sh)])
+    total = int(sh_off[-1])
+    if total == 0:
+        return np.empty(0, np.uint64), np.zeros(n_docs + 1, np.int64)
+    # global start position of each shingle window
+    doc_of = np.repeat(np.arange(n_docs), n_sh)
+    local = np.arange(total, dtype=np.int64) - np.repeat(sh_off[:-1], n_sh)
+    start = doc_off[:-1][doc_of] + local
+    acc = np.zeros(total, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * np.uint64(1099511628211) + th[start + j]
+    # per-doc sorted unique: one lexsort over (doc, hash), drop
+    # adjacent duplicates within a doc
+    order = np.lexsort((acc, doc_of))
+    d, a = doc_of[order], acc[order]
+    keep = np.ones(total, dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1])
+    d, a = d[keep], a[keep]
+    set_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.add.at(set_off, d + 1, 1)
+    return a, np.cumsum(set_off)
+
+
 def batch_minhash_signatures(texts: list[str], k: int = 3) -> np.ndarray:
     """Minhash signatures for a batch of documents in one vectorized
-    pass: ragged shingle-hash arrays concatenated, permuted once, then
+    pass: batch shingle sets (no per-doc Python), permuted once, then
     per-document minima via np.minimum.reduceat. Identical output to
     per-doc minhash_signature (tested)."""
-    sets = [shingle_hash_set(t, k) for t in texts]
-    lens = np.array([len(s) for s in sets], dtype=np.int64)
+    flat, set_off = batch_shingle_sets(texts, k)
+    lens = np.diff(set_off)
     out = np.full((len(texts), N_PERM), np.uint64(MERSENNE_61), dtype=np.uint64)
     nz = lens > 0
     if not nz.any():
         return out
-    flat = np.concatenate([s for s in sets if len(s)])
     vals = (flat[:, None] * PERM_A[None, :] + PERM_B[None, :]) % np.uint64(MERSENNE_61)
-    offs = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+    offs = set_off[:-1][nz]
     mins = np.minimum.reduceat(vals, offs, axis=0)
     out[nz] = mins
+    return out
+
+
+def batch_simhash64(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash for a whole batch (identical values to per-doc
+    simhash64(tokenize(t)), tested): per-token ±1 bit votes accumulate
+    with one np.add.at over the flat token-hash array — summing ±1 per
+    token occurrence equals the count-weighted unique-token sum."""
+    th, doc_off = _batch_token_hashes(texts)
+    n_docs = len(doc_off) - 1
+    doc_of = np.repeat(np.arange(n_docs), np.diff(doc_off))
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = np.zeros((n_docs, 64), dtype=np.int64)
+    np.add.at(votes, doc_of, 2 * bits - 1)
+    pos = votes > 0
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out = (pos.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    # empty docs: tokenize("") == [""] gives one token, matching the
+    # per-doc path (simhash64 only returns 0 for a truly empty list)
     return out
 
 

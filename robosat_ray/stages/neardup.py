@@ -20,12 +20,7 @@ import pandas as pd
 import pyarrow as pa
 
 from robosat_ray.functions.hashing import hash_bucket
-from robosat_ray.functions.text_hash import (
-    N_BANDS,
-    band_keys,
-    minhash_signature,
-    shingle_hash_set,
-)
+from robosat_ray.functions.text_hash import N_BANDS, band_keys
 
 VARIANT_OFFSET = 10_000_000
 # below this many verified pairs, connected components run as one
@@ -138,12 +133,14 @@ def _shingle_rows(batch: pa.Table, ids_ref=None) -> pa.Table:
         keep = np.nonzero(member)[0]
     else:
         keep = np.arange(len(ids))
+    from robosat_ray.functions.text_hash import batch_shingle_sets
+
+    flat, set_off = batch_shingle_sets([texts[i] for i in keep])
     return pa.table(
         {
             "doc_id": pa.array(ids[keep]),
-            "hashes": pa.array(
-                [shingle_hash_set(texts[i]).tolist() for i in keep],
-                pa.list_(pa.uint64()),
+            "hashes": pa.ListArray.from_arrays(
+                pa.array(set_off, pa.int32()), pa.array(flat, pa.uint64())
             ),
         }
     )
@@ -318,20 +315,23 @@ def near_dup_pairs(docs_ds, threshold: float = 0.5) -> pd.DataFrame:
 
 def simhash_table(docs_ds):
     """-> Dataset (doc_id, simhash int64, n_tokens) — 64-bit SimHash
-    fingerprints (rows-only driver check; hamming-distance clustering
-    exercised in tests)."""
-    from robosat_ray.functions.text_hash import simhash64, tokenize
+    fingerprints, oracle-checked (SIMHASH). Batch-vectorized: one
+    factorize + md5-per-unique-token per batch (batch_simhash64), the
+    token count from an Arrow split kernel — no per-doc Python."""
+    import pyarrow.compute as pc
+
+    from robosat_ray.functions.text_hash import batch_simhash64
 
     def f(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id")
-        texts = batch.column("text").to_pylist()
-        hs = [simhash64(tokenize(t)) & 0x7FFFFFFFFFFFFFFF for t in texts]
-        nt = [len(tokenize(t)) for t in texts]
+        texts_col = batch.column("text")
+        texts = texts_col.to_pylist()
+        hs = batch_simhash64(texts) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        nt = pc.list_value_length(pc.split_pattern(texts_col, " "))
         return pa.table(
             {
-                "doc_id": ids,
-                "simhash": pa.array(hs, pa.int64()),
-                "n_tokens": pa.array(nt, pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(hs.astype(np.int64)),
+                "n_tokens": pc.cast(nt, pa.int64()),
             }
         )
 

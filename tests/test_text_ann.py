@@ -339,3 +339,32 @@ def test_events_rollup_empty_input(ray_session):
     row = out.iloc[0]
     assert row["day"] == -1 and row["event_type"] == "(all)"
     assert row["n_events"] == 0 and pd.isna(row["value_cents"])
+
+
+def test_batch_kernels_equal_per_doc_references():
+    """batch_shingle_sets / batch_minhash_signatures / batch_simhash64
+    must be bit-identical to the per-doc kernels on adversarial docs
+    (empty, single-token, repeated-token, long)."""
+    from robosat_ray.functions.text_hash import (
+        batch_minhash_signatures,
+        batch_shingle_sets,
+        batch_simhash64,
+        minhash_signature,
+        simhash64,
+        tokenize,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = ["tok%d" % i for i in range(40)] + ["", "zzvariant"]
+    texts = [""]
+    for n in (1, 2, 3, 4, 30, 150):
+        texts += [" ".join(rng.choice(vocab, n)) for _ in range(4)]
+    texts += ["a a a a a", " leading", "trailing ", "mid  gap"]
+    flat, off = batch_shingle_sets(texts)
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(flat[off[i] : off[i + 1]], shingle_hash_set(t))
+    sig = batch_minhash_signatures(texts)
+    sh = batch_simhash64(texts)
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(sig[i], minhash_signature(shingle_hash_set(t)))
+        assert int(sh[i]) == simhash64(tokenize(t))
