@@ -74,3 +74,70 @@ def test_rasterize_left_outer_zero_tiles(ray_session):
     assert len(z11) == 1 and z11.iloc[0]["fg"] == 0
     data = np.frombuffer(z11.iloc[0]["data"], dtype=np.uint8)
     assert (data == 0).all()
+
+
+def test_edge_serialization_equals_bruteforce_boundary(ray_session):
+    """featurize_edges rows == the brute-force boundary-edge set of
+    each 8-connected mask component (pixel has an out-of-component
+    4-neighbor across the edge), on a mask with a hole, a diagonal
+    touch, and multiple components."""
+    import pandas as pd
+    import ray.data
+
+    from robosat_ray.geo.contours import label_components
+    from robosat_ray.geo.raster import binary_views  # noqa: F401 (stage dep)
+    from robosat_ray.stages.featurize import featurize, featurize_edges
+
+    size = 64
+    mask = np.zeros((size, size), dtype=np.uint8)
+    mask[5:20, 5:25] = 1
+    mask[9:15, 10:20] = 0          # hole
+    mask[20, 25] = 1               # diagonal touch to the big rect
+    mask[40:44, 40:41] = 1         # thin separate component
+    mask[50, 50] = 1               # single pixel
+    tx, ty, z = 655, 1583, 12
+
+    masks = ray.data.from_arrow(
+        pa.table(
+            {
+                "tile_x": pa.array([tx], pa.int64()),
+                "tile_y": pa.array([ty], pa.int64()),
+                "size": pa.array([size], pa.int64()),
+                "data": pa.array([mask.tobytes()], pa.binary()),
+            }
+        )
+    )
+    got = (
+        featurize_edges(featurize(masks), z=z, size=size)
+        .to_pandas()
+        .sort_values(["ckey", "y0", "x0", "y1", "x1"])
+        .reset_index(drop=True)
+    )
+
+    labels, n = label_components(mask, connectivity=8)
+    rows = []
+    for lab in range(1, n + 1):
+        comp = labels == lab
+        edges = set()
+        js, is_ = np.nonzero(comp)
+        for j, i in zip(js, is_):
+            if j == 0 or not comp[j - 1, i]:
+                edges.add((i, j, i + 1, j))
+            if j == size - 1 or not comp[j + 1, i]:
+                edges.add((i, j + 1, i + 1, j + 1))
+            if i == 0 or not comp[j, i - 1]:
+                edges.add((i, j, i, j + 1))
+            if i == size - 1 or not comp[j, i + 1]:
+                edges.add((i + 1, j, i + 1, j + 1))
+        ck = min(y0 * 1024 + x0 for (x0, y0, _, _) in edges)
+        for (x0, y0, x1, y1) in edges:
+            rows.append((tx, ty, ck, x0, y0, x1, y1))
+    want = (
+        pd.DataFrame(
+            rows, columns=["tile_x", "tile_y", "ckey", "x0", "y0", "x1", "y1"]
+        )
+        .sort_values(["ckey", "y0", "x0", "y1", "x1"])
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), want)
