@@ -141,3 +141,25 @@ def test_edge_serialization_equals_bruteforce_boundary(ray_session):
         .astype(np.int64)
     )
     pd.testing.assert_frame_equal(got.astype(np.int64), want)
+
+
+def test_edge_serialization_partition_invariant(ray_session):
+    """The boundary-edge rows must be identical whatever the mask
+    block structure (distributed invariant, SURVEY §5.2)."""
+    import pandas as pd
+
+    from robosat_ray.stages.featurize import featurize, featurize_edges
+    from robosat_ray.stages.rasterize import rasterize
+    from robosat_ray.synth.footprints import footprints_dataset
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(nblocks):
+        masks = rasterize(footprints_dataset(sf), size=64)
+        if nblocks:
+            masks = masks.repartition(nblocks)
+        df = featurize_edges(featurize(masks), size=64).to_pandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(None), run(11))

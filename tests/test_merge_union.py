@@ -233,3 +233,25 @@ def test_merge_ring_cells_matches_direct_grid(ray_session):
     assert len(set(capped["component_id"])) == len(
         set(out["component_id"]) & allowed
     )
+
+
+def test_ring_cells_partition_invariant(ray_session):
+    """merge_ring_cells rows identical under different input block
+    structures (distributed invariant, SURVEY §5.2)."""
+    import pandas as pd
+    import ray.data
+
+    from robosat_ray.stages.merge import merge_ring_cells
+    from robosat_ray.synth.footprints import footprints_table
+
+    feet = footprints_table("/root/testdata/sf0.001")
+
+    def run(nblocks):
+        ds = ray.data.from_arrow(feet)
+        if nblocks:
+            ds = ds.repartition(nblocks)
+        df = merge_ring_cells(ds, feet).to_pandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(None), run(9))
