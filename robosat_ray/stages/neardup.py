@@ -149,14 +149,19 @@ def _shingle_rows(batch: pa.Table, ids_ref=None) -> pa.Table:
 def _attach_hashes(group: pd.DataFrame) -> pd.DataFrame:
     """Within one doc_id-hash bucket: rows are either shingle carriers
     (a == -1) or pair-need rows; emit each pair-need row with its
-    doc's hashes attached, keyed for the pair-bucket regroup."""
+    doc's hashes attached (sorted-carrier searchsorted gather, no
+    per-row dict), keyed for the pair-bucket regroup."""
     is_sh = group["a"].to_numpy() < 0
     sh = group[is_sh]
-    lookup = dict(zip(sh["doc_id"].to_numpy(), sh["hashes"].to_numpy()))
+    sh_ids = sh["doc_id"].to_numpy()
+    order = np.argsort(sh_ids, kind="stable")
+    sh_ids = sh_ids[order]
+    sh_hashes = sh["hashes"].to_numpy()[order]
     pr = group[~is_sh]
     a = pr["a"].to_numpy()
     b = pr["b"].to_numpy()
-    hashes = [lookup[d] for d in pr["doc_id"].to_numpy()]
+    pos = np.searchsorted(sh_ids, pr["doc_id"].to_numpy())
+    hashes = sh_hashes[pos]  # every pair-need doc has its carrier row
     from robosat_ray.functions.hashing import hash_bucket2
 
     return pd.DataFrame(
