@@ -128,3 +128,35 @@ def k_ring(tx: int, ty: int, z: int, k: int = 1):
     xs = range(max(0, tx - k), min(hi, tx + k) + 1)
     ys = range(max(0, ty - k), min(hi, ty + k) + 1)
     return [(x, y) for x in xs for y in ys]
+
+
+def quadkey(tx, ty, z: int):
+    """Bing-Maps quadkey as a Morton number: interleave the z bits of
+    (tx, ty) with the y bit HIGH in each 2-bit digit (digit at level L
+    = 2*y_bit + x_bit at bit z-L), so the numeric value equals the
+    base-4 quadkey string read as an integer. Vectorized magic-number
+    bit spreading (no per-row Python); z <= 31."""
+    tx = np.asarray(tx, dtype=np.uint64)
+    ty = np.asarray(ty, dtype=np.uint64)
+
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+
+    return (spread(tx) | (spread(ty) << np.uint64(1))).astype(np.int64)
+
+
+def quadkey_str(tx, ty, z: int):
+    """Textual Bing quadkey (length-z base-4 string per tile),
+    vectorized: one (n, z) digit matrix -> ASCII bytes -> fixed-width
+    string view (no per-row Python)."""
+    qk = quadkey(tx, ty, z).astype(np.uint64)
+    n = len(qk)
+    arr = np.empty((n, z), dtype=np.uint8)
+    for i in range(z):
+        arr[:, i] = 48 + ((qk >> np.uint64(2 * (z - 1 - i))) & np.uint64(3))
+    return np.ascontiguousarray(arr).view(f"S{z}").ravel().astype(str)

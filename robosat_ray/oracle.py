@@ -81,6 +81,18 @@ SELECT url, doc_id, {tile_x('lon')} AS tile_x, {tile_y('my')} AS tile_y,
 FROM pts
 """
 
+# Bing quadkey cell encoding at z=12 (digit at level L = 2*y_bit +
+# x_bit of bit z-L; numeric form = the base-4 string as an integer) —
+# mirrors geo/tiles.quadkey / quadkey_str bit-for-bit.
+QUADKEYS = f"""
+WITH {points_cte()},
+t AS (SELECT doc_id, {tile_x('lon')} AS tx, {tile_y('my')} AS ty FROM pts)
+SELECT doc_id, tx AS tile_x, ty AS tile_y,
+       CAST((((ty >> 0) & 1) * 2 + ((tx >> 0) & 1)) * 1 + (((ty >> 1) & 1) * 2 + ((tx >> 1) & 1)) * 4 + (((ty >> 2) & 1) * 2 + ((tx >> 2) & 1)) * 16 + (((ty >> 3) & 1) * 2 + ((tx >> 3) & 1)) * 64 + (((ty >> 4) & 1) * 2 + ((tx >> 4) & 1)) * 256 + (((ty >> 5) & 1) * 2 + ((tx >> 5) & 1)) * 1024 + (((ty >> 6) & 1) * 2 + ((tx >> 6) & 1)) * 4096 + (((ty >> 7) & 1) * 2 + ((tx >> 7) & 1)) * 16384 + (((ty >> 8) & 1) * 2 + ((tx >> 8) & 1)) * 65536 + (((ty >> 9) & 1) * 2 + ((tx >> 9) & 1)) * 262144 + (((ty >> 10) & 1) * 2 + ((tx >> 10) & 1)) * 1048576 + (((ty >> 11) & 1) * 2 + ((tx >> 11) & 1)) * 4194304 AS BIGINT) AS quadkey,
+       CAST(((ty >> 11) & 1) * 2 + ((tx >> 11) & 1) AS VARCHAR) || CAST(((ty >> 10) & 1) * 2 + ((tx >> 10) & 1) AS VARCHAR) || CAST(((ty >> 9) & 1) * 2 + ((tx >> 9) & 1) AS VARCHAR) || CAST(((ty >> 8) & 1) * 2 + ((tx >> 8) & 1) AS VARCHAR) || CAST(((ty >> 7) & 1) * 2 + ((tx >> 7) & 1) AS VARCHAR) || CAST(((ty >> 6) & 1) * 2 + ((tx >> 6) & 1) AS VARCHAR) || CAST(((ty >> 5) & 1) * 2 + ((tx >> 5) & 1) AS VARCHAR) || CAST(((ty >> 4) & 1) * 2 + ((tx >> 4) & 1) AS VARCHAR) || CAST(((ty >> 3) & 1) * 2 + ((tx >> 3) & 1) AS VARCHAR) || CAST(((ty >> 2) & 1) * 2 + ((tx >> 2) & 1) AS VARCHAR) || CAST(((ty >> 1) & 1) * 2 + ((tx >> 1) & 1) AS VARCHAR) || CAST(((ty >> 0) & 1) * 2 + ((tx >> 0) & 1) AS VARCHAR) AS qk
+FROM t
+"""
+
 COVER = f"""
 WITH {feet_cte()}
 SELECT DISTINCT

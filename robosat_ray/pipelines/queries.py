@@ -950,6 +950,33 @@ def q_top_docs_per_lang(sf_dir: str):
     )
 
 
+def q_quadkeys(sf_dir: str):
+    """Bing quadkey cell encoding (the quadkey/S2-style hierarchical
+    cell id of SURVEY's points schema) at z=12: numeric Morton form +
+    the textual base-4 key, both vectorized (magic-number bit spread,
+    fixed-width byte-matrix string build — geo/tiles.py:quadkey)."""
+    import pyarrow as pa
+
+    from robosat_ray.geo.tiles import quadkey, quadkey_str
+
+    pts = points_dataset(sf_dir).select_columns(["doc_id", "tile_x", "tile_y"])
+
+    def qk(batch: pa.Table) -> pa.Table:
+        tx = batch.column("tile_x").to_numpy()
+        ty = batch.column("tile_y").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "tile_x": batch.column("tile_x"),
+                "tile_y": batch.column("tile_y"),
+                "quadkey": pa.array(quadkey(tx, ty, C.Z_JOIN)),
+                "qk": pa.array(quadkey_str(tx, ty, C.Z_JOIN), pa.string()),
+            }
+        )
+
+    return pts.map_batches(qk, batch_format="pyarrow")
+
+
 def q_top_tiles(sf_dir: str):
     """Top-10 tiles by page count (partial per-batch counts -> groupby
     sum -> global sort + limit; deterministic (n desc, tile) order)."""
@@ -1377,6 +1404,7 @@ QUERIES = {
     "recent_lineitems": q_recent_lineitems,
     "table_stats": q_table_stats,
     "events_cube": q_events_cube,
+    "quadkeys": q_quadkeys,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1449,4 +1477,5 @@ ORACLES = {
     "recent_lineitems": oracle.RECENT_LINEITEMS,
     "table_stats": oracle.TABLE_STATS,
     "events_cube": oracle.EVENTS_CUBE,
+    "quadkeys": oracle.QUADKEYS,
 }

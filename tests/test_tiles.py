@@ -48,3 +48,36 @@ def test_k_ring():
     assert len(T.k_ring(5, 5, 12, 1)) == 9
     assert len(T.k_ring(0, 0, 12, 1)) == 4  # corner clipped
     assert (5, 5) in T.k_ring(5, 5, 12, 1)
+
+
+def test_quadkey_matches_bing_reference_algorithm():
+    """Vectorized quadkey == the published Bing Maps per-tile digit
+    algorithm, numeric form == base-4 parse of the string."""
+    import numpy as np
+
+    from robosat_ray.geo.tiles import quadkey, quadkey_str
+
+    def ref(tx, ty, z):
+        s = ""
+        for L in range(z, 0, -1):
+            d = 0
+            m = 1 << (L - 1)
+            if tx & m:
+                d += 1
+            if ty & m:
+                d += 2
+            s += str(d)
+        return s
+
+    rng = np.random.default_rng(5)
+    z = 12
+    tx = rng.integers(0, 1 << z, 300)
+    ty = rng.integers(0, 1 << z, 300)
+    qs = quadkey_str(tx, ty, z)
+    qn = quadkey(tx, ty, z)
+    for a, b, s, n in zip(tx, ty, qs, qn):
+        w = ref(int(a), int(b), z)
+        assert s == w and int(n) == int(w, 4)
+    # corners
+    assert quadkey_str([0], [0], z)[0] == "0" * z
+    assert quadkey_str([(1 << z) - 1], [(1 << z) - 1], z)[0] == "3" * z
