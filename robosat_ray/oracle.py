@@ -93,6 +93,18 @@ SELECT doc_id, tx AS tile_x, ty AS tile_y,
 FROM t
 """
 
+# Hierarchical quadkey rollup: page + distinct-tile counts per level-8
+# parent cell (mirrors pipelines/queries.q_quadkey_agg).
+QUADKEY_AGG = f"""
+WITH {points_cte()},
+t AS (SELECT CAST((((ty >> 0) & 1) * 2 + ((tx >> 0) & 1)) * 1 + (((ty >> 1) & 1) * 2 + ((tx >> 1) & 1)) * 4 + (((ty >> 2) & 1) * 2 + ((tx >> 2) & 1)) * 16 + (((ty >> 3) & 1) * 2 + ((tx >> 3) & 1)) * 64 + (((ty >> 4) & 1) * 2 + ((tx >> 4) & 1)) * 256 + (((ty >> 5) & 1) * 2 + ((tx >> 5) & 1)) * 1024 + (((ty >> 6) & 1) * 2 + ((tx >> 6) & 1)) * 4096 + (((ty >> 7) & 1) * 2 + ((tx >> 7) & 1)) * 16384 + (((ty >> 8) & 1) * 2 + ((tx >> 8) & 1)) * 65536 + (((ty >> 9) & 1) * 2 + ((tx >> 9) & 1)) * 262144 + (((ty >> 10) & 1) * 2 + ((tx >> 10) & 1)) * 1048576 + (((ty >> 11) & 1) * 2 + ((tx >> 11) & 1)) * 4194304 AS BIGINT) AS qk
+      FROM (SELECT {tile_x('lon')} AS tx, {tile_y('my')} AS ty FROM pts))
+SELECT qk >> 8 AS qk8,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT qk) AS BIGINT) AS n_tiles
+FROM t GROUP BY 1
+"""
+
 COVER = f"""
 WITH {feet_cte()}
 SELECT DISTINCT

@@ -977,6 +977,57 @@ def q_quadkeys(sf_dir: str):
     return pts.map_batches(qk, batch_format="pyarrow")
 
 
+def q_quadkey_agg(sf_dir: str):
+    """Hierarchical cell rollup: page count + distinct-tile count per
+    level-8 quadkey prefix (the parent-cell aggregation hierarchical
+    ids exist for — H3 coarsening analog). Two-level algebraic plan:
+    in-batch (cell -> count) combiner, per-cell groupby sum, then the
+    tiny per-cell table re-aggregates to prefixes — the raw pages
+    never shuffle."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from robosat_ray.geo.tiles import quadkey
+
+    pts = points_dataset(sf_dir).select_columns(["tile_x", "tile_y"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qk = quadkey(
+            batch.column("tile_x").to_numpy(),
+            batch.column("tile_y").to_numpy(),
+            C.Z_JOIN,
+        )
+        uk, cnt = np.unique(qk, return_counts=True)
+        return pa.table(
+            {
+                "qk8": pa.array(uk >> 8),
+                "cell": pa.array(uk),
+                "pn": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    per_cell = (
+        pts.map_batches(partial, batch_format="pyarrow")
+        .groupby(["qk8", "cell"])
+        .aggregate(Sum("pn", alias_name="pn"))
+    )
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qk8": batch.column("qk8"),
+                "pn": batch.column("pn"),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    return (
+        per_cell.map_batches(one, batch_format="pyarrow")
+        .groupby("qk8")
+        .aggregate(Sum("pn", alias_name="n_pages"), Sum("one", alias_name="n_tiles"))
+    )
+
+
 def q_top_tiles(sf_dir: str):
     """Top-10 tiles by page count (partial per-batch counts -> groupby
     sum -> global sort + limit; deterministic (n desc, tile) order)."""
@@ -1405,6 +1456,7 @@ QUERIES = {
     "table_stats": q_table_stats,
     "events_cube": q_events_cube,
     "quadkeys": q_quadkeys,
+    "quadkey_agg": q_quadkey_agg,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1478,4 +1530,5 @@ ORACLES = {
     "table_stats": oracle.TABLE_STATS,
     "events_cube": oracle.EVENTS_CUBE,
     "quadkeys": oracle.QUADKEYS,
+    "quadkey_agg": oracle.QUADKEY_AGG,
 }
