@@ -382,15 +382,16 @@ def emb_dup_pairs_lsh(emb_ds, emb_table: pa.Table, threshold: float = C.EMB_DUP_
     """-> Dataset (a, b): cosine >= threshold pairs found via
     hyperplane-LSH banding (64 integer planes, 4 x 16-bit bands,
     bucketed groupby) + exact-cosine verify. Candidate mining never
-    does all-pairs: only exact 16-bit band collisions meet."""
+    does all-pairs: only exact 16-bit band collisions meet. Pair
+    dedup uses the bucketed lexsort idiom (neardup.dedup_pairs_ds) —
+    Ray's two-key Aggregate degrades badly at millions of pair rows."""
     import ray
-    from ray.data.aggregate import Count
+
+    from robosat_ray.stages.neardup import dedup_pairs_ds
 
     bands = emb_ds.map_batches(_lsh_band_rows, batch_format="pyarrow")
     cand = bands.groupby("bucket").map_groups(_lsh_bucket_pairs, batch_format="pandas")
-    pairs = (
-        cand.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
-    )
+    pairs = dedup_pairs_ds(cand)
     ids = emb_table.column("vec_id").to_numpy()
     order = np.argsort(ids, kind="stable")
     E = np.array(emb_table.column("embedding").to_pylist(), dtype=np.float64)[order]
