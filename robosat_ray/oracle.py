@@ -1843,6 +1843,25 @@ JOIN (VALUES ('de','latin'),('en','latin'),('es','latin'),
 GROUP BY f.family
 """
 
+# Count-Min sketch of corpus token frequencies, exactly mirrored:
+# cell (d, w) = SUM of counts of tokens with md5_number('cms<d>-'||t)
+# mod 2^64 mod width == w (stages/text_ops.cms_sketch).
+CMS_SKETCH = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS t FROM documents
+),
+cnt AS (SELECT t, COUNT(*) AS n FROM toks GROUP BY t),
+cells AS (
+  SELECT d.d,
+         CAST((((md5_number('cms' || CAST(d.d AS VARCHAR) || '-' || c.t) % {_U64})
+               + {_U64}) % {_U64}) % 8192 AS BIGINT) AS w,
+         c.n
+  FROM cnt c CROSS JOIN generate_series(0, 3) d(d)
+)
+SELECT CAST(d AS BIGINT) AS d, w, CAST(SUM(n) AS BIGINT) AS total
+FROM cells GROUP BY d, w
+"""
+
 # Heavy hitters: k most frequent tokens corpus-wide, deterministic
 # count DESC / token ASC tiebreak.
 TOP_TOKENS = """

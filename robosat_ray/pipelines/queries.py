@@ -950,6 +950,18 @@ def q_top_docs_per_lang(sf_dir: str):
     )
 
 
+
+def q_cms_sketch(sf_dir: str):
+    """Count-Min frequency sketch over the corpus token stream — the
+    mergeable sketch family next to HLL (hll_users): fixed 4x8192
+    cells whatever the vocabulary, per-batch partials merged by one
+    algebraic groupby; deterministic salted hashes give an exact
+    DuckDB twin."""
+    from robosat_ray.stages.text_ops import cms_sketch
+
+    return cms_sketch(_docs_ds(sf_dir))
+
+
 def q_quadkeys(sf_dir: str):
     """Bing quadkey cell encoding (the quadkey/S2-style hierarchical
     cell id of SURVEY's points schema) at z=12: numeric Morton form +
@@ -1457,6 +1469,7 @@ QUERIES = {
     "events_cube": q_events_cube,
     "quadkeys": q_quadkeys,
     "quadkey_agg": q_quadkey_agg,
+    "cms_sketch": q_cms_sketch,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1531,4 +1544,5 @@ ORACLES = {
     "events_cube": oracle.EVENTS_CUBE,
     "quadkeys": oracle.QUADKEYS,
     "quadkey_agg": oracle.QUADKEY_AGG,
+    "cms_sketch": oracle.CMS_SKETCH,
 }

@@ -333,3 +333,72 @@ def doc_rarity(documents_ds):
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+# Count-Min sketch shape (Cormode & Muthukrishnan 2005): 4 salted
+# hash rows x 8192 counters = a fixed 256 KiB sketch regardless of
+# vocabulary — the mergeable frequency sketch next to HLL.
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+
+
+def cms_partial(batch: pa.Table) -> pa.Table:
+    """One batch -> the NONZERO cells of its partial Count-Min sketch
+    (cell = d * CMS_WIDTH + w, pn = counter value). Tokens factorize
+    once per batch; each depth hashes the UNIQUE tokens with an
+    md5-salted key (the house md5-low-8-LE convention, cached per
+    worker) and np.add.at folds the counts — per-batch output is
+    bounded by depth x width, never vocabulary."""
+    from robosat_ray.functions.text_hash import _token_hash
+
+    t = token_partial_counts(batch)
+    uniq = t.column("token").to_pylist()
+    counts = t.column("n").to_numpy()
+    cells, vals = [], []
+    for d in range(CMS_DEPTH):
+        cols = np.fromiter(
+            (_token_hash(f"cms{d}-{u}") % CMS_WIDTH for u in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        row = np.zeros(CMS_WIDTH, dtype=np.int64)
+        np.add.at(row, cols, counts)
+        nz = np.flatnonzero(row)
+        cells.append(d * CMS_WIDTH + nz)
+        vals.append(row[nz])
+    return pa.table(
+        {
+            "cell": pa.array(np.concatenate(cells) if cells else np.empty(0, np.int64)),
+            "pn": pa.array(np.concatenate(vals) if vals else np.empty(0, np.int64)),
+        }
+    )
+
+
+def cms_sketch(documents_ds):
+    """-> Dataset (d, w, total): the nonzero cells of a Count-Min
+    sketch over corpus token frequencies. Pure algebraic aggregate —
+    per-batch partial sketches (bounded depth x width rows) merge by
+    cell-wise SUM in one groupby; point estimates are
+    min_d(sketch[d][h_d(token)]) with the classic eps = e/width
+    overcount bound. Deterministic md5-salted hashes make the whole
+    sketch exactly SQL-expressible (oracle CMS_SKETCH)."""
+    from ray.data.aggregate import Sum
+
+    cells = (
+        documents_ds.select_columns(["text"])
+        .map_batches(cms_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("pn", alias_name="total"))
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        c = batch.column("cell").to_numpy()
+        return pa.table(
+            {
+                "d": pa.array(c // CMS_WIDTH),
+                "w": pa.array(c % CMS_WIDTH),
+                "total": batch.column("total"),
+            }
+        )
+
+    return cells.map_batches(unpack, batch_format="pyarrow")

@@ -368,3 +368,44 @@ def test_batch_kernels_equal_per_doc_references():
     for i, t in enumerate(texts):
         np.testing.assert_array_equal(sig[i], minhash_signature(shingle_hash_set(t)))
         assert int(sh[i]) == simhash64(tokenize(t))
+
+
+def test_cms_estimates_upper_bound_and_match_heavy_tokens(ray_session):
+    """Count-Min property check on the real corpus: for every token,
+    est = min_d sketch[d][h_d(token)] >= true count (no undercount,
+    ever), and the top heavy hitters estimate EXACTLY (width >>
+    vocabulary here, so collisions are rare)."""
+    import ray.data
+
+    from robosat_ray.functions.text_hash import _token_hash
+    from robosat_ray.stages.text_ops import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _TOKEN_RE,
+        cms_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    sk = cms_sketch(docs).to_pandas()
+    grid = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    grid[sk["d"].to_numpy(), sk["w"].to_numpy()] = sk["total"].to_numpy()
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"]).column("text").to_pylist()
+    from collections import Counter
+
+    true = Counter()
+    for t in texts:
+        true.update(_TOKEN_RE.findall(t))
+    ests = {
+        tok: min(
+            grid[d][_token_hash(f"cms{d}-{tok}") % CMS_WIDTH]
+            for d in range(CMS_DEPTH)
+        )
+        for tok in true
+    }
+    assert all(ests[t] >= c for t, c in true.items())  # never undercounts
+    for tok, c in true.most_common(20):
+        assert ests[tok] == c, (tok, ests[tok], c)
