@@ -1687,6 +1687,244 @@ ANN_IVF = _ivf_sql(
 )
 
 
+# Product-quantization ANN on the integer lattice, the ENTIRE chain
+# in one SQL statement (the ANN_IVF pattern): shifted lattice
+# quantization, per-subspace unrolled integer Lloyd (argmin-L2 with
+# lowest-cid ties, floor-div means, empty clusters keep previous),
+# 4-bit codes, integer ADC distance sums to a 100-deep shortlist,
+# then EXACT cosine re-rank of the shortlist (the IVFADC + re-rank
+# deployment shape) — the ADC stage is int64 end to end, the re-rank
+# is the same float cosine the exact ANN oracle already pins.
+ANN_PQ = """
+WITH rawd AS MATERIALIZED (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+enorm AS MATERIALIZED (
+  SELECT vec_id, SQRT(SUM(v * v)) AS nm FROM rawd GROUP BY vec_id
+),
+qdims AS MATERIALIZED (
+  SELECT r.vec_id, r.d, r.d // 8 AS m,
+         CAST(FLOOR((r.v / n.nm + 1.0) * 1048576.0) AS BIGINT) AS qv
+  FROM rawd r JOIN enorm n USING (vec_id)
+),
+spos AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS pos
+  FROM embeddings ORDER BY vec_id LIMIT 400
+),
+scount AS MATERIALIZED (SELECT COUNT(*) AS n FROM spos),
+sdims AS MATERIALIZED (
+  SELECT p.vec_id, q.m, q.d, q.qv FROM spos p JOIN qdims q USING (vec_id)
+),
+cent0 AS MATERIALIZED (
+  SELECT g.c AS cid, q.m, q.d, q.qv AS cv
+  FROM generate_series(0, 15) g(c)
+  CROSS JOIN scount
+  JOIN spos p ON p.pos = CAST(FLOOR(g.c * scount.n / 16.0) AS BIGINT)
+  JOIN qdims q ON q.vec_id = p.vec_id
+),
+pqd0 AS MATERIALIZED (
+  SELECT s.vec_id, s.m, c.cid, SUM((s.qv - c.cv) * (s.qv - c.cv)) AS d2
+  FROM sdims s JOIN cent0 c ON c.m = s.m AND c.d = s.d
+  GROUP BY s.vec_id, s.m, c.cid
+),
+pqa0 AS MATERIALIZED (
+  SELECT vec_id, m, cid FROM pqd0
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+sums0 AS MATERIALIZED (
+  SELECT a.m, a.cid, s.d, SUM(s.qv) AS sv, COUNT(*) AS cnt
+  FROM pqa0 a JOIN sdims s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.m, a.cid, s.d
+),
+cent1 AS MATERIALIZED (
+  SELECT c.m, c.cid, c.d,
+         CASE WHEN u.sv IS NOT NULL THEN u.sv // u.cnt ELSE c.cv END AS cv
+  FROM cent0 c
+  LEFT JOIN sums0 u ON u.m = c.m AND u.cid = c.cid AND u.d = c.d
+),
+pqd1 AS MATERIALIZED (
+  SELECT s.vec_id, s.m, c.cid, SUM((s.qv - c.cv) * (s.qv - c.cv)) AS d2
+  FROM sdims s JOIN cent1 c ON c.m = s.m AND c.d = s.d
+  GROUP BY s.vec_id, s.m, c.cid
+),
+pqa1 AS MATERIALIZED (
+  SELECT vec_id, m, cid FROM pqd1
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+sums1 AS MATERIALIZED (
+  SELECT a.m, a.cid, s.d, SUM(s.qv) AS sv, COUNT(*) AS cnt
+  FROM pqa1 a JOIN sdims s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.m, a.cid, s.d
+),
+cent2 AS MATERIALIZED (
+  SELECT c.m, c.cid, c.d,
+         CASE WHEN u.sv IS NOT NULL THEN u.sv // u.cnt ELSE c.cv END AS cv
+  FROM cent1 c
+  LEFT JOIN sums1 u ON u.m = c.m AND u.cid = c.cid AND u.d = c.d
+),
+pqd2 AS MATERIALIZED (
+  SELECT s.vec_id, s.m, c.cid, SUM((s.qv - c.cv) * (s.qv - c.cv)) AS d2
+  FROM sdims s JOIN cent2 c ON c.m = s.m AND c.d = s.d
+  GROUP BY s.vec_id, s.m, c.cid
+),
+pqa2 AS MATERIALIZED (
+  SELECT vec_id, m, cid FROM pqd2
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+sums2 AS MATERIALIZED (
+  SELECT a.m, a.cid, s.d, SUM(s.qv) AS sv, COUNT(*) AS cnt
+  FROM pqa2 a JOIN sdims s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.m, a.cid, s.d
+),
+cent3 AS MATERIALIZED (
+  SELECT c.m, c.cid, c.d,
+         CASE WHEN u.sv IS NOT NULL THEN u.sv // u.cnt ELSE c.cv END AS cv
+  FROM cent2 c
+  LEFT JOIN sums2 u ON u.m = c.m AND u.cid = c.cid AND u.d = c.d
+),
+pqd3 AS MATERIALIZED (
+  SELECT s.vec_id, s.m, c.cid, SUM((s.qv - c.cv) * (s.qv - c.cv)) AS d2
+  FROM sdims s JOIN cent3 c ON c.m = s.m AND c.d = s.d
+  GROUP BY s.vec_id, s.m, c.cid
+),
+pqa3 AS MATERIALIZED (
+  SELECT vec_id, m, cid FROM pqd3
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+sums3 AS MATERIALIZED (
+  SELECT a.m, a.cid, s.d, SUM(s.qv) AS sv, COUNT(*) AS cnt
+  FROM pqa3 a JOIN sdims s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.m, a.cid, s.d
+),
+cent4 AS MATERIALIZED (
+  SELECT c.m, c.cid, c.d,
+         CASE WHEN u.sv IS NOT NULL THEN u.sv // u.cnt ELSE c.cv END AS cv
+  FROM cent3 c
+  LEFT JOIN sums3 u ON u.m = c.m AND u.cid = c.cid AND u.d = c.d
+),
+pqd4 AS MATERIALIZED (
+  SELECT s.vec_id, s.m, c.cid, SUM((s.qv - c.cv) * (s.qv - c.cv)) AS d2
+  FROM sdims s JOIN cent4 c ON c.m = s.m AND c.d = s.d
+  GROUP BY s.vec_id, s.m, c.cid
+),
+pqa4 AS MATERIALIZED (
+  SELECT vec_id, m, cid FROM pqd4
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+sums4 AS MATERIALIZED (
+  SELECT a.m, a.cid, s.d, SUM(s.qv) AS sv, COUNT(*) AS cnt
+  FROM pqa4 a JOIN sdims s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.m, a.cid, s.d
+),
+cent5 AS MATERIALIZED (
+  SELECT c.m, c.cid, c.d,
+         CASE WHEN u.sv IS NOT NULL THEN u.sv // u.cnt ELSE c.cv END AS cv
+  FROM cent4 c
+  LEFT JOIN sums4 u ON u.m = c.m AND u.cid = c.cid AND u.d = c.d
+),
+pqd5 AS MATERIALIZED (
+  SELECT s.vec_id, s.m, c.cid, SUM((s.qv - c.cv) * (s.qv - c.cv)) AS d2
+  FROM sdims s JOIN cent5 c ON c.m = s.m AND c.d = s.d
+  GROUP BY s.vec_id, s.m, c.cid
+),
+pqa5 AS MATERIALIZED (
+  SELECT vec_id, m, cid FROM pqd5
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+sums5 AS MATERIALIZED (
+  SELECT a.m, a.cid, s.d, SUM(s.qv) AS sv, COUNT(*) AS cnt
+  FROM pqa5 a JOIN sdims s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.m, a.cid, s.d
+),
+cent6 AS MATERIALIZED (
+  SELECT c.m, c.cid, c.d,
+         CASE WHEN u.sv IS NOT NULL THEN u.sv // u.cnt ELSE c.cv END AS cv
+  FROM cent5 c
+  LEFT JOIN sums5 u ON u.m = c.m AND u.cid = c.cid AND u.d = c.d
+),
+pqd6 AS MATERIALIZED (
+  SELECT s.vec_id, s.m, c.cid, SUM((s.qv - c.cv) * (s.qv - c.cv)) AS d2
+  FROM sdims s JOIN cent6 c ON c.m = s.m AND c.d = s.d
+  GROUP BY s.vec_id, s.m, c.cid
+),
+pqa6 AS MATERIALIZED (
+  SELECT vec_id, m, cid FROM pqd6
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+sums6 AS MATERIALIZED (
+  SELECT a.m, a.cid, s.d, SUM(s.qv) AS sv, COUNT(*) AS cnt
+  FROM pqa6 a JOIN sdims s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.m, a.cid, s.d
+),
+cent7 AS MATERIALIZED (
+  SELECT c.m, c.cid, c.d,
+         CASE WHEN u.sv IS NOT NULL THEN u.sv // u.cnt ELSE c.cv END AS cv
+  FROM cent6 c
+  LEFT JOIN sums6 u ON u.m = c.m AND u.cid = c.cid AND u.d = c.d
+),
+pqd7 AS MATERIALIZED (
+  SELECT s.vec_id, s.m, c.cid, SUM((s.qv - c.cv) * (s.qv - c.cv)) AS d2
+  FROM sdims s JOIN cent7 c ON c.m = s.m AND c.d = s.d
+  GROUP BY s.vec_id, s.m, c.cid
+),
+pqa7 AS MATERIALIZED (
+  SELECT vec_id, m, cid FROM pqd7
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+sums7 AS MATERIALIZED (
+  SELECT a.m, a.cid, s.d, SUM(s.qv) AS sv, COUNT(*) AS cnt
+  FROM pqa7 a JOIN sdims s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.m, a.cid, s.d
+),
+cent8 AS MATERIALIZED (
+  SELECT c.m, c.cid, c.d,
+         CASE WHEN u.sv IS NOT NULL THEN u.sv // u.cnt ELSE c.cv END AS cv
+  FROM cent7 c
+  LEFT JOIN sums7 u ON u.m = c.m AND u.cid = c.cid AND u.d = c.d
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, cid FROM (
+    SELECT e.vec_id, e.m, c.cid, SUM((e.qv - c.cv) * (e.qv - c.cv)) AS d2
+    FROM qdims e JOIN cent8 c ON c.m = e.m AND c.d = e.d
+    GROUP BY e.vec_id, e.m, c.cid
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 97 = 0),
+tbl AS MATERIALIZED (
+  SELECT qd.vec_id AS qid, c.m, c.cid,
+         SUM((qd.qv - c.cv) * (qd.qv - c.cv)) AS d2
+  FROM qdims qd JOIN qs ON qs.qid = qd.vec_id
+  JOIN cent8 c ON c.m = qd.m AND c.d = qd.d
+  GROUP BY qd.vec_id, c.m, c.cid
+),
+adist AS MATERIALIZED (
+  SELECT t.qid, k.vec_id, SUM(t.d2) AS dist
+  FROM codes k JOIN tbl t ON t.m = k.m AND t.cid = k.cid
+  GROUP BY t.qid, k.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rr
+    FROM adist WHERE vec_id <> qid
+  ) WHERE rr <= 100
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT c.qid AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY c.qid
+           ORDER BY list_cosine_similarity(eq.embedding, ev.embedding) DESC,
+                    c.vec_id
+         ) AS rank
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.qid
+  JOIN embeddings ev ON ev.vec_id = c.vec_id
+) WHERE rank <= 5
+"""
+
+
 # SimHash hamming-distance near-dup pairs. The oracle uses the SAME
 # pigeonhole-banded plan as the engine (4 x 16-bit bands over the
 # 63-bit fingerprint; hamming <= 3 < 4 bands => at least one band

@@ -309,6 +309,25 @@ def q_ann(sf_dir: str):
     return ann_brute_topk(emb, qids, Q)
 
 
+
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (integer lattice): per-subspace int64
+    k-means codebooks trained on the 400-smallest-vec_id sample, 4-bit
+    codes (8 bytes/vector — the 64x memory compression of
+    billion-vector scans), exact-int ADC top-k. The ENTIRE chain has a
+    bit-exact SQL twin (oracle.ANN_PQ, unrolled integer Lloyd)."""
+    from robosat_ray.stages.ann import ann_pq_topk, quantize_lattice, train_pq_codebooks
+
+    import ray.data
+
+    qids, Q = _ann_queries(sf_dir)
+    books = train_pq_codebooks(quantize_lattice(_smallest_sample(sf_dir)))
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ann_pq_topk(emb, qids, Q, books)
+
+
 def q_emb_dup(sf_dir: str):
     """Embedding-cosine near-dup (dedup family): exact all-pairs
     threshold join of base vectors + deterministic scaled variants.
@@ -1076,14 +1095,11 @@ def q_media_features(sf_dir: str):
     return media_pipeline(sf_dir)
 
 
-def _ivf_centroids(sf_dir: str):
-    """Centroid training sample = embeddings of the 400 SMALLEST
-    vec_ids — enforced explicitly (oracle parity: ORDER BY vec_id
-    LIMIT 400) instead of assuming the file is vec_id-ascending — via
-    a streaming scan holding at most 2x the sample on the driver."""
-    from robosat_ray.stages.ann import train_centroids
-
-    limit = 400
+def _smallest_sample(sf_dir: str, limit: int = 400) -> np.ndarray:
+    """Training sample = embeddings of the `limit` SMALLEST vec_ids —
+    enforced explicitly (oracle parity: ORDER BY vec_id LIMIT n)
+    instead of assuming the file is vec_id-ascending — via a streaming
+    scan holding at most 2x the sample on the driver."""
     f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     best_ids = np.empty(0, dtype=np.int64)
     best_emb = np.empty((0, C.EMB_DIM), dtype=np.float64)
@@ -1097,7 +1113,13 @@ def _ivf_centroids(sf_dir: str):
         best_emb = np.concatenate([best_emb, emb])
         keep = np.argsort(best_ids, kind="stable")[:limit]
         best_ids, best_emb = best_ids[keep], best_emb[keep]
-    return train_centroids(best_emb, n_lists=16)
+    return best_emb
+
+
+def _ivf_centroids(sf_dir: str):
+    from robosat_ray.stages.ann import train_centroids
+
+    return train_centroids(_smallest_sample(sf_dir), n_lists=16)
 
 
 def ivf_index_dir(sf_dir: str, force: bool = False) -> str:
@@ -1470,6 +1492,7 @@ QUERIES = {
     "quadkeys": q_quadkeys,
     "quadkey_agg": q_quadkey_agg,
     "cms_sketch": q_cms_sketch,
+    "ann_pq": q_ann_pq,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1545,4 +1568,5 @@ ORACLES = {
     "quadkeys": oracle.QUADKEYS,
     "quadkey_agg": oracle.QUADKEY_AGG,
     "cms_sketch": oracle.CMS_SKETCH,
+    "ann_pq": oracle.ANN_PQ,
 }

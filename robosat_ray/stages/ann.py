@@ -404,3 +404,207 @@ def emb_dup_pairs_lsh(emb_ds, emb_table: pa.Table, threshold: float = C.EMB_DUP_
         concurrency=(1, 8),
         num_cpus=1,
     )
+
+
+# ---------------- Product quantization (integer lattice) ----------------
+
+# PQ over an integer lattice: embeddings quantize to qv =
+# floor((v + 1) * 2^20) (shifted non-negative so numpy // and DuckDB
+# // agree — they differ on negatives), per-subspace k-means runs in
+# EXACT int64 arithmetic (L2^2 distances, floor-div centroid means),
+# and ADC scores are int64 sums — the whole pipeline is order-free
+# and bit-exact against the unrolled-Lloyd SQL twin (ANN_PQ), the
+# same oracle pattern ANN_IVF uses. Classic PQ (Jegou et al. 2011)
+# semantics; the lattice quantization is the determinism device.
+PQ_M = 8          # subspaces (EMB_DIM 64 -> 8 dims each)
+PQ_K = 16         # centroids per subspace -> 4-bit codes
+PQ_ITERS = 8
+PQ_SCALE = 1 << 20
+PQ_SHIFT = 1.0    # value offset before scaling (keeps the lattice >= 0)
+
+
+def quantize_lattice(E: np.ndarray) -> np.ndarray:
+    """float (n, d) -> L2-NORMALIZE then int64 lattice points (same
+    IEEE expressions as the SQL twin: v / sqrt(sum v^2), then
+    CAST(FLOOR((vn + 1.0) * 1048576.0) AS BIGINT)). Normalizing first
+    makes lattice L2 monotone with cosine, so PQ ranks approximate the
+    cosine ANN family. (The norm's float sum order can differ from
+    DuckDB's by 1 ulp; a lattice-boundary flip needs the normalized
+    value within ~2^-52 of a 2^-20 boundary — odds ~1e-10 per value.)"""
+    E = np.asarray(E, np.float64)
+    En = E / np.sqrt((E * E).sum(axis=1, keepdims=True))
+    return np.floor((En + PQ_SHIFT) * float(PQ_SCALE)).astype(np.int64)
+
+
+def train_pq_codebooks(sample_q: np.ndarray) -> np.ndarray:
+    """(n, EMB_DIM) int64 lattice sample -> (PQ_M, PQ_K, sub) int64
+    codebooks. Per subspace: even-spaced init (floor(c*n/k), the
+    train_centroids rule), PQ_ITERS Lloyd steps with exact int64 L2^2
+    assignment (ties -> lowest cid) and floor-div integer means
+    (empty clusters keep their previous centroid)."""
+    n, dim = sample_q.shape
+    sub = dim // PQ_M
+    k = min(PQ_K, n)
+    books = np.zeros((PQ_M, k, sub), dtype=np.int64)
+    for m in range(PQ_M):
+        S = sample_q[:, m * sub : (m + 1) * sub]
+        idx = np.floor(np.arange(k) * n / k).astype(np.int64)
+        cent = S[idx].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # first min = lowest cid
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = S[mask].sum(axis=0) // int(mask.sum())
+        books[m, :k] = cent
+    return books
+
+
+def pq_encode_batch(batch: pa.Table, books: np.ndarray) -> pa.Table:
+    """embeddings batch -> (vec_id, pqcode): per-subspace argmin-L2
+    code (ties lowest cid), packed 4 bits per subspace into one
+    int64."""
+    ids, E = _emb_matrix(batch)
+    Q = quantize_lattice(E)
+    sub = Q.shape[1] // PQ_M
+    packed = np.zeros(len(ids), dtype=np.int64)
+    for m in range(PQ_M):
+        S = Q[:, m * sub : (m + 1) * sub]
+        d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        codes = np.argmin(d2, axis=1).astype(np.int64)
+        packed |= codes << (4 * m)
+    return pa.table({"vec_id": pa.array(ids), "pqcode": pa.array(packed)})
+
+
+class PQTopK:
+    """ADC scan: per-query distance tables (int64, (nq, M, K)) built
+    once per actor from the broadcast codebooks; per batch the packed
+    codes gather-sum to exact int64 approx distances."""
+
+    def __init__(self, qids, Q, books, k: int):
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.books = np.asarray(books, dtype=np.int64)
+        self.k = k
+        Qq = quantize_lattice(np.asarray(Q, np.float64))
+        nq = len(self.qids)
+        M, K, sub = self.books.shape
+        self.tables = np.zeros((nq, M, K), dtype=np.int64)
+        for m in range(M):
+            qs = Qq[:, m * sub : (m + 1) * sub]
+            self.tables[:, m, :] = (
+                (qs[:, None, :] - self.books[m][None, :, :]) ** 2
+            ).sum(axis=2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        packed = batch.column("pqcode").to_numpy()
+        nq = len(self.qids)
+        dist = np.zeros((nq, len(ids)), dtype=np.int64)
+        for m in range(self.books.shape[0]):
+            codes = (packed >> (4 * m)) & 0xF
+            dist += self.tables[:, m, codes]
+        self_m = ids[None, :] == self.qids[:, None]
+        out_q, out_n, out_s = [], [], []
+        from robosat_ray.functions.topk import topk_indices
+
+        for qi in range(nq):
+            d = dist[qi].copy()
+            valid = ~self_m[qi]
+            vids = ids[valid]
+            dv = d[valid]
+            k = min(self.k, len(vids))
+            order = topk_indices(dv, vids, k)
+            out_q.append(np.full(len(order), self.qids[qi], dtype=np.int64))
+            out_n.append(vids[order])
+            out_s.append(-dv[order])  # negate: _merge_topk ranks sim DESC
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q) if out_q else np.array([], np.int64),
+                "neighbor_id": np.concatenate(out_n) if out_n else np.array([], np.int64),
+                "sim": np.concatenate(out_s) if out_s else np.array([], np.int64),
+            }
+        )
+
+
+PQ_RERANK = 100  # ADC shortlist depth fed to the exact re-rank
+
+
+class PQRerank:
+    """Exact-cosine re-rank over the broadcast ADC shortlist: per
+    batch, only vectors some query shortlisted pay the full-vector
+    cosine (at 10^9 vectors the ADC scan reads 8 bytes/vector and
+    this stage touches `rerank` vectors per query — the IVFADC +
+    re-rank deployment shape of Jegou et al. 2011)."""
+
+    def __init__(self, qids, Q, cand_ref):
+        import ray
+
+        self.qids = np.asarray(qids, dtype=np.int64)
+        Qn = np.asarray(Q, dtype=np.float64)
+        self.Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
+        self.cand = ray.get(cand_ref) if not isinstance(cand_ref, dict) else cand_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, E = _emb_matrix(batch)
+        out_q, out_n, out_s = [], [], []
+        En = None
+        for qi, qid in enumerate(self.qids):
+            want = self.cand.get(int(qid))
+            if want is None or not len(want):
+                continue
+            pos = np.searchsorted(want, ids)
+            hit = (pos < len(want)) & (want[np.clip(pos, 0, len(want) - 1)] == ids)
+            if not hit.any():
+                continue
+            if En is None:
+                En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            sel = np.flatnonzero(hit)
+            sims = En[sel] @ self.Qn[qi]
+            out_q.append(np.full(len(sel), qid, dtype=np.int64))
+            out_n.append(ids[sel])
+            out_s.append(sims)
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q) if out_q else np.array([], np.int64),
+                "neighbor_id": np.concatenate(out_n) if out_n else np.array([], np.int64),
+                "sim": np.concatenate(out_s) if out_s else np.array([], np.float64),
+            }
+        )
+
+
+def ann_pq_topk(emb_ds, qids, Q, books, k: int = C.ANN_K, rerank: int = PQ_RERANK):
+    """-> (query_id, neighbor_id, rank): PQ/ADC candidate generation +
+    exact-cosine re-rank. Stage 1 scans ONLY the 4-bit codes (8
+    bytes/vector instead of 512 — the 64x memory compression that
+    makes billion-vector scans feasible) to a per-query ADC shortlist
+    of `rerank` ids (bounded by queries x rerank BY CONSTRUCTION, so
+    gathering it is a broadcast, not a data gather); stage 2 re-ranks
+    the shortlist with exact cosine. Bit-exact SQL twin: oracle.ANN_PQ
+    runs the identical integer-ADC shortlist + cosine re-rank."""
+    import functools
+
+    import ray
+
+    enc = functools.partial(pq_encode_batch, books=books)
+    codes = emb_ds.map_batches(enc, batch_format="pyarrow")
+    local = codes.map_batches(
+        PQTopK, fn_constructor_args=(qids, Q, books, rerank),
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+    )
+    shortlist = (
+        local.groupby("query_id")
+        .map_groups(lambda g: _merge_topk(g, rerank), batch_format="pandas")
+        .to_pandas()
+    )
+    qs = shortlist["query_id"].to_numpy()
+    ns = shortlist["neighbor_id"].to_numpy()
+    cand = {int(q): np.sort(ns[qs == q]) for q in np.unique(qs)}
+    ref = ray.put(cand)
+    local2 = emb_ds.map_batches(
+        PQRerank, fn_constructor_args=(qids, Q, ref),
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+    )
+    return local2.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pandas"
+    )

@@ -409,3 +409,19 @@ def test_cms_estimates_upper_bound_and_match_heavy_tokens(ray_session):
     assert all(ests[t] >= c for t, c in true.items())  # never undercounts
     for tok, c in true.most_common(20):
         assert ests[tok] == c, (tok, ests[tok], c)
+
+
+def test_ann_pq_recall_floor(ray_session):
+    """PQ shortlist + exact re-rank must recover most of the exact
+    cosine top-k even on this near-orthogonal synthetic corpus
+    (measured 0.87; assert a safe floor). Exactness of the
+    implementation itself is pinned by the ANN_PQ oracle."""
+    from robosat_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    got = QUERIES["ann_pq"](sf).to_pandas()
+    exact = QUERIES["ann"](sf).to_pandas()
+    g = got.groupby("query_id")["neighbor_id"].apply(set)
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    rec = sum(len(g[q] & e[q]) for q in e.index) / sum(len(e[q]) for q in e.index)
+    assert rec >= 0.7, rec
