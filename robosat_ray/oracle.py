@@ -183,7 +183,8 @@ slabs AS (
         UNION SELECT DISTINCT pred_id, fx1 FROM pairs)
 ),
 cover AS (
-  SELECT s.pred_id, s.x0, s.x1, f.fy0, f.fy1,
+  -- DISTINCT: tie-free island windows (see MERGE_RING_CELLS yint)
+  SELECT DISTINCT s.pred_id, s.x0, s.x1, f.fy0, f.fy1,
          f.px0, f.py0, f.px1, f.py1
   FROM slabs s JOIN pairs f
     ON f.pred_id = s.pred_id AND f.fx0 <= s.x0 AND f.fx1 >= s.x1
@@ -269,7 +270,8 @@ slabs AS (
         UNION SELECT DISTINCT component_id, maxx FROM m)
 ),
 cover AS (
-  SELECT s.component_id, s.x0, s.x1, r.miny AS y0, r.maxy AS y1
+  -- DISTINCT: tie-free island windows (see MERGE_RING_CELLS yint)
+  SELECT DISTINCT s.component_id, s.x0, s.x1, r.miny AS y0, r.maxy AS y1
   FROM slabs s JOIN m r
     ON r.component_id = s.component_id AND r.minx <= s.x0 AND r.maxx >= s.x1
   WHERE s.x1 IS NOT NULL
@@ -490,7 +492,7 @@ ub1 AS (
        PARTITION BY component_id, sy0, sy1 ORDER BY sx0, sx1
        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), sx0 - 1.0)
      THEN 1 ELSE 0 END AS brk
-  FROM uncs
+  FROM (SELECT DISTINCT component_id, sy0, sy1, sx0, sx1 FROM uncs)
 ),
 ub2 AS (
   SELECT *, SUM(brk) OVER (PARTITION BY component_id, sy0, sy1
@@ -503,7 +505,12 @@ uncb AS MATERIALIZED (
 ),
 -- per candidate y-cell: overlapping removal intervals, island-merged
 yint AS (
-  SELECT y.component_id, y.y0, y.y1, u.sx0, u.sx1
+  -- DISTINCT: duplicate intervals would tie on the island windows'
+  -- ORDER BY, and brk/SUM are two separate window evaluations whose
+  -- tie orders the engine may pick independently (observed
+  -- nondeterminism under memory pressure); deduping makes the order
+  -- keys strictly increasing, hence tie-free and deterministic
+  SELECT DISTINCT y.component_id, y.y0, y.y1, u.sx0, u.sx1
   FROM cye y JOIN uncb u
     ON u.component_id = y.component_id AND u.sy0 <= y.y0 AND y.y1 <= u.sy1
 ),
