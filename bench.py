@@ -116,7 +116,7 @@ def run_bench() -> dict:
         # round-3 additions: vectorized language-ID, the hash-hard ring
         # serializations, and the real-BMP multimodal chain
         "langid", "quality", "featurize", "merge_geometry",
-        "media_features",
+        "media_features", "cms_sketch", "ann_pq",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)
