@@ -929,6 +929,16 @@ SELECT q.tile_x, q.tile_y, q.fg FROM fgq q
 JOIN bt ON bt.tile_x = q.tile_x AND bt.tile_y = q.tile_y
 """
 
+
+# Case/whitespace-normalized exact dedup: identical normalization
+# chain both sides (lower -> collapse \s+ runs -> trim spaces -> md5).
+NORMALIZED_DEDUP = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS norm_hash,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
 EXACT_DEDUP = """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
 FROM documents GROUP BY md5(text)

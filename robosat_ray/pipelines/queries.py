@@ -266,6 +266,16 @@ def q_fingerprints(sf_dir: str):
     return doc_fingerprints(_docs_ds(sf_dir))
 
 
+
+def q_normalized_dedup(sf_dir: str):
+    """Normalized exact dedup (case/whitespace-folded keys) — the
+    web-text pre-dedup next to exact_dedup; Arrow-kernel
+    normalization, algebraic Min/Count groupby."""
+    from robosat_ray.stages.text_ops import normalized_dedup_groups
+
+    return normalized_dedup_groups(_docs_ds(sf_dir))
+
+
 def q_quality(sf_dir: str):
     from robosat_ray.stages.quality import quality_scores
 
@@ -1493,6 +1503,7 @@ QUERIES = {
     "quadkey_agg": q_quadkey_agg,
     "cms_sketch": q_cms_sketch,
     "ann_pq": q_ann_pq,
+    "normalized_dedup": q_normalized_dedup,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1569,4 +1580,5 @@ ORACLES = {
     "quadkey_agg": oracle.QUADKEY_AGG,
     "cms_sketch": oracle.CMS_SKETCH,
     "ann_pq": oracle.ANN_PQ,
+    "normalized_dedup": oracle.NORMALIZED_DEDUP,
 }

@@ -402,3 +402,39 @@ def cms_sketch(documents_ds):
         )
 
     return cells.map_batches(unpack, batch_format="pyarrow")
+
+
+def normalized_dedup_groups(documents_ds):
+    """Case/whitespace-normalized exact dedup — the standard web-text
+    pre-dedup that catches re-crawls differing only in casing or
+    whitespace: key = md5 of lower(text) with whitespace runs
+    collapsed to single spaces and ends trimmed (Arrow utf8_lower +
+    RE2 replace, C-speed), then the same algebraic Min/Count groupby
+    as exact_dedup_groups. -> (norm_hash, keep_id, n_dups). Mirrored
+    exactly by the NORMALIZED_DEDUP oracle (DuckDB lower /
+    regexp_replace('\\s+') / trim compute the identical key)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    def norm_hash(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch.column("text")), r"\s+", " "
+            ),
+            characters=" ",
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "norm_hash": pa.array(
+                    [_md5_hex(s) for s in t.to_pylist()], type=pa.string()
+                ),
+            }
+        )
+
+    return (
+        documents_ds.select_columns(["doc_id", "text"])
+        .map_batches(norm_hash, batch_format="pyarrow")
+        .groupby("norm_hash")
+        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups"))
+    )
