@@ -83,7 +83,7 @@ def run_bench() -> dict:
     # storms that inflate a single sample 2-3x; the minimum is the
     # steady-state estimate, cross-checked against the quiet-window
     # records in BASELINE.md)
-    headline = float("inf")
+    samples = []
     n_join = 0
     for _ in range(2):
         t0 = time.perf_counter()
@@ -96,7 +96,8 @@ def run_bench() -> dict:
             concurrency=(2, NCPU),
         )
         n_join = joined.count()
-        headline = min(headline, time.perf_counter() - t0)
+        samples.append(round(time.perf_counter() - t0, 3))
+    headline = min(samples)
 
     n_pages = n_docs * REPLICAS
 
@@ -127,6 +128,10 @@ def run_bench() -> dict:
     result = {
         "metric": "flagship_spatial_join_sec",
         "value": round(headline, 3),
+        # best-of-2 since r3 (see BASELINE.md methodology note); the
+        # individual samples are kept so cross-round comparisons can
+        # reconstruct like-for-like numbers
+        "headline_samples": samples,
         "unit": "sec",
         "queries": qtimes,
         "sf": SF_DIR,

@@ -891,6 +891,42 @@ FROM tiles t LEFT JOIN (
 ) p ON p.tx = t.tx AND p.ty = t.ty
 """
 
+# mask_png: the rasterize masks ROUND-TRIPPED through the reference's
+# paletted-PNG layout (tools/masks.py:62-69 — mode-P file, denim/orange
+# palette); the engine recomputes fg and a positional pixel checksum
+# from the DECODED class indices, so the oracle (which derives the same
+# two numbers straight from the pixel-center rule) gates the whole
+# encode->decode container path bit-exactly.
+MASK_PNG = f"""
+WITH {feet_cte()},
+cov AS (
+  SELECT f.*, {tile_x('f.minx')} + gx.i AS tx, {tile_y('f.miny')} + gy.j AS ty
+  FROM feet f
+  CROSS JOIN generate_series(0, 8) gx(i)
+  CROSS JOIN generate_series(0, 8) gy(j)
+  WHERE gx.i <= {tile_x('f.maxx')} - {tile_x('f.minx')}
+    AND gy.j <= {tile_y('f.maxy')} - {tile_y('f.miny')}
+),
+tiles AS (SELECT DISTINCT tx, ty FROM cov),
+px AS (
+  SELECT DISTINCT c.tx, c.ty, gi.i, gj.j
+  FROM cov c
+  CROSS JOIN generate_series(0, {_RS - 1}) gi(i)
+  CROSS JOIN generate_series(0, {_RS - 1}) gj(j)
+  WHERE (c.tx + (gi.i + 0.5) / {float(_RS)!r}) / {_N!r} * 360.0 - 180.0 >= c.minx
+    AND (c.tx + (gi.i + 0.5) / {float(_RS)!r}) / {_N!r} * 360.0 - 180.0 < c.maxx
+    AND (c.ty + (gj.j + 0.5) / {float(_RS)!r}) / {_N!r} >= c.miny
+    AND (c.ty + (gj.j + 0.5) / {float(_RS)!r}) / {_N!r} < c.maxy
+)
+SELECT t.tx AS tile_x, t.ty AS tile_y,
+       CAST(COALESCE(p.cnt, 0) AS BIGINT) AS fg,
+       CAST(COALESCE(p.ps, 0) AS BIGINT) AS pixsum
+FROM tiles t LEFT JOIN (
+  SELECT tx, ty, COUNT(*) AS cnt, SUM(j * {_RS} + i) AS ps
+  FROM px GROUP BY tx, ty
+) p ON p.tx = t.tx AND p.ty = t.ty
+"""
+
 CLASS_WEIGHTS = f"""
 WITH fgq AS ({RASTERIZE_FG}),
 totals AS (

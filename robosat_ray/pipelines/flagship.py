@@ -49,6 +49,7 @@ def flagship(
     z: int = C.Z_JOIN,
     salt: bool = True,
     salt_cap: int = 20000,
+    salt_top_k: int = 65536,
     through_html: bool = True,
     replicas: int = 1,
     num_blocks: int | None = None,
@@ -108,6 +109,7 @@ def flagship(
             points_dataset(sf_dir, z=z, replicas=replicas, num_blocks=num_blocks),
             z,
             cap=salt_cap,
+            top_k=salt_top_k,
         )
         if salt
         else {}

@@ -99,6 +99,17 @@ def q_rasterize_fg(sf_dir: str):
     return masks.select_columns(["tile_x", "tile_y", "fg"])
 
 
+def q_mask_png(sf_dir: str):
+    """Rasterize masks round-tripped through the reference's paletted
+    PNG layout (tools/masks.py:62-69): fg + positional checksum are
+    recomputed from DECODED container bytes, gating the from-scratch
+    PNG codec (codecs/png.py) against the pixel-center SQL oracle."""
+    from robosat_ray.stages.rasterize import mask_png_stats, rasterize
+
+    masks = rasterize(footprints_dataset(sf_dir), size=64)
+    return mask_png_stats(masks)
+
+
 def q_featurize(sf_dir: str):
     """Masks -> vector polygons (threshold/contours/simplify/px->world;
     reference rs features), serialized as the canonical boundary-edge
@@ -1444,6 +1455,7 @@ QUERIES = {
     "token_count": q_token_count,
     "fingerprints": q_fingerprints,
     "rasterize_fg": q_rasterize_fg,
+    "mask_png": q_mask_png,
     "merge_components": q_merge_components,
     "dedupe": q_dedupe,
     "near_dup": q_near_dup,
@@ -1544,6 +1556,7 @@ ORACLES = {
     "emb_dup": oracle.EMB_DUP,
     "epoch_loss": oracle.EPOCH_LOSS,
     "media_features": oracle.MEDIA_FEATURES,
+    "mask_png": oracle.MASK_PNG,
     "events_sessions": oracle.EVENTS_SESSIONS,
     "order_revenue": oracle.ORDER_REVENUE,
     "price_quantiles": oracle.PRICE_QUANTILES,

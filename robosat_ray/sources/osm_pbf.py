@@ -1,0 +1,594 @@
+"""From-scratch OSM PBF reader (and test-side writer) on Ray Data.
+
+Closes the reference's real ingestion seam: robosat streams `.osm.pbf`
+through osmium handlers (reference robosat/tools/extract.py:27-30,
+osm/building.py, osm/parking.py) — a single-process C++ loop. Here the
+PUBLIC PBF envelope (OSM wiki "PBF Format"; protobuf wire format +
+zlib, both fully documented) is parsed from scratch:
+
+  file   := repeated [int32-BE len][BlobHeader][Blob]
+  BlobHeader := {1: type (string), 3: datasize (int32)}
+  Blob   := {1: raw (bytes) | 3: zlib_data (bytes), 2: raw_size}
+  OSMData Blob -> PrimitiveBlock :=
+     {1: stringtable {1: repeated bytes}, 2: repeated PrimitiveGroup,
+      17: granularity (=100), 19: lat_offset (=0), 20: lon_offset (=0)}
+  PrimitiveGroup := {2: DenseNodes, 3: repeated Way}
+  DenseNodes := {1: ids (packed sint64, DELTA), 8: lats (packed sint64,
+      DELTA), 9: lons (packed sint64, DELTA), 10: keys_vals}
+  Way := {1: id (int64), 2: keys (packed uint32), 3: vals (packed
+      uint32), 8: refs (packed sint64, DELTA)}
+  lat_deg = 1e-9 * (lat_offset + granularity * lat_raw)
+
+Scale shape: a PBF file is a sequence of INDEPENDENTLY decompressable
+~8k-entity blobs. The driver does one cheap sequential header walk
+(`scan_blobs` — reads 4+len(BlobHeader) bytes per blob, never the
+payload) to enumerate (offset, size) work items, then blob decode runs
+distributed in map_batches: each task seeks, inflates and parses only
+its own blobs. Ways join their node coordinates via a ref-hash
+co-partition groupby (no driver node map — planet nodes are 10^10).
+
+Packed-varint decode is vectorized numpy (the hot path: ids / lats /
+lons / refs are packed delta-coded sint64 arrays).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+# --------------------------------------------------------------------------
+# protobuf wire primitives (vectorized decode / encode for packed fields)
+
+
+def decode_varints(buf: bytes | np.ndarray) -> np.ndarray:
+    """Packed varint field payload -> uint64 array, fully vectorized:
+    terminator bytes have the high bit clear; each byte contributes its
+    low 7 bits shifted by 7 x (position within its varint)."""
+    b = np.frombuffer(buf, np.uint8) if isinstance(buf, (bytes, memoryview)) else buf
+    if len(b) == 0:
+        return np.zeros(0, np.uint64)
+    ends = np.nonzero(b < 0x80)[0]
+    if len(ends) == 0 or ends[-1] != len(b) - 1:
+        raise ValueError("truncated varint stream")
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    idx = np.arange(len(b), dtype=np.int64)
+    group = np.searchsorted(ends, idx)
+    pos = (idx - starts[group]).astype(np.uint64)
+    if pos.max() > 9:
+        raise ValueError("varint longer than 10 bytes")
+    vals = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos)
+    out = np.zeros(len(ends), np.uint64)
+    np.add.at(out, group, vals)  # 7-bit groups are disjoint: add == or
+    return out
+
+
+def encode_varints(vals: np.ndarray) -> bytes:
+    """uint64 array -> packed varint bytes, vectorized: loop is over
+    the <=10 byte POSITIONS, not the values."""
+    v = np.asarray(vals, np.uint64)
+    if len(v) == 0:
+        return b""
+    # number of 7-bit digits per value (at least 1)
+    nbytes = np.ones(len(v), np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp != 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.zeros(total, np.uint8)
+    offs = np.cumsum(nbytes) - nbytes
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offs, nbytes)
+    owner = np.repeat(np.arange(len(v)), nbytes)
+    digit = (v[owner] >> (np.uint64(7) * pos.astype(np.uint64))) & np.uint64(0x7F)
+    cont = pos < (nbytes[owner] - 1)
+    out[:] = digit.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def zigzag_decode(u: np.ndarray) -> np.ndarray:
+    u = np.asarray(u, np.uint64)
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -((u & np.uint64(1)).astype(np.int64))
+
+
+def zigzag_encode(s: np.ndarray) -> np.ndarray:
+    s = np.asarray(s, np.int64)
+    return ((s << 1) ^ (s >> 63)).view(np.uint64)
+
+
+def _walk_fields(buf: memoryview):
+    """Yield (field_no, wire_type, value) over one protobuf message.
+    value: int for varint(0)/fixed(1,5), memoryview for bytes(2)."""
+    i, n = 0, len(buf)
+    while i < n:
+        key = 0
+        shift = 0
+        while True:
+            byte = buf[i]
+            i += 1
+            key |= (byte & 0x7F) << shift
+            if byte < 0x80:
+                break
+            shift += 7
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            val = 0
+            shift = 0
+            while True:
+                byte = buf[i]
+                i += 1
+                val |= (byte & 0x7F) << shift
+                if byte < 0x80:
+                    break
+                shift += 7
+            yield field, wt, val
+        elif wt == 2:
+            ln = 0
+            shift = 0
+            while True:
+                byte = buf[i]
+                i += 1
+                ln |= (byte & 0x7F) << shift
+                if byte < 0x80:
+                    break
+                shift += 7
+            yield field, wt, buf[i : i + ln]
+            i += ln
+        elif wt == 5:
+            yield field, wt, int.from_bytes(buf[i : i + 4], "little")
+            i += 4
+        elif wt == 1:
+            yield field, wt, int.from_bytes(buf[i : i + 8], "little")
+            i += 8
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+
+
+def _key(field: int, wt: int) -> bytes:
+    return encode_varints(np.array([(field << 3) | wt], np.uint64))
+
+
+def _ld(field: int, body: bytes) -> bytes:
+    """Length-delimited field."""
+    return _key(field, 2) + encode_varints(np.array([len(body)], np.uint64)) + body
+
+
+def _vi(field: int, value: int) -> bytes:
+    return _key(field, 0) + encode_varints(np.array([value], np.uint64))
+
+
+# --------------------------------------------------------------------------
+# file envelope
+
+
+def scan_blobs(path: str) -> list[dict]:
+    """Cheap sequential header walk: [{kind, offset, size}] per blob —
+    offset/size of the Blob message itself (headers already parsed).
+    Reads only the 4-byte lengths + BlobHeaders, never blob payloads;
+    this is the only driver-side pass and is O(#blobs) tiny reads."""
+    out = []
+    with open(path, "rb") as fp:
+        while True:
+            raw = fp.read(4)
+            if len(raw) < 4:
+                break
+            (hlen,) = struct.unpack(">I", raw)
+            header = memoryview(fp.read(hlen))
+            kind, datasize = "", 0
+            for field, wt, val in _walk_fields(header):
+                if field == 1 and wt == 2:
+                    kind = bytes(val).decode()
+                elif field == 3 and wt == 0:
+                    datasize = val
+            out.append({"kind": kind, "offset": fp.tell(), "size": datasize})
+            fp.seek(datasize, 1)
+    return out
+
+
+def _inflate_blob(buf: memoryview) -> bytes:
+    raw, zdata = None, None
+    for field, wt, val in _walk_fields(buf):
+        if field == 1 and wt == 2:
+            raw = bytes(val)
+        elif field == 3 and wt == 2:
+            zdata = bytes(val)
+    if raw is not None:
+        return raw
+    if zdata is not None:
+        return zlib.decompress(zdata)
+    raise NotImplementedError("Blob without raw/zlib_data (lzma/bzip2 seam)")
+
+
+# --------------------------------------------------------------------------
+# PrimitiveBlock decode
+
+WAYS_SCHEMA = pa.schema(
+    [
+        ("way_id", pa.int64()),
+        ("seq", pa.int64()),
+        ("ref", pa.int64()),
+        ("n_refs", pa.int64()),
+        ("closed", pa.bool_()),
+        ("tags", pa.map_(pa.string(), pa.string())),
+    ]
+)
+
+
+def parse_primitive_block(data: bytes) -> tuple[pa.Table, pa.Table]:
+    """One inflated OSMData payload -> (nodes table, way-refs table).
+
+    nodes: (node_id, lon, lat) float degrees (granularity applied).
+    way refs: one row per (way, position): (way_id, seq, ref, n_refs,
+    closed, tags) — the flat join-ready shape; ring assembly happens
+    after the coordinate join, grouped by way_id ordered by seq.
+    """
+    granularity, lat_off, lon_off = 100, 0, 0
+    strings: list[bytes] = []
+    groups = []
+    for field, wt, val in _walk_fields(memoryview(data)):
+        if field == 1 and wt == 2:  # stringtable
+            for f2, w2, v2 in _walk_fields(val):
+                if f2 == 1 and w2 == 2:
+                    strings.append(bytes(v2))
+        elif field == 2 and wt == 2:
+            groups.append(val)
+        elif field == 17 and wt == 0:
+            granularity = val
+        elif field == 19 and wt == 0:
+            lat_off = val
+        elif field == 20 and wt == 0:
+            lon_off = val
+
+    node_ids, node_lons, node_lats = [], [], []
+    way_id, way_seq, way_ref, way_nref, way_closed, way_tags = [], [], [], [], [], []
+
+    for g in groups:
+        for field, wt, val in _walk_fields(g):
+            if field == 2 and wt == 2:  # DenseNodes
+                ids = lats = lons = None
+                for f2, w2, v2 in _walk_fields(val):
+                    if f2 == 1 and w2 == 2:
+                        ids = np.cumsum(zigzag_decode(decode_varints(v2)))
+                    elif f2 == 8 and w2 == 2:
+                        lats = np.cumsum(zigzag_decode(decode_varints(v2)))
+                    elif f2 == 9 and w2 == 2:
+                        lons = np.cumsum(zigzag_decode(decode_varints(v2)))
+                if ids is not None:
+                    node_ids.append(ids)
+                    node_lats.append(1e-9 * (lat_off + granularity * lats))
+                    node_lons.append(1e-9 * (lon_off + granularity * lons))
+            elif field == 3 and wt == 2:  # Way
+                wid, keys_u, vals_u, refs = 0, None, None, None
+                for f2, w2, v2 in _walk_fields(val):
+                    if f2 == 1 and w2 == 0:
+                        wid = v2
+                    elif f2 == 2 and w2 == 2:
+                        keys_u = decode_varints(v2)
+                    elif f2 == 3 and w2 == 2:
+                        vals_u = decode_varints(v2)
+                    elif f2 == 8 and w2 == 2:
+                        refs = np.cumsum(zigzag_decode(decode_varints(v2)))
+                if refs is None or len(refs) == 0:
+                    continue
+                tags = (
+                    [
+                        (strings[int(k)].decode(), strings[int(v)].decode())
+                        for k, v in zip(keys_u, vals_u)
+                    ]
+                    if keys_u is not None and vals_u is not None
+                    else []
+                )
+                nr = len(refs)
+                way_id.append(np.full(nr, wid, np.int64))
+                way_seq.append(np.arange(nr, dtype=np.int64))
+                way_ref.append(refs)
+                way_nref.append(np.full(nr, nr, np.int64))
+                way_closed.append(np.full(nr, refs[0] == refs[-1], bool))
+                way_tags.extend([tags] * nr)
+
+    cat = lambda parts, dt: (
+        np.concatenate(parts) if parts else np.zeros(0, dt)
+    )
+    nodes = pa.table(
+        {
+            "node_id": pa.array(cat(node_ids, np.int64)),
+            "lon": pa.array(cat(node_lons, np.float64)),
+            "lat": pa.array(cat(node_lats, np.float64)),
+        }
+    )
+    ways = pa.table(
+        {
+            "way_id": pa.array(cat(way_id, np.int64)),
+            "seq": pa.array(cat(way_seq, np.int64)),
+            "ref": pa.array(cat(way_ref, np.int64)),
+            "n_refs": pa.array(cat(way_nref, np.int64)),
+            "closed": pa.array(cat(way_closed, bool)),
+            "tags": pa.array(way_tags, pa.map_(pa.string(), pa.string())),
+        }
+    )
+    return nodes, ways
+
+
+# --------------------------------------------------------------------------
+# test-side writer (synthesizes REAL pbf bytes; also used by the
+# pbf round-trip oracle query)
+
+
+def build_primitive_block(
+    node_ids: np.ndarray,
+    lons_nano: np.ndarray,
+    lats_nano: np.ndarray,
+    ways: list[tuple[int, np.ndarray, list[tuple[str, str]]]],
+    granularity: int = 1,
+) -> bytes:
+    """Assemble one PrimitiveBlock: DenseNodes (delta/zigzag/packed
+    int nanodegrees / granularity) + Way messages with stringtable
+    tags. granularity=1 keeps integer coordinates exact."""
+    strings: list[bytes] = [b""]  # index 0 is reserved/unused by convention
+    sindex: dict[bytes, int] = {b"": 0}
+
+    def intern(s: str) -> int:
+        b = s.encode()
+        if b not in sindex:
+            sindex[b] = len(strings)
+            strings.append(b)
+        return sindex[b]
+
+    def packed_sint_delta(vals: np.ndarray) -> bytes:
+        v = np.asarray(vals, np.int64)
+        deltas = np.diff(v, prepend=np.int64(0))
+        return encode_varints(zigzag_encode(deltas))
+
+    dense = (
+        _ld(1, packed_sint_delta(node_ids))
+        + _ld(8, packed_sint_delta(np.asarray(lats_nano, np.int64) // granularity))
+        + _ld(9, packed_sint_delta(np.asarray(lons_nano, np.int64) // granularity))
+    )
+    group = _ld(2, dense)
+    for wid, refs, tags in ways:
+        body = _vi(1, int(wid))
+        if tags:
+            body += _ld(2, encode_varints(np.array([intern(k) for k, _ in tags], np.uint64)))
+            body += _ld(3, encode_varints(np.array([intern(v) for _, v in tags], np.uint64)))
+        body += _ld(8, packed_sint_delta(np.asarray(refs, np.int64)))
+        group += _ld(3, body)
+
+    st = b"".join(_ld(1, s) for s in strings)
+    block = _ld(1, st) + _ld(2, group) + _vi(17, granularity) + _vi(19, 0) + _vi(20, 0)
+    return block
+
+
+def _blob_bytes(kind: str, payload: bytes) -> bytes:
+    z = zlib.compress(payload, 6)
+    blob = _vi(2, len(payload)) + _ld(3, z)
+    header = _ld(1, kind.encode()) + _vi(3, len(blob))
+    return struct.pack(">I", len(header)) + header + blob
+
+
+def write_pbf(path: str, blocks: list[bytes]) -> None:
+    """REAL .osm.pbf file: an OSMHeader blob + one OSMData blob per
+    PrimitiveBlock (zlib-compressed, the standard layout)."""
+    header_block = _ld(4, b"OsmSchema-V0.6") + _ld(4, b"DenseNodes")
+    with open(path, "wb") as fp:
+        fp.write(_blob_bytes("OSMHeader", header_block))
+        for b in blocks:
+            fp.write(_blob_bytes("OSMData", b))
+
+
+# --------------------------------------------------------------------------
+# Ray Data reader + way->polygon assembly
+
+_JOIN_BUCKETS = 64
+
+
+def read_pbf(path: str, concurrency=(1, 8)):
+    """.osm.pbf -> (nodes Dataset, way-refs Dataset). The driver walk
+    only enumerates blob extents; inflation + protobuf parse run
+    distributed, one task per bundle of blobs (each blob is an
+    independent zlib stream — the format's unit of parallelism)."""
+    import ray.data
+
+    blobs = [b for b in scan_blobs(path) if b["kind"] == "OSMData"]
+
+    def decode(batch: pa.Table, want: str) -> pa.Table:
+        outs = []
+        with open(path, "rb") as fp:
+            for off, size in zip(
+                batch.column("offset").to_pylist(), batch.column("size").to_pylist()
+            ):
+                fp.seek(off)
+                data = _inflate_blob(memoryview(fp.read(size)))
+                nodes, ways = parse_primitive_block(data)
+                outs.append(nodes if want == "nodes" else ways)
+        return pa.concat_tables(outs)
+
+    items = ray.data.from_items(blobs)
+    nodes = items.map_batches(
+        lambda b: decode(b, "nodes"), batch_format="pyarrow", batch_size=4
+    )
+    ways = items.map_batches(
+        lambda b: decode(b, "ways"), batch_format="pyarrow", batch_size=4
+    )
+    return nodes, ways
+
+
+def ways_with_coords(nodes_ds, ways_ds):
+    """Attach (lon, lat) to every way-ref row via a ref-hash
+    co-partition join (nodes NEVER land on the driver or in a
+    broadcast: the planet has ~10^10 of them). One shuffle, then the
+    per-way regroup happens on a way-hash bucket."""
+    import pandas as pd
+
+    from robosat_ray.functions.hashing import hash_bucket
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("node_id").to_numpy()
+        n = len(ids)
+        return pa.table(
+            {
+                "jbucket": pa.array(hash_bucket(ids, _JOIN_BUCKETS)),
+                "key": pa.array(ids),
+                "role": pa.array(np.zeros(n, np.int8)),
+                "lon": batch.column("lon"),
+                "lat": batch.column("lat"),
+                "way_id": pa.array(np.zeros(n, np.int64)),
+                "seq": pa.array(np.zeros(n, np.int64)),
+                "n_refs": pa.array(np.zeros(n, np.int64)),
+                "kind": pa.array(np.full(n, "", object), pa.string()),
+            }
+        )
+
+    def ref_rows(batch: pa.Table) -> pa.Table:
+        refs = batch.column("ref").to_numpy()
+        n = len(refs)
+        return pa.table(
+            {
+                "jbucket": pa.array(hash_bucket(refs, _JOIN_BUCKETS)),
+                "key": pa.array(refs),
+                "role": pa.array(np.ones(n, np.int8)),
+                "lon": pa.array(np.zeros(n, np.float64)),
+                "lat": pa.array(np.zeros(n, np.float64)),
+                "way_id": batch.column("way_id"),
+                "seq": batch.column("seq"),
+                "n_refs": batch.column("n_refs"),
+                "kind": batch.column("kind"),
+            }
+        )
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        is_node = group["role"].to_numpy() == 0
+        nd = group[is_node]
+        nid = nd["key"].to_numpy()
+        order = np.argsort(nid, kind="stable")
+        nid = nid[order]
+        nlon = nd["lon"].to_numpy()[order]
+        nlat = nd["lat"].to_numpy()[order]
+        rf = group[~is_node]
+        need = rf["key"].to_numpy()
+        pos = np.searchsorted(nid, need)
+        assert len(need) == 0 or (
+            len(nid) > 0 and (nid[np.clip(pos, 0, len(nid) - 1)] == need).all()
+        ), "way ref missing its node row"
+        return pd.DataFrame(
+            {
+                "way_id": rf["way_id"].to_numpy(),
+                "seq": rf["seq"].to_numpy(),
+                "n_refs": rf["n_refs"].to_numpy(),
+                "kind": rf["kind"].to_numpy(),
+                "lon": nlon[pos] if len(need) else nlon[:0],
+                "lat": nlat[pos] if len(need) else nlat[:0],
+            }
+        )
+
+    both = ways_ds.map_batches(ref_rows, batch_format="pyarrow").union(
+        nodes_ds.map_batches(node_rows, batch_format="pyarrow")
+    )
+    return both.groupby("jbucket").map_groups(attach, batch_format="pandas")
+
+
+# reference osm/building.py:15-21 + osm/parking.py:15-16 predicates
+BUILDING_FILTER = {
+    "construction", "houseboat", "static_caravan", "stadium",
+    "conservatory", "digester", "greenhouse", "ruins",
+}
+LOCATION_FILTER = {"underground", "underwater"}
+PARKING_FILTER = {"underground", "sheds", "carports", "garage_boxes"}
+
+
+def way_tag_filter(batch: pa.Table, kind: str) -> pa.Table:
+    """is_polygon (closed, >=4 refs incl. the closing one; reference
+    osm/core.py:44-60) + the handler's tag predicate; emits the way-ref
+    rows that survive, tagged with the extractor kind."""
+    tags_col = batch.column("tags").to_pylist()
+    closed = batch.column("closed").to_numpy()
+    n_refs = batch.column("n_refs").to_numpy()
+    keep = np.zeros(len(batch), bool)
+    for i, tags in enumerate(tags_col):
+        if not closed[i] or n_refs[i] < 4:
+            continue
+        t = dict(tags) if tags else {}
+        if kind == "building":
+            ok = (
+                "building" in t
+                and t["building"] not in BUILDING_FILTER
+                and t.get("location") not in LOCATION_FILTER
+            )
+        elif kind == "parking":
+            ok = t.get("amenity") == "parking" and t.get("parking") not in PARKING_FILTER
+        else:
+            raise ValueError(f"unknown extractor kind {kind}")
+        keep[i] = ok
+    out = batch.filter(pa.array(keep)).drop_columns(["tags", "closed"])
+    return out.append_column(
+        "kind", pa.array(np.full(int(keep.sum()), kind, object), pa.string())
+    )
+
+
+def assemble_polygons(coords_ds):
+    """(way_id, seq, lon, lat, n_refs, kind) rows -> one footprint row
+    per way: bbox + the exterior ring in seq order (closing ref
+    dropped, matching the reference's geojson.Polygon ring). Grouped
+    on a way-hash bucket; per-way work is a vectorized lexsort split."""
+    import pandas as pd
+
+    from robosat_ray.functions.hashing import hash_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "wbucket", pa.array(hash_bucket(batch.column("way_id").to_numpy(), _JOIN_BUCKETS))
+        )
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        wid = group["way_id"].to_numpy()
+        seq = group["seq"].to_numpy()
+        lon = group["lon"].to_numpy()
+        lat = group["lat"].to_numpy()
+        kind = group["kind"].to_numpy()
+        order = np.lexsort((seq, wid))
+        wid, seq, lon, lat, kind = wid[order], seq[order], lon[order], lat[order], kind[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(wid))[0] + 1, [len(wid)]])
+        ids, kinds, minx, miny, maxx, maxy, rings = [], [], [], [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            # drop the closing ref (reference ring repeats first node)
+            xs, ys = lon[s : e - 1], lat[s : e - 1]
+            ids.append(int(wid[s]))
+            kinds.append(kind[s])
+            minx.append(float(xs.min()))
+            miny.append(float(ys.min()))
+            maxx.append(float(xs.max()))
+            maxy.append(float(ys.max()))
+            rings.append([[{"x": float(x), "y": float(y)} for x, y in zip(xs, ys)]])
+        return pd.DataFrame(
+            {
+                "feature_id": pd.Series(ids, dtype=np.int64),
+                "kind": kinds,
+                "minx": minx,
+                "miny": miny,
+                "maxx": maxx,
+                "maxy": maxy,
+                "rings": rings,
+            }
+        )
+
+    return (
+        coords_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+def extract_pbf(path: str, kinds=("building", "parking")):
+    """The reference `rs extract` pipeline on Ray Data: .osm.pbf ->
+    tag-filtered closed ways -> node-coordinate co-partition join ->
+    assembled polygon footprints (feature_id, kind, bbox, rings)."""
+    nodes, ways = read_pbf(path)
+    filtered = None
+    for kind in kinds:
+        part = ways.map_batches(
+            lambda b, k=kind: way_tag_filter(b, k), batch_format="pyarrow"
+        )
+        filtered = part if filtered is None else filtered.union(part)
+    coords = ways_with_coords(nodes, filtered)
+    return assemble_polygons(coords)

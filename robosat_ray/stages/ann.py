@@ -356,9 +356,11 @@ def _lsh_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
 
 class LSHVerify:
     """Broadcast corpus lookup + exact cosine threshold on candidate
-    pairs (the CosineDupPairs kernel narrowed to LSH candidates). At
-    corpus sizes past a worker heap this becomes the vec_id
-    co-partition join of stages/neardup.py:near_dup_pairs_ds."""
+    pairs (the CosineDupPairs kernel narrowed to LSH candidates). Used
+    below EMB_VERIFY_BROADCAST_CAP corpus rows; above it
+    emb_dup_pairs_lsh switches to the vec_id co-partition verify
+    (_verify_pairs_copartition), which never materializes the
+    embedding matrix anywhere."""
 
     def __init__(self, ref, threshold: float):
         import ray
@@ -378,13 +380,141 @@ class LSHVerify:
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
 
-def emb_dup_pairs_lsh(emb_ds, emb_table: pa.Table, threshold: float = C.EMB_DUP_THRESHOLD):
+# corpus rows above which the LSH verify abandons the broadcast
+# embedding matrix (at 10^9 x 64-d float64 that broadcast is ~512 GB)
+# for the vec_id co-partition join — the same strategy switch
+# neardup.near_dup_pairs_ds applies at BROADCAST_PAIR_CAP
+EMB_VERIFY_BROADCAST_CAP = 2_000_000
+_EMB_JOIN_BUCKETS = 64
+
+
+def _attach_embs(group: pd.DataFrame) -> pd.DataFrame:
+    """Within one vec_id-hash bucket: rows are either normalized-
+    embedding carriers (role == 0) or pair-need rows (role == 1); emit
+    each pair-need row with its vector attached (sorted-carrier
+    searchsorted gather), keyed for the pair-bucket regroup. Mirror of
+    neardup._attach_hashes with a fixed-width float payload."""
+    from robosat_ray.functions.hashing import hash_bucket2
+
+    is_carrier = group["role"].to_numpy() == 0
+    car = group[is_carrier]
+    car_ids = car["vec_id"].to_numpy()
+    order = np.argsort(car_ids, kind="stable")
+    car_ids = car_ids[order]
+    car_embs = car["emb"].to_numpy()[order]
+    pr = group[~is_carrier]
+    a = pr["a"].to_numpy()
+    b = pr["b"].to_numpy()
+    need = pr["vec_id"].to_numpy()
+    pos = np.searchsorted(car_ids, need)
+    assert len(need) == 0 or (
+        len(car_ids) > 0
+        and (car_ids[np.clip(pos, 0, len(car_ids) - 1)] == need).all()
+    ), "pair-need vec_id missing its embedding-carrier row"
+    return pd.DataFrame(
+        {
+            "a": a,
+            "b": b,
+            "emb": car_embs[pos] if len(need) else car_embs[:0],
+            "pbucket": hash_bucket2(a, b, _EMB_JOIN_BUCKETS),
+        }
+    )
+
+
+def _verify_cosine_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Within one pair bucket: each (a, b) has exactly two rows (the a
+    side's vector and the b side's); exact cosine (same einsum as the
+    broadcast LSHVerify) decides."""
+    a = group["a"].to_numpy()
+    b = group["b"].to_numpy()
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    n = len(a)
+    empty = pd.DataFrame(
+        {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+    )
+    if n == 0:
+        return empty
+    assert n % 2 == 0 and (a[0::2] == a[1::2]).all() and (
+        b[0::2] == b[1::2]
+    ).all(), "pair side missing"
+    E = np.vstack([np.asarray(e, np.float64) for e in group["emb"].to_numpy()[order]])
+    sims = np.einsum("ij,ij->i", E[0::2], E[1::2])
+    keep = sims >= threshold
+    return pd.DataFrame(
+        {"a": a[0::2][keep].astype(np.int64), "b": b[0::2][keep].astype(np.int64)}
+    )
+
+
+def _verify_pairs_copartition(pairs_ds, emb_ds, threshold: float):
+    """Exact-cosine verify with NO broadcast matrix: normalized
+    vectors co-partition with the candidate pairs on a vec_id hash
+    bucket (one shuffle), then pairs regroup on a pair bucket for the
+    two-sided cosine — the 10^9-vector path (the embedding column
+    never leaves the distributed plane)."""
+    from robosat_ray.functions.hashing import hash_bucket
+
+    dim_list = pa.list_(pa.float64())
+
+    def carrier_rows(batch: pa.Table) -> pa.Table:
+        ids, E = _emb_matrix(batch)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        n = len(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "a": pa.array(np.zeros(n, np.int64)),
+                "b": pa.array(np.zeros(n, np.int64)),
+                "emb": pa.array(list(En), dim_list),
+                "role": pa.array(np.zeros(n, np.int8)),
+                "dbucket": pa.array(hash_bucket(ids, _EMB_JOIN_BUCKETS)),
+            }
+        )
+
+    def need_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        vec = np.concatenate([a, b])
+        n = len(vec)
+        return pa.table(
+            {
+                "vec_id": pa.array(vec),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([b, b])),
+                "emb": pa.nulls(n, dim_list),
+                "role": pa.array(np.ones(n, np.int8)),
+                "dbucket": pa.array(hash_bucket(vec, _EMB_JOIN_BUCKETS)),
+            }
+        )
+
+    both = pairs_ds.map_batches(need_rows, batch_format="pyarrow").union(
+        emb_ds.map_batches(carrier_rows, batch_format="pyarrow")
+    )
+    attached = both.groupby("dbucket").map_groups(_attach_embs, batch_format="pandas")
+    return attached.groupby("pbucket").map_groups(
+        lambda g: _verify_cosine_group(g, threshold), batch_format="pandas"
+    )
+
+
+def emb_dup_pairs_lsh(
+    emb_ds,
+    emb_table: pa.Table | None = None,
+    threshold: float = C.EMB_DUP_THRESHOLD,
+    verify_strategy: str = "auto",
+):
     """-> Dataset (a, b): cosine >= threshold pairs found via
     hyperplane-LSH banding (64 integer planes, 4 x 16-bit bands,
     bucketed groupby) + exact-cosine verify. Candidate mining never
     does all-pairs: only exact 16-bit band collisions meet. Pair
     dedup uses the bucketed lexsort idiom (neardup.dedup_pairs_ds) —
-    Ray's two-key Aggregate degrades badly at millions of pair rows."""
+    Ray's two-key Aggregate degrades badly at millions of pair rows.
+
+    verify_strategy: 'broadcast' (corpus fits a worker heap: ray.put
+    the normalized matrix once, searchsorted lookups per batch),
+    'copartition' (10^9-vector path: vec_id co-partition join, no
+    broadcast), or 'auto' (by corpus row count vs
+    EMB_VERIFY_BROADCAST_CAP; a missing emb_table forces
+    copartition). Both paths are bit-equal (tested at 10x corpus)."""
     import ray
 
     from robosat_ray.stages.neardup import dedup_pairs_ds
@@ -392,6 +522,17 @@ def emb_dup_pairs_lsh(emb_ds, emb_table: pa.Table, threshold: float = C.EMB_DUP_
     bands = emb_ds.map_batches(_lsh_band_rows, batch_format="pyarrow")
     cand = bands.groupby("bucket").map_groups(_lsh_bucket_pairs, batch_format="pandas")
     pairs = dedup_pairs_ds(cand)
+
+    if verify_strategy == "auto":
+        n_vec = emb_table.num_rows if emb_table is not None else None
+        verify_strategy = (
+            "broadcast"
+            if n_vec is not None and n_vec <= EMB_VERIFY_BROADCAST_CAP
+            else "copartition"
+        )
+    if verify_strategy == "copartition":
+        return _verify_pairs_copartition(pairs, emb_ds, threshold)
+
     ids = emb_table.column("vec_id").to_numpy()
     order = np.argsort(ids, kind="stable")
     E = np.array(emb_table.column("embedding").to_pylist(), dtype=np.float64)[order]
@@ -432,7 +573,13 @@ def quantize_lattice(E: np.ndarray) -> np.ndarray:
     DuckDB's by 1 ulp; a lattice-boundary flip needs the normalized
     value within ~2^-52 of a 2^-20 boundary — odds ~1e-10 per value.)"""
     E = np.asarray(E, np.float64)
-    En = E / np.sqrt((E * E).sum(axis=1, keepdims=True))
+    norms = np.sqrt((E * E).sum(axis=1, keepdims=True))
+    if not np.all(norms > 0):
+        # an all-zero embedding would yield NaN -> floor(NaN) -> an
+        # undefined int64 sentinel, silently diverging from the SQL
+        # twin (which would error or produce a different row)
+        raise ValueError("quantize_lattice: zero-norm embedding row")
+    En = E / norms
     return np.floor((En + PQ_SHIFT) * float(PQ_SCALE)).astype(np.int64)
 
 

@@ -76,13 +76,32 @@ def daily_active_users(events_ds, n_buckets: int = _N_USER_BUCKETS):
     return per_bucket.groupby("day").aggregate(Sum("n", alias_name="n_users"))
 
 
-def _hll_partial(batch: pa.Table, col: str) -> pa.Table:
+_HLL_HASH_CACHE: dict[int, int] = {}
+
+
+def _hash_int_values(vals: np.ndarray) -> np.ndarray:
+    """md5 per WORKER-lifetime-unique value (the _token_hash cache
+    idiom of functions/text_hash.py): values repeat across batches
+    (user ids are vocabulary-bounded), so the md5 loop amortizes to
+    once per distinct value per worker instead of once per batch."""
     from robosat_ray.functions.text_hash import hash64
 
+    cache = _HLL_HASH_CACHE
+
+    def h(v: int) -> int:
+        r = cache.get(v)
+        if r is None:
+            r = hash64(str(v))
+            if len(cache) < 4_000_000:
+                cache[v] = r
+        return r
+
+    return np.fromiter((h(int(v)) for v in vals), dtype=np.uint64, count=len(vals))
+
+
+def _hll_partial(batch: pa.Table, col: str) -> pa.Table:
     vals = np.unique(batch.column(col).to_numpy())
-    # md5 once per in-batch-distinct value (vocabulary-bounded, same
-    # amortization as the token-hash cache in functions/text_hash.py)
-    hs = np.array([hash64(str(int(v))) for v in vals], dtype=np.uint64)
+    hs = _hash_int_values(vals)
     idx = (hs % np.uint64(HLL_M)).astype(np.int64)
     w = (hs // np.uint64(HLL_M)).astype(np.int64)  # < 2^52
     # exact integer bit_length: w < 2^53 so the float64 cast is exact

@@ -28,6 +28,11 @@ from robosat_ray.functions.hashing import hash_bucket
 from robosat_ray.geo.graph import min_label_arrays
 
 DRIVER_CC_EDGE_CAP = 2_000_000
+# footprint rows above which edge detection abandons the broadcast
+# bbox index (merge's input is corpus-derived features that scale
+# with the data) for the cell co-partition shuffle path — the same
+# switch flagship.py applies at BROADCAST_LIMIT
+MERGE_BROADCAST_FEET_CAP = 2_000_000
 
 
 class EdgeFinder:
@@ -112,20 +117,129 @@ class EdgeFinder:
         )
 
 
+_EDGE_CELL_BUCKETS = 64
+
+
+def _explode_buffered_cells(batch: pa.Table, z: int, eps_x: float, eps_y: float) -> pa.Table:
+    """One row per covered fine-grid cell per eps-buffered feature
+    bbox (the EdgeFinder cell cover, emitted as shuffle rows instead
+    of a broadcast index — same vectorized cartesian explode as
+    spatial_join._explode_footprints)."""
+    fid = batch.column("feature_id").to_numpy()
+    minx = batch.column("minx").to_numpy() - eps_x
+    miny = batch.column("miny").to_numpy() - eps_y
+    maxx = batch.column("maxx").to_numpy() + eps_x
+    maxy = batch.column("maxy").to_numpy() + eps_y
+    tx0, ty0, tx1, ty1 = T.tile_range(minx, miny, maxx, maxy, z)
+    ny = (ty1 - ty0 + 1).astype(np.int64)
+    reps = (tx1 - tx0 + 1).astype(np.int64) * ny
+    row = np.repeat(np.arange(len(fid)), reps)
+    offs = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
+    tx = tx0[row] + offs // ny[row]
+    ty = ty0[row] + offs % ny[row]
+    cells = tx * np.int64(1 << z) + ty
+    return pa.table(
+        {
+            "cell": pa.array(cells),
+            "bucket": pa.array(hash_bucket(cells, _EDGE_CELL_BUCKETS)),
+            "feature_id": pa.array(fid[row]),
+            "minx": pa.array(minx[row]),
+            "miny": pa.array(miny[row]),
+            "maxx": pa.array(maxx[row]),
+            "maxy": pa.array(maxy[row]),
+        }
+    )
+
+
+def _cell_overlap_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Within one cell bucket: per equal-cell run, all-pairs closed
+    bbox-overlap test on the (already eps-buffered) rects — the same
+    keep predicate as EdgeFinder.__call__ (every touching pair shares
+    at least one covered cell of either buffered bbox). Pairs repeat
+    across cells/buckets; dedup_pairs_ds collapses them downstream."""
+    cells = group["cell"].to_numpy()
+    fid = group["feature_id"].to_numpy()
+    minx = group["minx"].to_numpy()
+    miny = group["miny"].to_numpy()
+    maxx = group["maxx"].to_numpy()
+    maxy = group["maxy"].to_numpy()
+    order = np.lexsort((fid, cells))
+    cells, fid = cells[order], fid[order]
+    minx, miny, maxx, maxy = minx[order], miny[order], maxx[order], maxy[order]
+    m = len(cells)
+    starts = np.concatenate([[0], np.nonzero(np.diff(cells))[0] + 1, [m]]).astype(np.int64)
+    lens = np.diff(starts)
+    # ragged all-pairs over equal-cell runs, fully vectorized: element
+    # j (global) pairs with every earlier element of ITS run -> j is
+    # repeated `within[j]` times, its partners are the run prefix
+    run_start = np.repeat(starts[:-1], lens)
+    within = np.arange(m, dtype=np.int64) - run_start
+    total = int(within.sum())
+    if total == 0:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+        )
+    jj = np.repeat(np.arange(m, dtype=np.int64), within)
+    base = np.cumsum(within) - within
+    ii = np.arange(total, dtype=np.int64) - np.repeat(base, within) + np.repeat(
+        run_start, within
+    )
+    keep = (
+        (minx[ii] <= maxx[jj])
+        & (minx[jj] <= maxx[ii])
+        & (miny[ii] <= maxy[jj])
+        & (miny[jj] <= maxy[ii])
+        & (fid[ii] != fid[jj])
+    )
+    return pd.DataFrame(
+        {
+            "a": np.minimum(fid[ii[keep]], fid[jj[keep]]),
+            "b": np.maximum(fid[ii[keep]], fid[jj[keep]]),
+        }
+    )
+
+
+def _edges_shuffle(feet_ds, z: int, eps_x: float, eps_y: float):
+    """Distributed edge detection with NO broadcast index: explode
+    each buffered bbox to its covered fine-grid cells, co-partition by
+    cell bucket, emit overlap edges per cell group, dedupe pairs with
+    the bucketed lexsort idiom — the 100x-corpus path (the footprint
+    table never lands on the driver or in an actor broadcast)."""
+    import functools
+
+    from robosat_ray.stages.neardup import dedup_pairs_ds
+
+    zz = z + 3  # same fine grid as the broadcast EdgeFinder
+    rows = feet_ds.map_batches(
+        functools.partial(_explode_buffered_cells, z=zz, eps_x=eps_x, eps_y=eps_y),
+        batch_format="pyarrow",
+    )
+    cand = rows.groupby("bucket").map_groups(
+        _cell_overlap_pairs, batch_format="pandas"
+    )
+    return dedup_pairs_ds(cand)
+
+
 def merge_components(
     feet_ds,
     feet_table: pa.Table,
     z: int = C.Z_JOIN,
     eps_x: float = C.MERGE_EPS_X,
     eps_y: float = C.MERGE_EPS_Y,
+    edge_strategy: str = "auto",
 ):
     """-> Dataset (feature_id, component_id = min feature_id in its
     buffered-overlap component). Strategy switch on edge count: driver
     union-find + broadcast searchsorted attach below
     DRIVER_CC_EDGE_CAP, distributed label propagation + co-partition
     attach above (skew-safe: one giant component can't OOM a driver
-    that never gathers the label map)."""
-    mode, payload = _component_labels(feet_ds, feet_table, z, eps_x, eps_y)
+    that never gathers the label map). edge_strategy switches the
+    edge-detection plan: 'broadcast' (bbox index ray.put once) below
+    MERGE_BROADCAST_FEET_CAP footprint rows, 'shuffle' (cell
+    co-partition, no broadcast) above — both proven bit-equal."""
+    mode, payload = _component_labels(
+        feet_ds, feet_table, z, eps_x, eps_y, edge_strategy
+    )
     if mode == "arrays":
         import ray
 
@@ -143,20 +257,30 @@ def merge_components(
     return _copartition_attach(feet_ds, payload)
 
 
-def _component_labels(feet_ds, feet_table, z, eps_x, eps_y):
+def _component_labels(feet_ds, feet_table, z, eps_x, eps_y, edge_strategy="auto"):
     """Edge detection + connected components. Returns
     ('arrays', (sorted_ids, labels)) when the edge list fits the
     driver cap (the (ids, labels) numpy pair is the same size as the
     already-broadcast feet table), else ('ds', labels_dataset) from
-    the fully distributed path."""
+    the fully distributed path. Edge detection itself strategy-
+    switches on footprint count (see merge_components docstring)."""
     import ray
 
-    ref = ray.put(feet_table)
-    edges = feet_ds.map_batches(
-        EdgeFinder, fn_constructor_args=(ref, z, eps_x, eps_y),
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
-    ).materialize()  # edge list << data (may carry cross-batch
-    # duplicate pairs — the min-label consumers are idempotent)
+    if edge_strategy == "auto":
+        edge_strategy = (
+            "broadcast"
+            if feet_table.num_rows <= MERGE_BROADCAST_FEET_CAP
+            else "shuffle"
+        )
+    if edge_strategy == "shuffle":
+        edges = _edges_shuffle(feet_ds, z, eps_x, eps_y).materialize()
+    else:
+        ref = ray.put(feet_table)
+        edges = feet_ds.map_batches(
+            EdgeFinder, fn_constructor_args=(ref, z, eps_x, eps_y),
+            batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+        ).materialize()  # edge list << data (may carry cross-batch
+        # duplicate pairs — the min-label consumers are idempotent)
 
     if edges.count() <= DRIVER_CC_EDGE_CAP:
         et = edges.to_pandas()
@@ -246,11 +370,13 @@ def rect_union_area(minx, miny, maxx, maxy) -> float:
     return float(total)
 
 
-def _tagged_feet(feet_ds, feet_table, z, eps_x, eps_y, columns):
+def _tagged_feet(feet_ds, feet_table, z, eps_x, eps_y, columns, edge_strategy="auto"):
     """feet Dataset with component_id appended, plus a component-hash
     bucket for the per-component groupby. Broadcast searchsorted tag
     below the edge cap; co-partition join above it (no driver map)."""
-    mode, payload = _component_labels(feet_ds, feet_table, z, eps_x, eps_y)
+    mode, payload = _component_labels(
+        feet_ds, feet_table, z, eps_x, eps_y, edge_strategy
+    )
 
     def bucketed(batch: pa.Table) -> pa.Table:
         c = batch.column("component_id").to_numpy()
@@ -283,6 +409,7 @@ def merge_unions(
     z: int = C.Z_JOIN,
     eps_x: float = C.MERGE_EPS_X,
     eps_y: float = C.MERGE_EPS_Y,
+    edge_strategy: str = "auto",
 ):
     """A5 invariants, oracle-checkable: per component — member count,
     member-bbox extent, exact union area of the member rects (as an
@@ -292,6 +419,7 @@ def merge_unions(
     tagged = _tagged_feet(
         feet_ds, feet_table, z, eps_x, eps_y,
         ["feature_id", "minx", "miny", "maxx", "maxy"],
+        edge_strategy,
     )
 
     def reduce_comp(group: pd.DataFrame) -> pd.DataFrame:
@@ -325,6 +453,7 @@ def merge_geometry(
     z: int = C.Z_JOIN,
     eps_x: float = C.MERGE_EPS_X,
     eps_y: float = C.MERGE_EPS_Y,
+    edge_strategy: str = "auto",
 ):
     """Full reference merge output (tools/merge.py:63-81): per
     component, the MERGED GEOMETRY — union of member rects buffered by
@@ -354,6 +483,7 @@ def merge_geometry(
     tagged = _tagged_feet(
         feet_ds, feet_table, z, eps_x, eps_y,
         ["feature_id", "minx", "miny", "maxx", "maxy"],
+        edge_strategy,
     )
     tx, ty = 2.0 * eps_x, 2.0 * eps_y
 
@@ -488,6 +618,7 @@ def merge_ring_cells(
     eps_x: float = C.MERGE_EPS_X,
     eps_y: float = C.MERGE_EPS_Y,
     member_cap: int = MERGE_CELLS_MEMBER_CAP,
+    edge_strategy: str = "auto",
 ):
     """Hash-hard serialization of the merge_geometry RING OUTPUT: per
     component, the candidate compressed grid (member bbox cuts ± the
@@ -513,6 +644,7 @@ def merge_ring_cells(
     tagged = _tagged_feet(
         feet_ds, feet_table, z, eps_x, eps_y,
         ["feature_id", "minx", "miny", "maxx", "maxy"],
+        edge_strategy,
     )
     tx, ty = 2.0 * eps_x, 2.0 * eps_y
 

@@ -2,15 +2,16 @@
 with typed metadata, processed by actor-pool map_batches stages.
 
 The image path is REAL bytes->pixels: the synth side encodes each
-deterministic pixel tensor as a genuine BMP file (8-bpp grayscale,
-codecs/bmp.py — the one raster format a pure-numpy codec can own in a
-container without PIL/cv2/ffmpeg) and MediaDecoder parses the BMP
-back. Pixel VALUES stay the md5-seeded Weyl sequence so the DuckDB
-MEDIA_FEATURES oracle reproduces the whole decode->resize->feature
-chain exactly. Formats the numpy codec can't parse raise
-NotImplementedError (mode="strict") — the seam where PIL.Image.open /
-soundfile.read drops in at deployment; mode="fake" keeps the
-hash-derived decode for payloads that aren't real containers.
+deterministic pixel tensor as a genuine raster file — gray8 PNG
+(codecs/png.py, from-scratch zlib+numpy container) for odd doc_ids,
+8-bpp BMP (codecs/bmp.py) for even — and MediaDecoder parses the
+bytes back, magic-dispatched per payload. Pixel VALUES stay the
+md5-seeded Weyl sequence so the DuckDB MEDIA_FEATURES oracle
+reproduces the whole decode->resize->feature chain exactly. Formats
+the numpy codecs can't parse raise NotImplementedError
+(mode="strict") — the seam where PIL.Image.open / soundfile.read
+drops in at deployment; mode="fake" keeps the hash-derived decode for
+payloads that aren't real containers.
 
 Schema (media table):
   media_id: int64, kind: string {image,audio,video},
@@ -39,9 +40,13 @@ MEDIA_SCHEMA = pa.schema(
 def synth_media_batch(batch: pa.Table) -> pa.Table:
     """documents batch -> deterministic media rows: pixel tensor =
     md5(text)-seeded Weyl sequence (SQL-mirrorable), payload = that
-    tensor REALLY ENCODED as a BMP file, so the decode stage exercises
-    actual container parsing, not a hash stand-in."""
+    tensor REALLY ENCODED as a raster container — gray8 PNG for odd
+    doc_ids, 8-bpp BMP for even — so the decode stage exercises actual
+    container parsing (two formats, magic-dispatched), not a hash
+    stand-in. The pixel VALUES are container-independent, so the
+    DuckDB oracle is unchanged."""
     from robosat_ray.codecs.bmp import encode_bmp_gray8
+    from robosat_ray.codecs.png import encode_png
 
     ids = batch.column("doc_id").to_numpy()
     texts = batch.column("text").to_pylist()
@@ -50,8 +55,10 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
     h = (32 + (ids % 3) * 16).astype(np.int32)
     nf = np.where(ids % 3 == 2, 8 + (ids % 5), 1).astype(np.int32)
     payloads = [
-        encode_bmp_gray8(fake_decode(t.encode(), int(wi), int(hi)))
-        for t, wi, hi in zip(texts, w, h)
+        (encode_png if i % 2 else encode_bmp_gray8)(
+            fake_decode(t.encode(), int(wi), int(hi))
+        )
+        for i, t, wi, hi in zip(ids, texts, w, h)
     ]
     return pa.table(
         {
@@ -79,29 +86,45 @@ def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return v.astype(np.uint8).reshape(height, width)
 
 
+def decode_raster_gray8(payload: bytes) -> np.ndarray:
+    """Magic-dispatched bytes -> (h, w) uint8: 'BM' -> the BMP codec,
+    PNG signature -> the from-scratch PNG codec (gray or paletted
+    indices); anything else raises NotImplementedError — the seam
+    where a full codec stack (PIL/cv2/ffmpeg) drops in."""
+    if payload[:2] == b"BM":
+        from robosat_ray.codecs.bmp import decode_bmp_gray8
+
+        return decode_bmp_gray8(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from robosat_ray.codecs.png import decode_png_gray8
+
+        return decode_png_gray8(payload)
+    raise NotImplementedError("unknown raster container (real codec seam)")
+
+
 class MediaDecoder:
     """Actor-pool stage: decoder state (codec LUTs / model handles)
-    builds once per actor in __init__. mode='bmp' REALLY parses the
-    payload bytes (codecs/bmp.py); mode='fake' hashes them into a
+    builds once per actor in __init__. mode='container' (alias 'bmp')
+    REALLY parses the payload bytes, magic-dispatched across the
+    from-scratch BMP and PNG codecs; mode='fake' hashes them into a
     deterministic tensor; mode='strict' raises at the seam where a
     full codec stack (PIL/cv2/ffmpeg) drops in."""
 
-    def __init__(self, mode: str = "bmp", strict: bool = False):
+    def __init__(self, mode: str = "container", strict: bool = False):
         self.mode = "strict" if strict else mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "strict":
             raise NotImplementedError(
-                "media decode beyond 8-bpp BMP requires a codec stack "
-                "(PIL/cv2/ffmpeg), not available in this environment"
+                "media decode beyond 8-bpp BMP / 8-bit PNG requires a "
+                "codec stack (PIL/cv2/ffmpeg), not available in this "
+                "environment"
             )
         payloads = batch.column("payload").to_pylist()
         ws = batch.column("width").to_numpy()
         hs = batch.column("height").to_numpy()
-        if self.mode == "bmp":
-            from robosat_ray.codecs.bmp import decode_bmp_gray8
-
-            pixels = [decode_bmp_gray8(p).tobytes() for p in payloads]
+        if self.mode in ("container", "bmp"):
+            pixels = [decode_raster_gray8(p).tobytes() for p in payloads]
         else:
             pixels = [fake_decode(p, int(w), int(h)).tobytes() for p, w, h in zip(payloads, ws, hs)]
         return pa.table(
@@ -189,15 +212,15 @@ def frame_sample_batch(batch: pa.Table, every: int = 4) -> pa.Table:
 
 
 def media_pipeline(sf_dir: str, concurrency=(1, 4)):
-    """documents -> media (real BMP payloads) -> decode (actor pool,
-    real byte parsing) -> resize -> features."""
+    """documents -> media (real BMP/PNG payloads) -> decode (actor
+    pool, real byte parsing, magic dispatch) -> resize -> features."""
     import ray.data
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = docs.map_batches(synth_media_batch, batch_format="pyarrow")
     decoded = media.map_batches(
         MediaDecoder,
-        fn_constructor_kwargs={"mode": "bmp"},
+        fn_constructor_kwargs={"mode": "container"},
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,

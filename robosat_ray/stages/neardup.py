@@ -203,8 +203,16 @@ def _attach_hashes(group: pd.DataFrame) -> pd.DataFrame:
     pr = group[~is_sh]
     a = pr["a"].to_numpy()
     b = pr["b"].to_numpy()
-    pos = np.searchsorted(sh_ids, pr["doc_id"].to_numpy())
-    hashes = sh_hashes[pos]  # every pair-need doc has its carrier row
+    need = pr["doc_id"].to_numpy()
+    pos = np.searchsorted(sh_ids, need)
+    # every pair-need doc must have its carrier row — fail LOUDLY if
+    # the invariant ever breaks (a silent wrong-doc gather would emit
+    # wrong Jaccard verdicts instead of a visible error)
+    assert len(need) == 0 or (
+        len(sh_ids) > 0
+        and (sh_ids[np.clip(pos, 0, len(sh_ids) - 1)] == need).all()
+    ), "pair-need doc_id missing its shingle-carrier row"
+    hashes = sh_hashes[pos]
     from robosat_ray.functions.hashing import hash_bucket2
 
     return pd.DataFrame(

@@ -137,3 +137,39 @@ def rasterize(footprints_ds, z: int = C.Z_JOIN, size: int = 256, tiles_ds=None):
         .groupby("bucket")
         .map_groups(burn_bucket, batch_format="pandas")
     )
+
+
+def mask_png_stats(masks_ds):
+    """masks -> the reference's on-disk mask layout and back: encode
+    each burned mask as a paletted PNG (denim/orange PLTE, the
+    tools/masks.py:62-69 writer semantics re-expressed in the
+    from-scratch codecs/png.py) and immediately re-parse the BYTES;
+    fg count and a positional pixel checksum are recomputed from the
+    DECODED class indices, so any container bug breaks the oracle
+    row. Pure streaming map — one row per tile in and out."""
+
+    def enc_dec(batch: pa.Table) -> pa.Table:
+        from robosat_ray.codecs.palette import decode_mask_png, encode_mask_png
+
+        sizes = batch.column("size").to_numpy()
+        datas = batch.column("data").to_pylist()
+        fg = np.zeros(len(datas), np.int64)
+        ps = np.zeros(len(datas), np.int64)
+        for k, (s, d) in enumerate(zip(sizes, datas)):
+            s = int(s)
+            mask = np.frombuffer(d, np.uint8).reshape(s, s)
+            idx, pal = decode_mask_png(encode_mask_png(mask))
+            assert pal.shape == (2, 3)
+            fg[k] = int(np.count_nonzero(idx))
+            ys, xs = np.nonzero(idx)
+            ps[k] = int((ys.astype(np.int64) * s + xs).sum())
+        return pa.table(
+            {
+                "tile_x": batch.column("tile_x"),
+                "tile_y": batch.column("tile_y"),
+                "fg": pa.array(fg),
+                "pixsum": pa.array(ps),
+            }
+        )
+
+    return masks_ds.map_batches(enc_dec, batch_format="pyarrow")

@@ -39,11 +39,17 @@ def _bucket_of(cell: np.ndarray, salt: np.ndarray, num_buckets: int) -> np.ndarr
     return ((mix64(cell) + salt.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
 
 
-def hot_cell_map(points_ds, z: int, cap: int = 20000) -> dict:
+def hot_cell_map(points_ds, z: int, cap: int = 20000, top_k: int = 65536) -> dict:
     """Cheap two-stage count: per-batch partial counts per cell
     (map_batches combiner) -> small groupby sum -> driver-side
     {cell: k_salt} for cells whose row count exceeds `cap`. Only cells
-    above cap ever reach the driver."""
+    above cap ever reach the driver, and the map is additionally
+    bounded to the `top_k` HOTTEST of them (at 10^12 rows, millions of
+    cells could each exceed a fixed cap; the driver dict must stay
+    O(top_k)). Cells dropped by the top-k bound keep k_salt=1 — salting
+    is correctness-invariant (tests/test_oracle_parity.py salting
+    invariance), so the bound only trades residual skew, and every
+    dropped cell is no hotter than the coolest kept one."""
     def partial_counts(batch: pa.Table) -> pa.Table:
         cells = batch.column("cell").to_numpy()
         uniq, cnt = np.unique(cells, return_counts=True)
@@ -57,7 +63,12 @@ def hot_cell_map(points_ds, z: int, cap: int = 20000) -> dict:
         .groupby("cell")
         .aggregate(Sum("partial", alias_name="n"))
     )
-    hot = counts.filter(expr=f"n > {cap}").take_all()
+    hot = (
+        counts.filter(expr=f"n > {cap}")
+        .sort("n", descending=True)
+        .limit(top_k)
+        .take_all()
+    )
     return {int(r["cell"]): int(np.ceil(r["n"] / cap)) for r in hot}
 
 

@@ -255,3 +255,32 @@ def test_ring_cells_partition_invariant(ray_session):
         return df[cols].sort_values(cols).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(run(None), run(9))
+
+
+def test_merge_edge_shuffle_path_equals_broadcast(ray_session, monkeypatch):
+    """Forcing MERGE_BROADCAST_FEET_CAP=0 routes edge detection
+    through the cell co-partition shuffle plan (_edges_shuffle, no
+    broadcast bbox index — the 100x-corpus path); component labels,
+    union invariants, and the hash-hard ring-cell serialization must
+    all match the broadcast EdgeFinder path bit for bit."""
+    import pandas as pd
+
+    import robosat_ray.stages.merge as mg
+    from robosat_ray.synth.footprints import footprints_dataset, footprints_table
+
+    sf = "/root/testdata/sf0.001"
+    feet_t = footprints_table(sf)
+    base_c = mg.merge_components(footprints_dataset(sf), feet_t).to_pandas()
+    base_u = mg.merge_unions(footprints_dataset(sf), feet_t).to_pandas()
+    base_r = mg.merge_ring_cells(footprints_dataset(sf), feet_t).to_pandas()
+    monkeypatch.setattr(mg, "MERGE_BROADCAST_FEET_CAP", 0)
+    shuf_c = mg.merge_components(footprints_dataset(sf), feet_t).to_pandas()
+    shuf_u = mg.merge_unions(footprints_dataset(sf), feet_t).to_pandas()
+    shuf_r = mg.merge_ring_cells(footprints_dataset(sf), feet_t).to_pandas()
+    key = lambda df: (
+        df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(key(base_c), key(shuf_c))
+    pd.testing.assert_frame_equal(key(base_u), key(shuf_u))
+    pd.testing.assert_frame_equal(key(base_r), key(shuf_r))
+    assert base_u["n_members"].max() > 1  # real multi-feature components

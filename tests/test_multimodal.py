@@ -73,3 +73,35 @@ def test_media_pipeline_end_to_end(ray_session):
         out.sort_values("media_id").reset_index(drop=True),
         out2.sort_values("media_id").reset_index(drop=True),
     )
+
+
+def test_synth_media_mixes_png_and_bmp_containers():
+    """Odd doc_ids carry real PNG payloads, even ones real BMP; the
+    magic-dispatched decoder recovers the identical Weyl tensor from
+    both containers."""
+    import pyarrow as pa
+
+    from robosat_ray.stages.multimodal import (
+        decode_raster_gray8,
+        fake_decode,
+        synth_media_batch,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha", "beta", "gamma", "delta"]),
+        }
+    )
+    media = synth_media_batch(docs)
+    for row in media.to_pylist():
+        payload = row["payload"]
+        if row["media_id"] % 2:
+            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        else:
+            assert payload[:2] == b"BM"
+        texts = {0: "alpha", 1: "beta", 2: "gamma", 3: "delta"}
+        want = fake_decode(
+            texts[row["media_id"]].encode(), row["width"], row["height"]
+        )
+        assert (decode_raster_gray8(payload) == want).all()

@@ -35,12 +35,20 @@ def test_salting_does_not_change_join():
     salted = flagship(
         SF, through_html=False, salt=True, salt_cap=10, join_strategy="shuffle"
     ).to_pandas()
+    # the driver hot-map bound: forcing top_k tiny drops most hot
+    # cells back to k=1 — still identical output (bound is skew-only)
+    capped = flagship(
+        SF, through_html=False, salt=True, salt_cap=10, salt_top_k=3,
+        join_strategy="shuffle",
+    ).to_pandas()
     cols = sorted(base.columns)
     a = base[cols].sort_values(cols).reset_index(drop=True)
     b = salted[cols].sort_values(cols).reset_index(drop=True)
+    c = capped[cols].sort_values(cols).reset_index(drop=True)
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
 
 
 def test_broadcast_equals_shuffle_join():

@@ -425,3 +425,27 @@ def test_ann_pq_recall_floor(ray_session):
     e = exact.groupby("query_id")["neighbor_id"].apply(set)
     rec = sum(len(g[q] & e[q]) for q in e.index) / sum(len(e[q]) for q in e.index)
     assert rec >= 0.7, rec
+
+
+def test_emb_dup_lsh_copartition_equals_broadcast(ray_session):
+    """The 10^9-vector verify path (vec_id co-partition join, no
+    broadcast embedding matrix) must emit bit-identical pairs to the
+    broadcast LSHVerify path on the same corpus."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from robosat_ray.stages.ann import emb_dup_pairs_lsh, with_emb_variants_batch
+
+    sf = "/root/testdata/sf0.001"
+    tbl = with_emb_variants_batch(
+        pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    )
+    base = emb_dup_pairs_lsh(
+        ray.data.from_arrow(tbl), tbl, verify_strategy="broadcast"
+    ).to_pandas()
+    cop = emb_dup_pairs_lsh(
+        ray.data.from_arrow(tbl), tbl, verify_strategy="copartition"
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["a"].astype(int), df["b"].astype(int)))
+    assert key(base) == key(cop)
+    assert len(base) > 0
