@@ -927,6 +927,20 @@ FROM tiles t LEFT JOIN (
 ) p ON p.tx = t.tx AND p.ty = t.ty
 """
 
+# pbf_extract: the synthesized footprints that survive the reference's
+# building/parking way predicates (osm/building.py:30-37,
+# osm/parking.py:25-30 — the synth corpus carries no filtered
+# subtypes), on the exact 1e-7-degree grid the PBF container stores.
+PBF_EXTRACT = f"""
+WITH {feet_cte()}
+SELECT feature_id, kind,
+       CAST(FLOOR(minx * 1e7 + 0.5) AS BIGINT) AS minx_d7,
+       CAST(FLOOR(miny * 1e7 + 0.5) AS BIGINT) AS miny_d7,
+       CAST(FLOOR(maxx * 1e7 + 0.5) AS BIGINT) AS maxx_d7,
+       CAST(FLOOR(maxy * 1e7 + 0.5) AS BIGINT) AS maxy_d7
+FROM feet WHERE kind IN ('building', 'parking')
+"""
+
 CLASS_WEIGHTS = f"""
 WITH fgq AS ({RASTERIZE_FG}),
 totals AS (

@@ -99,6 +99,52 @@ def q_rasterize_fg(sf_dir: str):
     return masks.select_columns(["tile_x", "tile_y", "fg"])
 
 
+def q_pbf_extract(sf_dir: str):
+    """The reference `rs extract` chain through REAL .osm.pbf bytes:
+    footprints encoded into a multi-blob PBF file (vectorized varint /
+    zigzag / delta / zlib writer), then read back via the distributed
+    from-scratch reader (blob-parallel inflate + protobuf parse,
+    building/parking tag filters, ref-hash co-partition node join,
+    ring assembly). Emits the decoded bboxes on the exact 1e-7-degree
+    grid the PBF stores, so the oracle (feet CTE, same quantization)
+    gates the whole container round trip bit-exactly."""
+    import hashlib
+    import os
+
+    from robosat_ray.sources.osm_pbf import extract_pbf, footprints_to_blocks, write_pbf
+    from robosat_ray.synth.footprints import footprints_table
+
+    feet = footprints_table(sf_dir)
+    tag = hashlib.md5(f"{sf_dir}:{feet.num_rows}".encode()).hexdigest()[:12]
+    path = f"/tmp/robosat_ray_pbf/{tag}.osm.pbf"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.part.{os.getpid()}"
+        write_pbf(tmp, footprints_to_blocks(feet))
+        os.replace(tmp, path)
+
+    ext = extract_pbf(path, kinds=("building", "parking"))
+
+    def quantize(batch):
+        import pyarrow as pa
+
+        q = lambda c: pa.array(
+            np.floor(batch.column(c).to_numpy() * 1e7 + 0.5).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "feature_id": batch.column("feature_id"),
+                "kind": batch.column("kind"),
+                "minx_d7": q("minx"),
+                "miny_d7": q("miny"),
+                "maxx_d7": q("maxx"),
+                "maxy_d7": q("maxy"),
+            }
+        )
+
+    return ext.map_batches(quantize, batch_format="pyarrow")
+
+
 def q_mask_png(sf_dir: str):
     """Rasterize masks round-tripped through the reference's paletted
     PNG layout (tools/masks.py:62-69): fg + positional checksum are
@@ -1456,6 +1502,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "rasterize_fg": q_rasterize_fg,
     "mask_png": q_mask_png,
+    "pbf_extract": q_pbf_extract,
     "merge_components": q_merge_components,
     "dedupe": q_dedupe,
     "near_dup": q_near_dup,
@@ -1557,6 +1604,7 @@ ORACLES = {
     "epoch_loss": oracle.EPOCH_LOSS,
     "media_features": oracle.MEDIA_FEATURES,
     "mask_png": oracle.MASK_PNG,
+    "pbf_extract": oracle.PBF_EXTRACT,
     "events_sessions": oracle.EVENTS_SESSIONS,
     "order_revenue": oracle.ORDER_REVENUE,
     "price_quantiles": oracle.PRICE_QUANTILES,

@@ -119,48 +119,6 @@ def test_way_tag_filters_match_reference():
     assert kept_p == [r[0] for r in rows if r[4] == "parking"]
 
 
-def _feet_to_blocks(feet: pa.Table, per_block: int = 500) -> list:
-    """Synth footprints -> PrimitiveBlocks: each rect becomes a closed
-    4-corner way tagged by kind (building=yes / amenity=parking /
-    highway=residential), corners as integer nano-units (granularity 1,
-    exact). Node ids derive from the feature id."""
-    fid = feet.column("feature_id").to_numpy()
-    kind = feet.column("kind").to_pylist()
-    minx = np.floor(feet.column("minx").to_numpy() * 1e7 + 0.5).astype(np.int64) * 100
-    miny = np.floor(feet.column("miny").to_numpy() * 1e7 + 0.5).astype(np.int64) * 100
-    maxx = np.floor(feet.column("maxx").to_numpy() * 1e7 + 0.5).astype(np.int64) * 100
-    maxy = np.floor(feet.column("maxy").to_numpy() * 1e7 + 0.5).astype(np.int64) * 100
-    tag_of = {
-        "building": [("building", "yes")],
-        "parking": [("amenity", "parking")],
-        "road": [("highway", "residential")],
-        "water": [("natural", "water")],
-    }
-    blocks = []
-    for s in range(0, len(fid), per_block):
-        e = min(s + per_block, len(fid))
-        nid, nlon, nlat, ways = [], [], [], []
-        for i in range(s, e):
-            base = int(fid[i]) * 8
-            corners = [
-                (minx[i], miny[i]), (maxx[i], miny[i]),
-                (maxx[i], maxy[i]), (minx[i], maxy[i]),
-            ]
-            for c, (x, y) in enumerate(corners):
-                nid.append(base + c)
-                nlon.append(int(x))
-                nlat.append(int(y))
-            refs = np.array([base, base + 1, base + 2, base + 3, base], np.int64)
-            ways.append((int(fid[i]), refs, tag_of[kind[i]]))
-        blocks.append(
-            P.build_primitive_block(
-                np.array(nid, np.int64), np.array(nlon, np.int64),
-                np.array(nlat, np.int64), ways,
-            )
-        )
-    return blocks
-
-
 def test_extract_cover_parity_vs_synth_footprints(ray_session, tmp_path):
     """The VERDICT #6 'done' check: synth footprints encoded into a
     REAL multi-blob .osm.pbf, read back through the distributed
@@ -176,7 +134,7 @@ def test_extract_cover_parity_vs_synth_footprints(ray_session, tmp_path):
 
     feet = footprints_table("/root/testdata/sf0.001")
     path = str(tmp_path / "synth.osm.pbf")
-    P.write_pbf(path, _feet_to_blocks(feet))
+    P.write_pbf(path, P.footprints_to_blocks(feet, per_block=80))
 
     got = P.extract_pbf(path, kinds=("building", "parking")).to_pandas()
     keep = feet.filter(pc.is_in(feet.column("kind"), pa.array(["building", "parking"])))
