@@ -39,37 +39,68 @@ def _bucket_of(cell: np.ndarray, salt: np.ndarray, num_buckets: int) -> np.ndarr
     return ((mix64(cell) + salt.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
 
 
-def hot_cell_map(points_ds, z: int, cap: int = 20000, top_k: int = 65536) -> dict:
+def hot_cell_map(
+    points_ds, z: int, cap: int = 20000, top_k: int = 65536, sample_mod: int = 0
+) -> dict:
     """Cheap two-stage count: per-batch partial counts per cell
     (map_batches combiner) -> small groupby sum -> driver-side
     {cell: k_salt} for cells whose row count exceeds `cap`. Only cells
     above cap ever reach the driver, and the map is additionally
     bounded to the `top_k` HOTTEST of them (at 10^12 rows, millions of
     cells could each exceed a fixed cap; the driver dict must stay
-    O(top_k)). Cells dropped by the top-k bound keep k_salt=1 — salting
-    is correctness-invariant (tests/test_oracle_parity.py salting
-    invariance), so the bound only trades residual skew, and every
-    dropped cell is no hotter than the coolest kept one."""
+    O(top_k)).
+
+    Detection runs on a DETERMINISTIC 1/sample_mod row sample
+    (mix64(doc_id) residue; sample_mod=0 auto-picks cap//256, i.e.
+    a genuinely hot cell still contributes ~256+ sampled rows, so the
+    estimate's relative error is a few percent). Salting is
+    correctness-invariant (tests/test_oracle_parity.py salting
+    invariance), so both the sampling and the top-k bound only trade
+    residual skew — a missed borderline cell keeps k_salt=1, and every
+    cell dropped by top-k is no hotter than the coolest kept one.
+    The pre-pass therefore costs one map-only scan plus a groupby of
+    the SAMPLED cells, not an all-to-all of every row."""
+    if sample_mod <= 0:
+        sample_mod = max(1, cap // 256)
+    threshold = cap // sample_mod
+
     def partial_counts(batch: pa.Table) -> pa.Table:
         cells = batch.column("cell").to_numpy()
+        if sample_mod > 1:
+            ids = batch.column("doc_id").to_numpy()
+            cells = cells[mix64(ids) % np.uint64(sample_mod) == 0]
         uniq, cnt = np.unique(cells, return_counts=True)
         return pa.table({"cell": uniq, "partial": cnt.astype(np.int64)})
 
     from ray.data.aggregate import Sum
 
+    cols = ["cell"] if sample_mod == 1 else ["doc_id", "cell"]
     counts = (
-        points_ds.select_columns(["cell"])
+        points_ds.select_columns(cols)
         .map_batches(partial_counts, batch_format="pyarrow")
         .groupby("cell")
         .aggregate(Sum("partial", alias_name="n"))
     )
-    hot = (
-        counts.filter(expr=f"n > {cap}")
-        .sort("n", descending=True)
-        .limit(top_k)
-        .take_all()
-    )
-    return {int(r["cell"]): int(np.ceil(r["n"] / cap)) for r in hot}
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        # per-block top-k: the driver then sees <= top_k x n_blocks
+        # rows and takes the global top-k — ONE pass, no Ray sort (a
+        # sort operator adds a boundary-sampling execution of the
+        # whole upstream count pipeline, measured ~1.5x the stage)
+        n = batch.column("n").to_numpy()
+        if len(n) > top_k:
+            sel = np.argpartition(n, len(n) - top_k)[len(n) - top_k :]
+            batch = batch.take(pa.array(np.sort(sel)))
+        return batch
+
+    hot = counts.filter(expr=f"n > {threshold}").map_batches(
+        topk_partial, batch_format="pyarrow"
+    ).take_all()
+    if len(hot) > top_k:
+        hot.sort(key=lambda r: -r["n"])
+        hot = hot[:top_k]
+    return {
+        int(r["cell"]): int(np.ceil(r["n"] * sample_mod / cap)) for r in hot
+    }
 
 
 def _apply_hot_k(cells: np.ndarray, hot: dict) -> np.ndarray:

@@ -426,3 +426,28 @@ def test_bloom_num_bits_clamped_to_cap(ray_session):
     b = copartition_semi_join(lds, rds, on="k", schema_hints=hints).to_pandas()
     key = lambda df: sorted(zip(df["k"].astype(int), df["v"].astype(int)))
     assert key(a) == key(b) and len(a) > 0
+
+
+def test_hot_cell_map_sampled_detection(ray_session):
+    """The deterministic 1/mod-sampled hot map finds a genuinely hot
+    cell with a k_salt within one of the exact count's, and never
+    invents hot cells out of cold ones (cold = well below cap)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from robosat_ray.stages.spatial_join import hot_cell_map
+
+    n_hot, cap = 50_000, 1000
+    hot_cell, cold_cells = 7, np.arange(100, 160)
+    cells = np.concatenate(
+        [np.full(n_hot, hot_cell, np.int64), np.repeat(cold_cells, 20)]
+    )
+    ids = np.arange(len(cells), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "cell": pa.array(cells)})
+    ds = ray.data.from_arrow(t).repartition(16)
+    exact = hot_cell_map(ds, z=12, cap=cap, sample_mod=1)
+    sampled = hot_cell_map(ds, z=12, cap=cap)  # auto mod = cap//256 = 3
+    assert set(exact) == {hot_cell}
+    assert set(sampled) == {hot_cell}
+    assert abs(sampled[hot_cell] - exact[hot_cell]) <= max(2, exact[hot_cell] // 5)
