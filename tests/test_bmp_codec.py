@@ -76,12 +76,17 @@ def test_palette_indirection():
     np.testing.assert_array_equal(decode_bmp_gray8(bytes(b)), 255 - img)
 
 
-def test_synth_payloads_are_real_bmps():
-    """The media table's image payloads decode to exactly the Weyl
-    pixel tensor the features/oracle chain is built on."""
+def test_synth_payloads_are_real_containers():
+    """The media table's image payloads (BMP for even ids, PNG for
+    odd — see stages/multimodal.synth_media_batch) decode to exactly
+    the Weyl pixel tensor the features/oracle chain is built on."""
     import pyarrow as pa
 
-    from robosat_ray.stages.multimodal import fake_decode, synth_media_batch
+    from robosat_ray.stages.multimodal import (
+        decode_raster_gray8,
+        fake_decode,
+        synth_media_batch,
+    )
 
     docs = pa.table(
         {
@@ -97,4 +102,6 @@ def test_synth_payloads_are_real_bmps():
         want = fake_decode(
             text_by_id[r["media_id"]].encode(), r["width"], r["height"]
         )
-        np.testing.assert_array_equal(decode_bmp_gray8(r["payload"]), want)
+        np.testing.assert_array_equal(decode_raster_gray8(r["payload"]), want)
+        if r["media_id"] % 2 == 0:  # even ids stay genuine BMP files
+            np.testing.assert_array_equal(decode_bmp_gray8(r["payload"]), want)
