@@ -97,12 +97,14 @@ def knn_kring(points_ds, query_ids, qx, qy, k: int = C.KNN_K, z: int = C.Z_JOIN,
     s = 360.0 / (1 << z)  # metric cell side in the (lon, my*360) plane
     r = r0
     while True:
-        allowed = set()
-        for tx, ty in zip(qtx, qty):
-            for x in range(tx - r, tx + r + 1):
-                for y in range(ty - r, ty + r + 1):
-                    allowed.add(int(T.cell_id(np.array([x]), np.array([y]), z)[0]))
-        allowed_arr = np.sort(np.fromiter(allowed, dtype=np.int64, count=len(allowed)))
+        # vectorized k-ring enumeration: the Q x (2r+1)^2 offset
+        # cartesian in one shot (the old per-query nested Python loop
+        # made singleton cell_id calls — painful past ~10^3 queries)
+        offs = np.arange(-r, r + 1, dtype=np.int64)
+        w = len(offs)
+        txc = np.repeat(qtx, w * w) + np.tile(np.repeat(offs, w), len(qtx))
+        tyc = np.repeat(qty, w * w) + np.tile(np.tile(offs, w), len(qty))
+        allowed_arr = np.unique(T.cell_id(txc, tyc, z))
 
         stage = LocalTopK(qids, qx, qy, k)
 
@@ -119,14 +121,15 @@ def knn_kring(points_ds, query_ids, qx, qy, k: int = C.KNN_K, z: int = C.Z_JOIN,
         )
         pdf = merged.to_pandas()
         # ring guarantee: kth distance < (r-1) * cell side for every
-        # query that found k results; otherwise expand
-        ok = True
+        # query that found k results; otherwise expand (vectorized
+        # per-query count/max via groupby, no per-query Python loop)
         bound = (r - 1) * s
-        for qid in qids:
-            sub = pdf[pdf.query_id == qid]
-            if len(sub) < k or np.sqrt(sub["dist"].max()) >= bound:
-                ok = False
-                break
+        agg = pdf.groupby("query_id")["dist"].agg(["count", "max"])
+        ok = (
+            len(agg) == len(qids)
+            and (agg["count"] >= k).all()
+            and (np.sqrt(agg["max"].to_numpy()) < bound).all()
+        )
         if ok:
             return pdf[["query_id", "neighbor_id", "rank"]]
         r *= 2
