@@ -273,8 +273,37 @@ class DedupeProber:
         )
 
 
-def dedupe_survivors(pred_ds, feet_table: pa.Table, z: int = C.Z_JOIN, threshold: float = C.DEDUPE_IOU_THRESHOLD):
+def dedupe_survivors(
+    pred_ds,
+    feet_table: pa.Table,
+    z: int = C.Z_JOIN,
+    threshold: float = C.DEDUPE_IOU_THRESHOLD,
+    strategy: str = "auto",
+    feet_ds=None,
+):
+    """strategy: 'broadcast' (reference table ray.put once, per-actor
+    cell index — right while the OSM side fits a worker heap),
+    'shuffle' (cell co-partition, no broadcast — the path for a
+    corpus-scale reference side), or 'auto' by reference row count vs
+    DEDUPE_BROADCAST_FEET_CAP. Both proven bit-equal
+    (tests/test_union_iou.py strategy-flip test)."""
     import ray
+
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if feet_table.num_rows <= DEDUPE_BROADCAST_FEET_CAP
+            else "shuffle"
+        )
+    if strategy == "shuffle":
+        import ray.data
+
+        return dedupe_survivors_shuffle(
+            pred_ds,
+            feet_ds if feet_ds is not None else ray.data.from_arrow(feet_table),
+            z,
+            threshold,
+        )
 
     ref = ray.put(feet_table)
     return pred_ds.map_batches(
@@ -283,4 +312,212 @@ def dedupe_survivors(pred_ds, feet_table: pa.Table, z: int = C.Z_JOIN, threshold
         batch_format="pyarrow",
         concurrency=(1, 8),
         num_cpus=1,
+    )
+
+
+# predicted-shape rows above which... actually the BROADCAST side here
+# is the REFERENCE footprint table (external, usually bounded); the
+# switch exists so a corpus-scale reference side can't OOM the workers
+# (VERDICT r3: "no shuffle fallback; add the same strategy switch for
+# symmetry" with merge/flagship).
+DEDUPE_BROADCAST_FEET_CAP = 2_000_000
+_DD_BUCKETS = 64
+
+
+def _explode_geom_cells(batch: pa.Table, id_col: str, zz: int, role: int) -> pa.Table:
+    """One row per covered zz-cell per shape, carrying the full
+    geometry payload (bbox + rings) — the co-partition transport for
+    the shuffle dedupe."""
+    from robosat_ray.functions.hashing import hash_bucket
+
+    minx = batch.column("minx").to_numpy()
+    miny = batch.column("miny").to_numpy()
+    maxx = batch.column("maxx").to_numpy()
+    maxy = batch.column("maxy").to_numpy()
+    tx0, ty0, tx1, ty1 = T.tile_range(minx, miny, maxx, maxy, zz)
+    ny = (ty1 - ty0 + 1).astype(np.int64)
+    reps = (tx1 - tx0 + 1).astype(np.int64) * ny
+    row = np.repeat(np.arange(len(minx)), reps)
+    offs = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
+    tx = tx0[row] + offs // ny[row]
+    ty = ty0[row] + offs % ny[row]
+    cells = tx * np.int64(1 << zz) + ty
+    taken = batch.take(pa.array(row))
+    return pa.table(
+        {
+            "cell": pa.array(cells),
+            "cbucket": pa.array(hash_bucket(cells, _DD_BUCKETS)),
+            "role": pa.array(np.full(len(cells), role, np.int8)),
+            "id": taken.column(id_col),
+            "minx": taken.column("minx"),
+            "miny": taken.column("miny"),
+            "maxx": taken.column("maxx"),
+            "maxy": taken.column("maxy"),
+            "rings": taken.column("rings"),
+        }
+    )
+
+
+def _cell_pairs_group(t: pa.Table) -> pa.Table:
+    """Within one cell bucket: per equal-cell run, (pred x ref) pairs
+    with strictly-positive bbox overlap (the DedupeProber keep
+    predicate) -> REF payload rows keyed by pred_id + pred-hash bucket.
+    Pairs repeat across cells; the pred-side group uniquifies."""
+    from robosat_ray.functions.hashing import hash_bucket
+
+    cells = t.column("cell").to_numpy()
+    role = t.column("role").to_numpy()
+    ids = t.column("id").to_numpy()
+    minx = t.column("minx").to_numpy()
+    miny = t.column("miny").to_numpy()
+    maxx = t.column("maxx").to_numpy()
+    maxy = t.column("maxy").to_numpy()
+    order = np.lexsort((role, ids, cells))
+    cells_s, role_s, ids_s = cells[order], role[order], ids[order]
+    m = len(cells_s)
+    starts = np.concatenate([[0], np.nonzero(np.diff(cells_s))[0] + 1, [m]]).astype(np.int64)
+    lens = np.diff(starts)
+    run_start = np.repeat(starts[:-1], lens)
+    within = np.arange(m, dtype=np.int64) - run_start
+    total = int(within.sum())
+    empty = pa.table(
+        {
+            "pbucket": pa.array([], pa.int64()),
+            "pred_id": pa.array([], pa.int64()),
+            "role": pa.array([], pa.int8()),
+            "id": pa.array([], pa.int64()),
+            "minx": pa.array([], pa.float64()),
+            "miny": pa.array([], pa.float64()),
+            "maxx": pa.array([], pa.float64()),
+            "maxy": pa.array([], pa.float64()),
+            "rings": pa.array([], t.column("rings").type),
+        }
+    )
+    if total == 0:
+        return empty
+    jj = np.repeat(np.arange(m, dtype=np.int64), within)
+    base = np.cumsum(within) - within
+    ii = np.arange(total, dtype=np.int64) - np.repeat(base, within) + np.repeat(
+        run_start, within
+    )
+    oi, oj = order[ii], order[jj]
+    # one side pred (role 1), the other ref (role 0); open-interval
+    # bbox overlap, matching DedupeProber.__call__'s keep
+    is_pair = role[oi] != role[oj]
+    keep = (
+        is_pair
+        & (minx[oi] < maxx[oj])
+        & (minx[oj] < maxx[oi])
+        & (miny[oi] < maxy[oj])
+        & (miny[oj] < maxy[oi])
+    )
+    oi, oj = oi[keep], oj[keep]
+    pred_idx = np.where(role[oi] == 1, oi, oj)
+    ref_idx = np.where(role[oi] == 1, oj, oi)
+    pred_ids = ids[pred_idx]
+    taken = t.take(pa.array(ref_idx))
+    return pa.table(
+        {
+            "pbucket": pa.array(hash_bucket(pred_ids, _DD_BUCKETS)),
+            "pred_id": pa.array(pred_ids),
+            "role": pa.array(np.zeros(len(pred_ids), np.int8)),
+            "id": taken.column("id"),
+            "minx": taken.column("minx"),
+            "miny": taken.column("miny"),
+            "maxx": taken.column("maxx"),
+            "maxy": taken.column("maxy"),
+            "rings": taken.column("rings"),
+        }
+    )
+
+
+def _survivors_group(t: pa.Table, z: int, threshold: float) -> pa.Table:
+    """Within one pred bucket: preds (role 1 carriers) + every
+    candidate ref of every pred in the bucket (role 0, possibly
+    repeated). Builds a local feet sub-table from the unique refs and
+    runs the UNCHANGED DedupeProber kernel over the preds — bit-equal
+    to the broadcast path by construction (every positively-
+    intersecting ref shares a covered cell with its pred, so it is in
+    this bucket; extra refs pair with no cell of a given pred or fail
+    the same keep tests)."""
+    role = t.column("role").to_numpy()
+    ids = t.column("id").to_numpy()
+    pred_rows = np.nonzero(role == 1)[0]
+    if len(pred_rows) == 0:
+        return pa.table({"pred_id": pa.array([], pa.int64())})
+    ref_rows = np.nonzero(role == 0)[0]
+    _, uniq = np.unique(ids[ref_rows], return_index=True)
+    feet = t.take(pa.array(ref_rows[uniq])).select(
+        ["minx", "miny", "maxx", "maxy", "rings"]
+    )
+    _, uniq_p = np.unique(ids[pred_rows], return_index=True)
+    preds = t.take(pa.array(pred_rows[uniq_p]))
+    pred_batch = pa.table(
+        {
+            "pred_id": preds.column("id"),
+            "minx": preds.column("minx"),
+            "miny": preds.column("miny"),
+            "maxx": preds.column("maxx"),
+            "maxy": preds.column("maxy"),
+            "rings": preds.column("rings"),
+        }
+    )
+    prober = DedupeProber(feet.combine_chunks(), z, threshold)
+    return prober(pred_batch)
+
+
+def dedupe_survivors_shuffle(
+    pred_ds, feet_ds, z: int = C.Z_JOIN, threshold: float = C.DEDUPE_IOU_THRESHOLD
+):
+    """Shuffle-plan dedupe: NO broadcast reference table. Both sides
+    explode to covered z+3 cells (geometry payload rides the shuffle),
+    candidate (pred, ref) pairs form per cell bucket, then every pred
+    regroups with ALL its candidate refs on a pred-hash bucket and the
+    unchanged union-IoU kernel decides. Left-outer semantics: pred
+    carrier rows always reach the pred bucket, so preds with no
+    candidates survive."""
+    zz = z + 3
+    feet_cells = feet_ds.map_batches(
+        lambda b: _explode_geom_cells(b, "feature_id", zz, role=0),
+        batch_format="pyarrow",
+    )
+    pred_cells = pred_ds.map_batches(
+        lambda b: _explode_geom_cells(b, "pred_id", zz, role=1),
+        batch_format="pyarrow",
+    )
+    pairs = (
+        pred_cells.union(feet_cells)
+        .groupby("cbucket")
+        .map_groups(_cell_pairs_group, batch_format="pyarrow")
+    )
+
+    def pred_carriers(batch: pa.Table) -> pa.Table:
+        from robosat_ray.functions.hashing import hash_bucket
+
+        pid = batch.column("pred_id").to_numpy()
+        n = len(pid)
+        return pa.table(
+            {
+                "pbucket": pa.array(hash_bucket(pid, _DD_BUCKETS)),
+                "pred_id": pa.array(pid),
+                "role": pa.array(np.ones(n, np.int8)),
+                "id": pa.array(pid),
+                "minx": batch.column("minx"),
+                "miny": batch.column("miny"),
+                "maxx": batch.column("maxx"),
+                "maxy": batch.column("maxy"),
+                "rings": batch.column("rings"),
+            }
+        )
+
+    carriers = pred_ds.map_batches(pred_carriers, batch_format="pyarrow")
+    import functools
+
+    return (
+        pairs.union(carriers)
+        .groupby("pbucket")
+        .map_groups(
+            functools.partial(_survivors_group, z=z, threshold=threshold),
+            batch_format="pyarrow",
+        )
     )

@@ -147,3 +147,27 @@ def test_union_iou_high_k_raster_fallback():
     # union of all 25 rects = [0, 2.9]x[0,1]; inter = 2.9; union = 3.0
     assert abs(approx - 2.9 / 3.0) < 0.02, approx
     assert 0 < exact < 1
+
+
+def test_dedupe_shuffle_path_equals_broadcast(ray_session):
+    """Forcing strategy='shuffle' routes dedupe through the cell
+    co-partition plan (no broadcast reference table); the survivor set
+    must equal the broadcast DedupeProber path exactly."""
+    from robosat_ray.stages.dedupe import dedupe_survivors
+    from robosat_ray.synth.footprints import (
+        footprints_dataset,
+        footprints_table,
+        predicted_dataset,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    feet_t = footprints_table(sf)
+    base = dedupe_survivors(
+        predicted_dataset(sf), feet_t, strategy="broadcast"
+    ).to_pandas()
+    shuf = dedupe_survivors(
+        predicted_dataset(sf), feet_t, strategy="shuffle",
+        feet_ds=footprints_dataset(sf),
+    ).to_pandas()
+    assert sorted(base["pred_id"]) == sorted(shuf["pred_id"])
+    assert len(base) > 0
