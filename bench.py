@@ -118,6 +118,9 @@ def run_bench() -> dict:
         # serializations, and the real-BMP multimodal chain
         "langid", "quality", "featurize", "merge_geometry",
         "media_features", "cms_sketch", "ann_pq",
+        # round-4 additions: real-container round trips (from-scratch
+        # PNG codec; from-scratch OSM PBF reader)
+        "mask_png", "pbf_extract",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)
