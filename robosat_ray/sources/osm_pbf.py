@@ -204,6 +204,10 @@ def _inflate_blob(buf: memoryview) -> bytes:
 # --------------------------------------------------------------------------
 # PrimitiveBlock decode
 
+_PBF_RING_T = pa.list_(
+    pa.list_(pa.struct([("x", pa.float64()), ("y", pa.float64())]))
+)
+
 WAYS_SCHEMA = pa.schema(
     [
         ("way_id", pa.int64()),
@@ -530,9 +534,9 @@ def assemble_polygons(coords_ds):
     """(way_id, seq, lon, lat, n_refs, kind) rows -> one footprint row
     per way: bbox + the exterior ring in seq order (closing ref
     dropped, matching the reference's geojson.Polygon ring). Grouped
-    on a way-hash bucket; per-way work is a vectorized lexsort split."""
-    import pandas as pd
-
+    on a way-hash bucket; per-way work is one lexsort + reduceat, and
+    the nested ring arrays build straight from offsets (no per-way
+    Python, no dict rows)."""
     from robosat_ray.functions.hashing import hash_bucket
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -540,34 +544,64 @@ def assemble_polygons(coords_ds):
             "wbucket", pa.array(hash_bucket(batch.column("way_id").to_numpy(), _JOIN_BUCKETS))
         )
 
-    def build(group: pd.DataFrame) -> pd.DataFrame:
-        wid = group["way_id"].to_numpy()
-        seq = group["seq"].to_numpy()
-        lon = group["lon"].to_numpy()
-        lat = group["lat"].to_numpy()
-        kind = group["kind"].to_numpy()
+    def build(t: pa.Table) -> pa.Table:
+        wid = t.column("way_id").to_numpy()
+        seq = t.column("seq").to_numpy()
+        lon = t.column("lon").to_numpy()
+        lat = t.column("lat").to_numpy()
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
         order = np.lexsort((seq, wid))
-        wid, seq, lon, lat, kind = wid[order], seq[order], lon[order], lat[order], kind[order]
-        starts = np.concatenate([[0], np.nonzero(np.diff(wid))[0] + 1, [len(wid)]])
-        ids, kinds, minx, miny, maxx, maxy, rings = [], [], [], [], [], [], []
-        for s, e in zip(starts[:-1], starts[1:]):
-            # drop the closing ref (reference ring repeats first node)
-            xs, ys = lon[s : e - 1], lat[s : e - 1]
-            ids.append(int(wid[s]))
-            kinds.append(kind[s])
-            minx.append(float(xs.min()))
-            miny.append(float(ys.min()))
-            maxx.append(float(xs.max()))
-            maxy.append(float(ys.max()))
-            rings.append([[{"x": float(x), "y": float(y)} for x, y in zip(xs, ys)]])
-        return pd.DataFrame(
+        wid, seq, lon, lat, kind = (
+            wid[order], seq[order], lon[order], lat[order], kind[order]
+        )
+        m = len(wid)
+        if m == 0:
+            return pa.table(
+                {
+                    "feature_id": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.string()),
+                    "minx": pa.array([], pa.float64()),
+                    "miny": pa.array([], pa.float64()),
+                    "maxx": pa.array([], pa.float64()),
+                    "maxy": pa.array([], pa.float64()),
+                    "rings": pa.array([], _PBF_RING_T),
+                }
+            )
+        starts = np.concatenate([[0], np.nonzero(np.diff(wid))[0] + 1, [m]]).astype(
+            np.int64
+        )
+        # drop the closing ref of each way (the reference's
+        # geojson.Polygon repeats the first node; ring storage doesn't)
+        last = starts[1:] - 1
+        keep = np.ones(m, bool)
+        keep[last] = False
+        # vectorized per-way bbox via reduceat over the sorted runs
+        minx = np.minimum.reduceat(lon, starts[:-1])
+        maxx = np.maximum.reduceat(lon, starts[:-1])
+        miny = np.minimum.reduceat(lat, starts[:-1])
+        maxy = np.maximum.reduceat(lat, starts[:-1])
+        # nested Arrow lists straight from offsets: points (kept rows)
+        # -> one ring per way -> one ring-list per way. No per-way
+        # Python, no dict building.
+        pts = pa.StructArray.from_arrays(
+            [pa.array(lon[keep]), pa.array(lat[keep])], names=["x", "y"]
+        )
+        n_way = len(starts) - 1
+        ring_off = np.concatenate([[0], np.cumsum(np.diff(starts) - 1)]).astype(
+            np.int32
+        )
+        ring = pa.ListArray.from_arrays(pa.array(ring_off, pa.int32()), pts)
+        rings = pa.ListArray.from_arrays(
+            pa.array(np.arange(n_way + 1, dtype=np.int32), pa.int32()), ring
+        )
+        return pa.table(
             {
-                "feature_id": pd.Series(ids, dtype=np.int64),
-                "kind": kinds,
-                "minx": minx,
-                "miny": miny,
-                "maxx": maxx,
-                "maxy": maxy,
+                "feature_id": pa.array(wid[starts[:-1]]),
+                "kind": pa.array(kind[starts[:-1]], pa.string()),
+                "minx": pa.array(minx),
+                "miny": pa.array(miny),
+                "maxx": pa.array(maxx),
+                "maxy": pa.array(maxy),
                 "rings": rings,
             }
         )
@@ -575,7 +609,7 @@ def assemble_polygons(coords_ds):
     return (
         coords_ds.map_batches(tag, batch_format="pyarrow")
         .groupby("wbucket")
-        .map_groups(build, batch_format="pandas")
+        .map_groups(build, batch_format="pyarrow")
     )
 
 
