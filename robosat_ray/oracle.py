@@ -1586,6 +1586,48 @@ dup_pairs AS (
   WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
 )"""
 
+# Standalone exact n-gram Jaccard join: candidate pairs from
+# cap-truncated shingle posting lists (row_number <= cap per shingle,
+# ordered by doc_id — the engine's per-run truncation), scored with
+# FULL sets; jac_ppm uses int64 floor division on both sides.
+NGRAM_JACCARD = """
+WITH docs_all AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, 'zzvariant' || substr(text, strpos(text, ' '))
+  FROM documents WHERE doc_id % 5 = 0
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs_all),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS s
+  FROM toks WHERE len(l) >= 3
+),
+shc AS (
+  SELECT doc_id, s FROM sh
+  QUALIFY row_number() OVER (PARTITION BY s ORDER BY doc_id) <= 50
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b,
+       CAST(i.i AS BIGINT) AS n_inter,
+       CAST(ca.n + cb.n - i.i AS BIGINT) AS n_union,
+       CAST((i.i * 1000000) // (ca.n + cb.n - i.i) AS BIGINT) AS jac_ppm
+FROM cand c
+JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN cnt ca ON ca.doc_id = c.a
+JOIN cnt cb ON cb.doc_id = c.b
+"""
+
 NEAR_DUP = f"""
 WITH {_DUP_PAIRS_BODY}
 SELECT a, b FROM dup_pairs

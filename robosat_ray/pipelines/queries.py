@@ -256,6 +256,18 @@ def _docs_ds(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Standalone EXACT n-gram Jaccard join (the brief's n-gram
+    Jaccard dedup op as a first-class scored operator): inverted-index
+    posting rows per 3-shingle, per-shingle posting cap (50 smallest
+    doc_ids, mirrored in the oracle QUALIFY), full-set co-partition
+    scoring — emits integer (n_inter, n_union, jac_ppm) per pair."""
+    from robosat_ray.stages.neardup import ngram_jaccard_pairs_ds, with_variants_batch
+
+    docs = _docs_ds(sf_dir).map_batches(with_variants_batch, batch_format="pyarrow")
+    return ngram_jaccard_pairs_ds(docs)
+
+
 def q_near_dup(sf_dir: str):
     """MinHash-LSH near-dup pairs over documents + synthetic variants,
     verified with exact shingle-set Jaccard (>= 0.5)."""
@@ -1506,6 +1518,7 @@ QUERIES = {
     "merge_components": q_merge_components,
     "dedupe": q_dedupe,
     "near_dup": q_near_dup,
+    "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     "quality": q_quality,
     "langid": q_langid,
@@ -1605,6 +1618,7 @@ ORACLES = {
     "media_features": oracle.MEDIA_FEATURES,
     "mask_png": oracle.MASK_PNG,
     "pbf_extract": oracle.PBF_EXTRACT,
+    "ngram_jaccard": oracle.NGRAM_JACCARD,
     "events_sessions": oracle.EVENTS_SESSIONS,
     "order_revenue": oracle.ORDER_REVENUE,
     "price_quantiles": oracle.PRICE_QUANTILES,

@@ -692,3 +692,174 @@ def dup_clusters(docs_ds, threshold: float = 0.5):
 
     joined = broadcast_join(ids, lab_sized, on="doc_id", how="left")
     return joined.map_batches(_finalize, batch_format="pyarrow")
+
+
+# per-shingle posting-list cap for the EXACT n-gram Jaccard join:
+# equal-shingle runs keep only the NGRAM_RUN_CAP smallest doc_ids
+# (stopword-like shingles would otherwise mine quadratic pairs);
+# mirrored in the oracle's QUALIFY row_number — full SETS still score
+# every mined pair exactly (the cap bounds mining, not scoring)
+NGRAM_RUN_CAP = 50
+
+
+def _shingle_explode(batch: pa.Table) -> pa.Table:
+    """(doc_id, hashes) -> one (sbucket, shash, doc_id) row per
+    shingle: the inverted-index posting rows."""
+    from robosat_ray.functions.hashing import hash_bucket
+
+    ids = batch.column("doc_id").to_numpy()
+    hashes = batch.column("hashes")
+    flat = hashes.combine_chunks().flatten() if isinstance(hashes, pa.ChunkedArray) else hashes.flatten()
+    offs = (
+        hashes.combine_chunks().offsets.to_numpy()
+        if isinstance(hashes, pa.ChunkedArray)
+        else hashes.offsets.to_numpy()
+    )
+    lens = np.diff(offs)
+    doc = np.repeat(ids, lens)
+    sh = flat.to_numpy().astype(np.int64, copy=False)
+    return pa.table(
+        {
+            "sbucket": pa.array(hash_bucket(sh, NUM_JOIN_BUCKETS)),
+            "shash": pa.array(sh),
+            "doc_id": pa.array(doc),
+        }
+    )
+
+
+def _shingle_run_pairs(group: pd.DataFrame, run_cap: int) -> pd.DataFrame:
+    """Within one shingle bucket: per equal-shingle run (sorted by
+    doc_id, truncated to the run cap's smallest ids), all (a < b)
+    pairs — vectorized ragged triu, no per-run Python beyond the
+    truncation mask."""
+    sh = group["shash"].to_numpy()
+    doc = group["doc_id"].to_numpy()
+    order = np.lexsort((doc, sh))
+    sh, doc = sh[order], doc[order]
+    m = len(sh)
+    if m == 0:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+        )
+    starts = np.concatenate([[0], np.nonzero(np.diff(sh))[0] + 1, [m]]).astype(np.int64)
+    lens = np.diff(starts)
+    run_start = np.repeat(starts[:-1], lens)
+    within = np.arange(m, dtype=np.int64) - run_start
+    keep_elem = within < run_cap  # posting-list truncation (docs sorted)
+    within = np.where(keep_elem, within, 0)
+    total = int(within.sum())
+    if total == 0:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+        )
+    jj = np.repeat(np.arange(m, dtype=np.int64), within)
+    base = np.cumsum(within) - within
+    ii = np.arange(total, dtype=np.int64) - np.repeat(base, within) + np.repeat(
+        run_start, within
+    )
+    a = np.minimum(doc[ii], doc[jj])
+    b = np.maximum(doc[ii], doc[jj])
+    m2 = a != b
+    return pd.DataFrame({"a": a[m2], "b": b[m2]})
+
+
+def _score_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """_verify_pairs with the threshold removed: emit the exact
+    integer (n_inter, n_union) and jac_ppm = (inter * 10^6) // union
+    per pair (int64 floor division, bit-equal to the SQL twin)."""
+    a = group["a"].to_numpy()
+    b = group["b"].to_numpy()
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    n = len(a)
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series([], dtype=np.int64),
+            "b": pd.Series([], dtype=np.int64),
+            "n_inter": pd.Series([], dtype=np.int64),
+            "n_union": pd.Series([], dtype=np.int64),
+            "jac_ppm": pd.Series([], dtype=np.int64),
+        }
+    )
+    if n == 0:
+        return empty
+    assert n % 2 == 0 and (a[0::2] == a[1::2]).all() and (
+        b[0::2] == b[1::2]
+    ).all(), "pair side missing"
+    hashes = group["hashes"].to_numpy()[order]
+    lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+    npairs = n // 2
+    flat = (
+        np.concatenate([np.asarray(h, dtype=np.uint64) for h in hashes])
+        if lens.sum()
+        else np.empty(0, dtype=np.uint64)
+    )
+    rp = np.repeat(np.arange(n, dtype=np.int64) // 2, lens)
+    o2 = np.lexsort((flat, rp))
+    fp, pp = flat[o2], rp[o2]
+    eqm = (pp[1:] == pp[:-1]) & (fp[1:] == fp[:-1])
+    inter = np.bincount(pp[1:][eqm], minlength=npairs).astype(np.int64)
+    union = (lens[0::2] + lens[1::2]) - inter
+    jac_ppm = np.where(union > 0, (inter * 1_000_000) // np.maximum(union, 1), 1_000_000)
+    return pd.DataFrame(
+        {
+            "a": a[0::2].astype(np.int64),
+            "b": b[0::2].astype(np.int64),
+            "n_inter": inter,
+            "n_union": union,
+            "jac_ppm": jac_ppm.astype(np.int64),
+        }
+    )
+
+
+def ngram_jaccard_pairs_ds(docs_ds, run_cap: int = NGRAM_RUN_CAP):
+    """EXACT n-gram (3-shingle) Jaccard join, standalone (the brief's
+    'n-gram Jaccard' dedup op as a first-class scored operator, not
+    just near_dup's verify): inverted-index posting rows per shingle
+    hash, per-run capped pair mining (one groupby), bucketed pair
+    dedup, then full-set co-partition attach + exact integer scoring.
+    No broadcast anywhere; every stage is a bounded shuffle."""
+    import functools
+
+    from robosat_ray.functions.hashing import hash_bucket
+
+    shingles = docs_ds.map_batches(_shingle_rows, batch_format="pyarrow")
+    postings = shingles.map_batches(_shingle_explode, batch_format="pyarrow")
+    cand = postings.groupby("sbucket").map_groups(
+        functools.partial(_shingle_run_pairs, run_cap=run_cap),
+        batch_format="pandas",
+    )
+    pairs = dedup_pairs_ds(cand)
+
+    def need_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        doc = np.concatenate([a, b])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([b, b])),
+                "hashes": pa.nulls(len(doc), pa.list_(pa.uint64())),
+                "dbucket": pa.array(hash_bucket(doc, NUM_JOIN_BUCKETS)),
+            }
+        )
+
+    def sh_tagged(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        neg = np.full(len(ids), -1, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "a": pa.array(neg),
+                "b": pa.array(neg),
+                "hashes": batch.column("hashes"),
+                "dbucket": pa.array(hash_bucket(ids, NUM_JOIN_BUCKETS)),
+            }
+        )
+
+    both = pairs.map_batches(need_rows, batch_format="pyarrow").union(
+        shingles.map_batches(sh_tagged, batch_format="pyarrow")
+    )
+    attached = both.groupby("dbucket").map_groups(_attach_hashes, batch_format="pandas")
+    return attached.groupby("pbucket").map_groups(_score_pairs, batch_format="pandas")

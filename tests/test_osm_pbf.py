@@ -167,3 +167,33 @@ def test_extract_cover_parity_vs_synth_footprints(ray_session, tmp_path):
     # rings carry the 4 corners in way order (closing ref dropped)
     r0 = g["rings"].iloc[0]
     assert len(r0) == 1 and len(r0[0]) == 4
+
+
+def test_ways_with_coords_missing_node_fails_loudly(ray_session):
+    """A way referencing a node with no carrier row must raise (the
+    searchsorted attach would otherwise silently gather a wrong
+    node's coordinates)."""
+    import ray.data
+
+    nodes = ray.data.from_arrow(
+        pa.table(
+            {
+                "node_id": pa.array([1, 2], pa.int64()),
+                "lon": pa.array([0.0, 1.0]),
+                "lat": pa.array([0.0, 1.0]),
+            }
+        )
+    )
+    ways = ray.data.from_arrow(
+        pa.table(
+            {
+                "way_id": pa.array([9, 9, 9], pa.int64()),
+                "seq": pa.array([0, 1, 2], pa.int64()),
+                "ref": pa.array([1, 2, 999], pa.int64()),  # 999 missing
+                "n_refs": pa.array([3, 3, 3], pa.int64()),
+                "kind": pa.array(["building"] * 3),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="missing its node row"):
+        P.ways_with_coords(nodes, ways).materialize()
