@@ -120,7 +120,7 @@ def run_bench() -> dict:
         "media_features", "cms_sketch", "ann_pq",
         # round-4 additions: real-container round trips (from-scratch
         # PNG codec; from-scratch OSM PBF reader)
-        "mask_png", "pbf_extract",
+        "mask_png", "pbf_extract", "ngram_jaccard",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

@@ -18,6 +18,12 @@ import pyarrow as pa
 
 from robosat_ray import constants as C
 
+# k-ring enumeration budget: unique-query-cells x (2r+1)^2 candidate
+# cells. Past this, enumerating/filtering rings costs more than the
+# exact brute scan, so knn_kring falls back to knn_match (tests force
+# it tiny to pin the fallback path bit-equal to brute).
+RING_CELL_CAP = 20_000_000
+
 
 class LocalTopK:
     """Actor-pool stage: holds the broadcast query matrix (built once
@@ -95,15 +101,24 @@ def knn_kring(points_ds, query_ids, qx, qy, k: int = C.KNN_K, z: int = C.Z_JOIN,
     qy = np.asarray(qy, dtype=np.float64)
     qtx, qty = T.lonmy_to_tile(qx, qy, z)
     s = 360.0 / (1 << z)  # metric cell side in the (lon, my*360) plane
+    # expansion works on UNIQUE query cells (clustered queries share
+    # rings); if the data is so sparse that the ring has to grow past
+    # the enumeration cap, the brute scan IS the cheaper exact plan
+    uq = np.unique(qtx * np.int64(1 << z) + qty)
+    utx, uty = uq // np.int64(1 << z), uq % np.int64(1 << z)
     r = r0
     while True:
-        # vectorized k-ring enumeration: the Q x (2r+1)^2 offset
+        # vectorized k-ring enumeration: the U x (2r+1)^2 offset
         # cartesian in one shot (the old per-query nested Python loop
         # made singleton cell_id calls — painful past ~10^3 queries)
+        w = 2 * r + 1
+        if len(uq) * w * w > RING_CELL_CAP:
+            return knn_match(points_ds, qids, qx, qy, k).to_pandas()[
+                ["query_id", "neighbor_id", "rank"]
+            ]
         offs = np.arange(-r, r + 1, dtype=np.int64)
-        w = len(offs)
-        txc = np.repeat(qtx, w * w) + np.tile(np.repeat(offs, w), len(qtx))
-        tyc = np.repeat(qty, w * w) + np.tile(np.tile(offs, w), len(qty))
+        txc = np.repeat(utx, w * w) + np.tile(np.repeat(offs, w), len(uq))
+        tyc = np.repeat(uty, w * w) + np.tile(np.tile(offs, w), len(uq))
         allowed_arr = np.unique(T.cell_id(txc, tyc, z))
 
         stage = LocalTopK(qids, qx, qy, k)
@@ -116,10 +131,15 @@ def knn_kring(points_ds, query_ids, qx, qy, k: int = C.KNN_K, z: int = C.Z_JOIN,
             return stage(batch.filter(pa.array(keep)))
 
         local = points_ds.map_batches(filtered, batch_format="pyarrow")
-        merged = local.groupby("query_id").map_groups(
-            lambda g: _merge_topk_with_dist(g, k), batch_format="pandas"
-        )
-        pdf = merged.to_pandas()
+        # merge the per-block local top-ks ON THE DRIVER: the candidate
+        # set is bounded by blocks x Q x k (each block emits at most k
+        # rows per query), so a pandas sort here beats a Ray groupby
+        # whose all-to-all sort re-executes the upstream scan every
+        # ring iteration (the round-3 hot_cell_map lesson)
+        cand = local.to_pandas()
+        cand = cand.sort_values(["query_id", "dist", "neighbor_id"], kind="stable")
+        pdf = cand.groupby("query_id", sort=True, as_index=False).head(k).copy()
+        pdf["rank"] = pdf.groupby("query_id", sort=False).cumcount().to_numpy() + 1
         # ring guarantee: kth distance < (r-1) * cell side for every
         # query that found k results; otherwise expand (vectorized
         # per-query count/max via groupby, no per-query Python loop)
@@ -132,11 +152,10 @@ def knn_kring(points_ds, query_ids, qx, qy, k: int = C.KNN_K, z: int = C.Z_JOIN,
         )
         if ok:
             return pdf[["query_id", "neighbor_id", "rank"]]
-        r *= 2
-
-
-def _merge_topk_with_dist(group: pd.DataFrame, k: int) -> pd.DataFrame:
-    g = group.sort_values(["dist", "neighbor_id"], kind="stable").head(k)
-    g = g.reset_index(drop=True)
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    return g[["query_id", "neighbor_id", "rank", "dist"]]
+        if len(agg) == len(qids) and (agg["count"] >= k).all():
+            # every query already holds k candidates — jump r straight
+            # to the ring that certifies the worst observed kth
+            # distance instead of blind doubling
+            r = max(2 * r, int(np.ceil(np.sqrt(agg["max"].max()) / s)) + 2)
+        else:
+            r *= 2

@@ -120,3 +120,25 @@ def test_knn_kring_equals_brute(ray_session):
         brute[cols].sort_values(cols).reset_index(drop=True),
         kring[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+def test_knn_kring_sparse_fallback(ray_session, monkeypatch):
+    """When the ring-enumeration budget is exceeded (sparse data would
+    force huge rings), knn_kring must fall back to the exact brute scan
+    and stay bit-equal to knn_match."""
+    import pandas as pd
+
+    from robosat_ray.pipelines.flagship import points_dataset
+    from robosat_ray.pipelines.queries import _query_points
+    from robosat_ray.stages import knn as knn_mod
+
+    sf = "/root/testdata/sf0.001"
+    qids, qx, qy = _query_points(sf)
+    brute = knn_mod.knn_match(points_dataset(sf), qids, qx, qy).to_pandas()
+    monkeypatch.setattr(knn_mod, "RING_CELL_CAP", 1)
+    kring = knn_mod.knn_kring(points_dataset(sf), qids, qx, qy)
+    cols = ["query_id", "rank", "neighbor_id"]
+    pd.testing.assert_frame_equal(
+        brute[cols].sort_values(cols).reset_index(drop=True),
+        kring[cols].sort_values(cols).reset_index(drop=True),
+    )
