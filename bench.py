@@ -121,6 +121,9 @@ def run_bench() -> dict:
         # round-4 additions: real-container round trips (from-scratch
         # PNG codec; from-scratch OSM PBF reader)
         "mask_png", "pbf_extract", "ngram_jaccard",
+        # round-4 LLM-data additions: RE2 scrubbing, phrase mining,
+        # inverted-index build
+        "pii_scrub", "top_bigrams", "postings", "clean_corpus",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

@@ -2261,3 +2261,113 @@ SELECT doc_id, j AS chunk_id,
        CAST(len(ts[j*48+1 : j*48+64]) AS BIGINT) AS n_tokens
 FROM j
 """
+
+
+def _pii_sql() -> str:
+    from robosat_ray.stages.scrub import EMAIL_RE, EMAIL_TOKEN, PHONE_RE, PHONE_TOKEN
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(t, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+         '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones
+FROM aug
+"""
+
+
+# PII scrubbing: plant one deterministic email + phone per doc, then
+# redact with the SAME RE2 patterns the engine passes to Arrow's
+# count/replace_substring_regex kernels (DuckDB's regexp functions
+# are RE2 as well — the scrubbed text must match byte-for-byte).
+PII_SCRUB = _pii_sql()
+
+# Adjacent-token collocations: top-25 bigrams by count, tiebreak
+# bigram ASC (mirrors stages/text_ops.top_bigrams).
+TOP_BIGRAMS = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
+),
+idx AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM tok
+),
+bi AS (SELECT ts[i] || ' ' || ts[i + 1] AS bigram FROM idx)
+SELECT bigram, CAST(count(*) AS BIGINT) AS total,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, bigram ASC) AS BIGINT) AS rank
+FROM bi
+GROUP BY bigram
+ORDER BY total DESC, bigram ASC
+LIMIT 25
+"""
+
+
+def _postings_sql() -> str:
+    from robosat_ray.stages.text_ops import POSTING_K
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token
+  FROM documents
+),
+pairs AS (SELECT DISTINCT token, doc_id FROM tok)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS df,
+       array_to_string(
+         list_transform((list_sort(list(doc_id)))[1:{POSTING_K}],
+                        x -> CAST(x AS VARCHAR)), ',') AS head
+FROM pairs
+GROUP BY token
+"""
+
+
+# Inverted index: exact df + first-POSTING_K posting head per token
+# (mirrors stages/text_ops.postings — head caps the OUTPUT, df is
+# exact).
+POSTINGS = _postings_sql()
+
+
+# End-to-end corpus cleaning: exact dedup -> normalized dedup ->
+# 25th-percentile quality gate computed over the SURVIVORS (mirrors
+# stages/clean.clean_corpus; same md5 keys, same int64 micro-ratio,
+# same exact-quantile pick rule as QUALITY_FILTER).
+CLEAN_CORPUS = """
+WITH k AS (
+  SELECT doc_id,
+         md5(text) AS text_hash,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS norm_hash,
+         CAST(FLOOR(1000000.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              / GREATEST(length(text), 1) + 0.5) AS BIGINT) AS ratio_micro
+  FROM documents
+),
+ex AS (
+  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_exact,
+         MIN(norm_hash) AS norm_hash, MIN(ratio_micro) AS ratio_micro
+  FROM k GROUP BY text_hash
+),
+nx AS (
+  SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_norm FROM ex GROUP BY norm_hash
+),
+kept AS (
+  SELECT e.doc_id, e.n_exact, nx.n_norm, e.ratio_micro
+  FROM ex e JOIN nx ON e.doc_id = nx.keep_id
+),
+c AS (SELECT ratio_micro, COUNT(*) AS n FROM kept GROUP BY 1),
+cum AS (
+  SELECT ratio_micro,
+         SUM(n) OVER (ORDER BY ratio_micro ROWS UNBOUNDED PRECEDING) AS cum_n,
+         SUM(n) OVER () AS total
+  FROM c
+),
+thr AS (SELECT MIN(ratio_micro) AS t FROM cum WHERE cum_n >= (25 * total + 99) // 100)
+SELECT kept.doc_id, CAST(kept.n_exact AS BIGINT) AS n_exact,
+       CAST(kept.n_norm AS BIGINT) AS n_norm, kept.ratio_micro
+FROM kept, thr WHERE kept.ratio_micro >= thr.t
+"""

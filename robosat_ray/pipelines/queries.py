@@ -1502,6 +1502,43 @@ def q_chunks(sf_dir: str):
     return chunk_documents(_docs_ds(sf_dir))
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction with engine↔oracle RE2 parity: plant one
+    deterministic email + phone per doc (pure function of doc_id,
+    mirrored in SQL), then count + redact with the exact pattern
+    strings the oracle passes to DuckDB's RE2. Byte-exact scrubbed
+    text, pure streaming map — no shuffle."""
+    from robosat_ray.stages.scrub import pii_scrub
+
+    return pii_scrub(_docs_ds(sf_dir))
+
+
+def q_top_bigrams(sf_dir: str):
+    """Adjacent-token collocations: top-25 bigrams by exact count
+    (phrase-mining first pass), count DESC / bigram ASC tiebreak."""
+    from robosat_ray.stages.text_ops import top_bigrams
+
+    return top_bigrams(_docs_ds(sf_dir))
+
+
+def q_postings(sf_dir: str):
+    """Distributed inverted index: exact per-token document frequency
+    plus the first-K posting doc_ids, output bounded by vocab × K."""
+    from robosat_ray.stages.text_ops import postings
+
+    return postings(_docs_ds(sf_dir))
+
+
+def q_clean_corpus(sf_dir: str):
+    """End-to-end cleaning composition: exact dedup -> normalized
+    dedup -> survivor-percentile quality gate, one shared text scan,
+    all-algebraic (two groupbys + one co-partition join + a scalar
+    threshold broadcast)."""
+    from robosat_ray.stages.clean import clean_corpus
+
+    return clean_corpus(_docs_ds(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1576,6 +1613,10 @@ QUERIES = {
     "cms_sketch": q_cms_sketch,
     "ann_pq": q_ann_pq,
     "normalized_dedup": q_normalized_dedup,
+    "pii_scrub": q_pii_scrub,
+    "top_bigrams": q_top_bigrams,
+    "postings": q_postings,
+    "clean_corpus": q_clean_corpus,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1656,4 +1697,8 @@ ORACLES = {
     "cms_sketch": oracle.CMS_SKETCH,
     "ann_pq": oracle.ANN_PQ,
     "normalized_dedup": oracle.NORMALIZED_DEDUP,
+    "pii_scrub": oracle.PII_SCRUB,
+    "top_bigrams": oracle.TOP_BIGRAMS,
+    "postings": oracle.POSTINGS,
+    "clean_corpus": oracle.CLEAN_CORPUS,
 }

@@ -438,3 +438,161 @@ def normalized_dedup_groups(documents_ds):
         .groupby("norm_hash")
         .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups"))
     )
+
+
+def bigram_partial_counts(batch: pa.Table) -> pa.Table:
+    """One (bigram, n) row per DISTINCT adjacent token pair in the
+    batch — the in-batch combiner for collocation mining. Bigrams
+    never cross document boundaries. Counting is one np.unique over
+    fixed-width unicode per batch (the token_partial_counts idiom);
+    the only per-doc Python is the findall tokenization it shares
+    with every other token stage."""
+    texts = batch.column("text").to_pylist()
+    lefts: list[str] = []
+    rights: list[str] = []
+    for t in texts:
+        toks = _TOKEN_RE.findall(t)
+        if len(toks) >= 2:
+            lefts.extend(toks[:-1])
+            rights.extend(toks[1:])
+    if not lefts:
+        return pa.table(
+            {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    la = np.asarray(lefts, dtype="U")
+    ra = np.asarray(rights, dtype="U")
+    big = np.char.add(np.char.add(la, " "), ra)
+    uniq, counts = np.unique(big, return_counts=True)
+    return pa.table(
+        {
+            "bigram": pa.array(list(uniq), pa.string()),
+            "n": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def top_bigrams(documents_ds, k: int = 25):
+    """-> (bigram, total, rank): the k most frequent adjacent token
+    pairs (collocations — the classic phrase-mining first pass),
+    deterministic tiebreak count DESC then bigram ASC. Same algebraic
+    shape as top_tokens: vocabulary²-bounded partials -> one string
+    groupby Sum -> tie-preserving per-block top-k -> tiny driver
+    pick."""
+    from ray.data.aggregate import Sum
+
+    totals = (
+        documents_ds.select_columns(["text"])
+        .map_batches(bigram_partial_counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="total"))
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        t = batch.column("total").to_numpy()
+        if len(t) > k:
+            kth = np.partition(t, len(t) - k)[len(t) - k]
+            batch = batch.take(pa.array(np.nonzero(t >= kth)[0]))
+        return batch
+
+    small = totals.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    small = small.sort_values(
+        ["total", "bigram"], ascending=[False, True], kind="stable"
+    ).head(k)
+    small["rank"] = np.arange(1, len(small) + 1, dtype=np.int64)
+    return small.reset_index(drop=True)
+
+
+# Inverted-index posting-list head length: the engine publishes the
+# first POSTING_K doc_ids (ascending) per token plus the exact df.
+# Capping the published list — NOT the df count — is what keeps the
+# output bounded by vocabulary x K at any corpus size; a full posting
+# list for a stopword at web scale is the whole corpus.
+POSTING_K = 16
+
+
+def posting_partials(batch: pa.Table, k: int = POSTING_K) -> pa.Table:
+    """One (token, df, head) row per DISTINCT token in the batch:
+    df = number of batch docs containing the token, head = comma-
+    joined first k of those doc_ids ascending. Each document lives in
+    exactly one batch row, so batch-level (token, doc) dedup IS the
+    global dedup and the partials are algebraic (df sums; heads merge
+    by sorted-list union). One lexsort over the batch's (token, doc)
+    pairs — no per-token Python loops."""
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    toks: list[str] = []
+    doc_of: list[int] = []
+    for doc_id, t in zip(ids, texts):
+        found = _TOKEN_RE.findall(t)
+        toks.extend(found)
+        doc_of.extend([doc_id] * len(found))
+    empty = pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "head": pa.array([], pa.string()),
+        }
+    )
+    if not toks:
+        return empty
+    tok_arr = np.asarray(toks, dtype="U")
+    doc_arr = np.asarray(doc_of, dtype=np.int64)
+    codes, uniq_tok = pd.factorize(tok_arr, sort=True)
+    # distinct (token, doc) pairs, ordered by (token, doc)
+    order = np.lexsort((doc_arr, codes))
+    c = codes[order]
+    d = doc_arr[order]
+    keep = np.ones(len(c), dtype=bool)
+    keep[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+    c = c[keep]
+    d = d[keep]
+    # per-token df + head-k join via reduceat boundaries
+    starts = np.nonzero(np.r_[True, c[1:] != c[:-1]])[0]
+    ends = np.r_[starts[1:], len(c)]
+    dfs = (ends - starts).astype(np.int64)
+    d_str = d.astype("U")
+    heads = [",".join(d_str[s : min(s + k, e)]) for s, e in zip(starts, ends)]
+    return pa.table(
+        {
+            "token": pa.array(list(uniq_tok[c[starts]]), pa.string()),
+            "df": pa.array(dfs),
+            "head": pa.array(heads, pa.string()),
+        }
+    )
+
+
+def _merge_posting_group(group: pd.DataFrame, k: int = POSTING_K) -> pd.DataFrame:
+    """Combine one token's partials: df sums exactly; the head is the
+    first k of the merged sorted doc lists (each partial already
+    sorted ascending, doc sets disjoint across batches)."""
+    docs = np.sort(
+        np.concatenate(
+            [
+                np.array(h.split(","), dtype=np.int64) if h else np.array([], np.int64)
+                for h in group["head"]
+            ]
+        )
+    )[:k]
+    return pd.DataFrame(
+        {
+            "token": [group["token"].iloc[0]],
+            "df": [int(group["df"].sum())],
+            "head": [",".join(str(x) for x in docs)],
+        }
+    )
+
+
+def postings(documents_ds, k: int = POSTING_K):
+    """Distributed inverted index -> (token, df, head): exact document
+    frequency plus the first k posting doc_ids per token. Partials are
+    vocabulary-bounded per batch (never total-token-count rows), the
+    groupby is over vocabulary x blocks rows, and each group is at
+    most one row per block — stopword skew costs block-count rows,
+    not df rows. The published head keeps the OUTPUT bounded by
+    vocabulary x k at any corpus size."""
+    parts = documents_ds.select_columns(["doc_id", "text"]).map_batches(
+        lambda b: posting_partials(b, k), batch_format="pyarrow"
+    )
+    return parts.groupby("token").map_groups(
+        lambda g: _merge_posting_group(g, k), batch_format="pandas"
+    )

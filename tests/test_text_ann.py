@@ -449,3 +449,121 @@ def test_emb_dup_lsh_copartition_equals_broadcast(ray_session):
     key = lambda df: sorted(zip(df["a"].astype(int), df["b"].astype(int)))
     assert key(base) == key(cop)
     assert len(base) > 0
+
+
+def test_pii_scrub_redacts_planted_and_organic():
+    """Batch-level invariants of the scrub kernels: every planted
+    contact is found (>=1 email + >=1 phone per doc), redaction
+    removes every match, and organic PII in the body is caught too."""
+    import pyarrow as pa
+
+    from robosat_ray.stages.scrub import (
+        EMAIL_TOKEN,
+        PHONE_TOKEN,
+        plant_contacts_batch,
+        scrub_batch,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([7, 42], pa.int64()),
+            "text": pa.array(
+                ["plain body text", "reach me at alice.b-c@sub.example.co.uk ok"]
+            ),
+        }
+    )
+    out = scrub_batch(plant_contacts_batch(docs))
+    n_em = out.column("n_emails").to_pylist()
+    n_ph = out.column("n_phones").to_pylist()
+    assert n_em == [1, 2]  # planted only / planted + organic
+    assert n_ph == [1, 1]
+    for s in out.column("scrubbed").to_pylist():
+        assert "@" not in s and "+1-" not in s
+        assert EMAIL_TOKEN in s and PHONE_TOKEN in s
+    # planted phone is doc_id % 10000 zero-padded
+    assert "user7@" not in out.column("scrubbed").to_pylist()[0]
+
+
+def test_posting_partials_df_and_head_invariants():
+    """df counts distinct docs (not occurrences); head is the first-K
+    ascending doc ids; multi-batch merge equals a single-batch run."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from robosat_ray.stages.text_ops import (
+        _merge_posting_group,
+        posting_partials,
+    )
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2], pa.int64()),
+            "text": pa.array(["cat cat dog", "cat", "dog emu"]),
+        }
+    )
+    t = posting_partials(b, k=2).to_pandas().set_index("token")
+    assert t.loc["cat", "df"] == 2 and t.loc["cat", "head"] == "1,3"
+    assert t.loc["dog", "df"] == 2 and t.loc["dog", "head"] == "2,3"
+    assert t.loc["emu", "df"] == 1 and t.loc["emu", "head"] == "2"
+    # split the same docs across two "batches": merged partials must
+    # reproduce the single-batch result (algebraic combine)
+    p1 = posting_partials(b.slice(0, 1), k=2).to_pandas()
+    p2 = posting_partials(b.slice(1, 2), k=2).to_pandas()
+    merged = (
+        pd.concat([p1, p2])
+        .groupby("token", group_keys=False)[["token", "df", "head"]]
+        .apply(lambda g: _merge_posting_group(g, k=2))
+        .reset_index(drop=True)
+        .set_index("token")
+    )
+    pd.testing.assert_frame_equal(merged.sort_index(), t.sort_index())
+
+
+def test_bigram_partials_respect_doc_boundaries():
+    import pyarrow as pa
+
+    from robosat_ray.stages.text_ops import bigram_partial_counts
+
+    b = pa.table(
+        {"text": pa.array(["a b", "b a b", "c"])}  # 'b a' must not bridge docs
+    )
+    t = bigram_partial_counts(b).to_pandas().set_index("bigram")["n"].to_dict()
+    assert t == {"a b": 2, "b a": 1}
+
+
+def test_clean_corpus_composition_semantics(ray_session):
+    """Crafted corpus: exact dups collapse first, then normalized
+    dups collapse among exact keepers, then the percentile gate
+    drops low-alpha survivors — and group sizes count the right
+    stage's members."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from robosat_ray.stages.clean import clean_corpus
+
+    rows = [
+        (1, "Nice Clean Prose"),        # keeper of exact group {1,2}
+        (2, "Nice Clean Prose"),        # exact dup of 1
+        (3, "nice  clean   prose"),     # normalized dup of 1 (ws+case)
+        (4, "totally different text"),  # independent survivor
+        (5, "1234 9999 ,,,, !!!!"),     # low alpha ratio -> gated out
+        (6, "other words entirely"),    # independent survivor
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        )
+    )
+    # 4 survivors: the q=50 pick rule is the 2nd-smallest ratio, so
+    # exactly the all-digit doc falls below the gate (at q=25 the
+    # ceil rule keeps all 4 — too coarse for this corpus size)
+    out = clean_corpus(ds, q_pct=50).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 4, 6]
+    by = out.set_index("doc_id")
+    assert by.loc[1, "n_exact"] == 2  # {1,2}
+    assert by.loc[1, "n_norm"] == 2   # {1, 3} among exact keepers
+    assert by.loc[4, "n_exact"] == 1 and by.loc[4, "n_norm"] == 1
