@@ -127,3 +127,20 @@ def test_resume_layout_mismatch_refuses(ray_session, tmp_path):
         write_partitioned(ds, root, key_col="key", num_partitions=8)
     # resume=False overwrites and restamps
     write_partitioned(ds, root, key_col="key", num_partitions=8, resume=False)
+
+
+def test_job_entrypoint_runs_and_resumes(ray_session, tmp_path):
+    """The `ray job submit` surface (robosat_ray.job.main): first run
+    writes every partition, a re-submission skips them all, and the
+    manifest checksums make the two runs comparable."""
+    from robosat_ray.job import main
+
+    out = str(tmp_path / "job_out")
+    first = main(["--sf", "/root/testdata/sf0.001", "--out", out,
+                  "--num-partitions", "16"])
+    assert first["parts_written"] > 0 and first["parts_skipped"] == 0
+    assert first["rows_written"] > 0 and first["lineage_rows"] >= 2
+    second = main(["--sf", "/root/testdata/sf0.001", "--out", out,
+                   "--num-partitions", "16"])
+    assert second["parts_written"] == 0
+    assert second["parts_skipped"] == first["parts_written"]
