@@ -160,3 +160,38 @@ def quadkey_str(tx, ty, z: int):
     for i in range(z):
         arr[:, i] = 48 + ((qk >> np.uint64(2 * (z - 1 - i))) & np.uint64(3))
     return np.ascontiguousarray(arr).view(f"S{z}").ravel().astype(str)
+
+
+# public geohash base32 alphabet (Niemeyer's encoding: digits then
+# letters, skipping a i l o)
+GEOHASH_ALPHABET = b"0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_BITS = 15  # per axis -> 30-bit code -> 6 base32 chars
+
+
+def geohash_cells(lon, my):
+    """Geohash cell code over the engine plane: x = lon in [-180,180),
+    y = north-up (1 - my). Each axis quantized to 15 bits by the same
+    IEEE expression the SQL twin uses, then interleaved MSB-first with
+    the LONGITUDE bit high in each pair (the public geohash bit order;
+    quadkey() with swapped operands reuses the Morton spreader).
+    -> int64 30-bit codes."""
+    gx = np.minimum(
+        np.maximum(np.floor((np.asarray(lon) + 180.0) / 360.0 * 32768.0), 0.0), 32767.0
+    ).astype(np.int64)
+    gy = np.minimum(
+        np.maximum(np.floor((1.0 - np.asarray(my)) * 32768.0), 0.0), 32767.0
+    ).astype(np.int64)
+    return quadkey(gy, gx, GEOHASH_BITS)
+
+
+def geohash_str(code):
+    """30-bit geohash codes -> 6-char base32 strings, vectorized:
+    (n, 6) 5-bit digit matrix -> alphabet LUT bytes -> fixed-width
+    string view (no per-row Python)."""
+    code = np.asarray(code, dtype=np.uint64)
+    n = len(code)
+    lut = np.frombuffer(GEOHASH_ALPHABET, dtype=np.uint8)
+    arr = np.empty((n, 6), dtype=np.uint8)
+    for i in range(6):
+        arr[:, i] = lut[((code >> np.uint64(25 - 5 * i)) & np.uint64(31)).astype(np.int64)]
+    return np.ascontiguousarray(arr).view("S6").ravel().astype(str)

@@ -2371,3 +2371,35 @@ SELECT kept.doc_id, CAST(kept.n_exact AS BIGINT) AS n_exact,
        CAST(kept.n_norm AS BIGINT) AS n_norm, kept.ratio_micro
 FROM kept, thr WHERE kept.ratio_micro >= thr.t
 """
+
+
+def _geohash_sql() -> str:
+    # 30-bit interleave, lon bit HIGH in each pair (public geohash bit
+    # order), then 6 base32 chars — mirrors geo/tiles.geohash_cells /
+    # geohash_str bit-for-bit
+    code = " + ".join(
+        f"(((gx >> {b}) & 1) * {2 ** (2 * b + 1)} + ((gy >> {b}) & 1) * {2 ** (2 * b)})"
+        for b in range(15)
+    )
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{alpha}', CAST((gh_int >> {25 - 5 * i}) & 31 AS INTEGER) + 1, 1)"
+        for i in range(6)
+    )
+    return f"""
+WITH {points_cte()},
+g AS (
+  SELECT doc_id,
+         CAST(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 32768.0), 0.0), 32767.0) AS BIGINT) AS gx,
+         CAST(LEAST(GREATEST(FLOOR((1.0 - my) * 32768.0), 0.0), 32767.0) AS BIGINT) AS gy
+  FROM pts
+),
+code AS (SELECT doc_id, CAST({code} AS BIGINT) AS gh_int FROM g)
+SELECT doc_id, gh_int, {chars} AS gh FROM code
+"""
+
+
+# Geohash cell encoding (6-char base32, lon-first bit interleave)
+# over the engine plane — the third public cell system next to z/x/y
+# tiles and Bing quadkeys.
+GEOHASH = _geohash_sql()

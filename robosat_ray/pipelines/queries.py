@@ -1539,6 +1539,32 @@ def q_clean_corpus(sf_dir: str):
     return clean_corpus(_docs_ds(sf_dir))
 
 
+def q_geohash(sf_dir: str):
+    """Geohash cell encoding (public base32, lon-first interleave) of
+    every page at 6-char precision: the third cell system next to
+    z/x/y tiles and quadkeys, fully vectorized (shared Morton
+    spreader + byte-matrix string build)."""
+    import pyarrow as pa
+
+    from robosat_ray.geo.tiles import geohash_cells, geohash_str
+
+    pts = points_dataset(sf_dir).select_columns(["doc_id", "lon", "my"])
+
+    def gh(batch: pa.Table) -> pa.Table:
+        code = geohash_cells(
+            batch.column("lon").to_numpy(), batch.column("my").to_numpy()
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "gh_int": pa.array(code),
+                "gh": pa.array(geohash_str(code), pa.string()),
+            }
+        )
+
+    return pts.map_batches(gh, batch_format="pyarrow")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1617,6 +1643,7 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "postings": q_postings,
     "clean_corpus": q_clean_corpus,
+    "geohash": q_geohash,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1701,4 +1728,5 @@ ORACLES = {
     "top_bigrams": oracle.TOP_BIGRAMS,
     "postings": oracle.POSTINGS,
     "clean_corpus": oracle.CLEAN_CORPUS,
+    "geohash": oracle.GEOHASH,
 }

@@ -81,3 +81,39 @@ def test_quadkey_matches_bing_reference_algorithm():
     # corners
     assert quadkey_str([0], [0], z)[0] == "0" * z
     assert quadkey_str([(1 << z) - 1], [(1 << z) - 1], z)[0] == "3" * z
+
+
+def test_geohash_matches_bitwise_reference():
+    """Vectorized geohash == per-row bit-by-bit reference (lon bit
+    high, MSB-first, Niemeyer base32), and truncating the code by 5
+    bits truncates the string by one char (prefix/hierarchy
+    property)."""
+    import numpy as np
+
+    from robosat_ray.geo.tiles import GEOHASH_ALPHABET, geohash_cells, geohash_str
+
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(-180.0, 180.0, 200)
+    my = rng.uniform(0.0, 1.0, 200)
+    codes = geohash_cells(lon, my)
+    strs = geohash_str(codes)
+
+    for i in range(len(lon)):
+        gx = min(max(int(np.floor((lon[i] + 180.0) / 360.0 * 32768.0)), 0), 32767)
+        gy = min(max(int(np.floor((1.0 - my[i]) * 32768.0)), 0), 32767)
+        code = 0
+        for b in range(14, -1, -1):
+            code = (code << 1) | ((gx >> b) & 1)
+            code = (code << 1) | ((gy >> b) & 1)
+        assert code == codes[i]
+        want = "".join(
+            chr(GEOHASH_ALPHABET[(code >> (25 - 5 * j)) & 31]) for j in range(6)
+        )
+        assert want == strs[i]
+    # 5-bit truncation == one-char prefix: points in the same parent
+    # cell share the first 5 chars
+    parents = codes >> 5
+    for a in range(0, 40):
+        for b in range(a + 1, 40):
+            if parents[a] == parents[b]:
+                assert strs[a][:5] == strs[b][:5]
