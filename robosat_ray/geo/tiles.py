@@ -195,3 +195,31 @@ def geohash_str(code):
     for i in range(6):
         arr[:, i] = lut[((code >> np.uint64(25 - 5 * i)) & np.uint64(31)).astype(np.int64)]
     return np.ascontiguousarray(arr).view("S6").ravel().astype(str)
+
+
+def hilbert_d(tx, ty, order: int):
+    """Hilbert-curve index of grid cells (the locality-preserving
+    alternative to the Morton/quadkey order — adjacent cells are
+    adjacent on the curve, which Morton does not guarantee across
+    quadrant seams). Standard iterative xy->d walk (rot + reflect per
+    level), fully vectorized: the per-level rotate/swap runs as numpy
+    where-masks over the whole column. order <= 31; inputs in
+    [0, 2^order)."""
+    x = np.asarray(tx, dtype=np.int64).copy()
+    y = np.asarray(ty, dtype=np.int64).copy()
+    d = np.zeros(len(x), dtype=np.int64)
+    s = np.int64(1) << np.int64(order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant: when ry == 0, reflect (if rx) then swap
+        refl = (ry == 0) & (rx == 1)
+        x = np.where(refl, s - 1 - x, x)
+        y = np.where(refl, s - 1 - y, y)
+        swap = ry == 0
+        x2 = np.where(swap, y, x)
+        y2 = np.where(swap, x, y)
+        x, y = x2, y2
+        s >>= 1
+    return d

@@ -2403,3 +2403,40 @@ SELECT doc_id, gh_int, {chars} AS gh FROM code
 # over the engine plane — the third public cell system next to z/x/y
 # tiles and Bing quadkeys.
 GEOHASH = _geohash_sql()
+
+
+def _hilbert_sql(order: int) -> str:
+    # the identical per-level rotate/reflect walk geo/tiles.hilbert_d
+    # runs vectorized, expressed as a recursive CTE over levels: rx/ry
+    # from (x & s), d += s*s*((3*rx) xor ry), then reflect-and-swap
+    # when ry = 0. The s = 0 row carries the final index.
+    s0 = 1 << (order - 1)
+    return f"""
+WITH RECURSIVE {points_cte()},
+t AS (SELECT doc_id, {tile_x('lon')} AS tx, {tile_y('my')} AS ty FROM pts),
+walk AS (
+  SELECT doc_id, tx AS ox, ty AS oy, tx AS x, ty AS y,
+         CAST(0 AS BIGINT) AS d, CAST({s0} AS BIGINT) AS s
+  FROM t
+  UNION ALL
+  SELECT doc_id, ox, oy,
+         CASE WHEN (y & s) > 0 THEN x
+              WHEN (x & s) > 0 THEN s - 1 - y
+              ELSE y END AS x,
+         CASE WHEN (y & s) > 0 THEN y
+              WHEN (x & s) > 0 THEN s - 1 - x
+              ELSE x END AS y,
+         d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                         (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)) AS d,
+         s // 2 AS s
+  FROM walk WHERE s >= 1
+)
+SELECT doc_id, ox AS tile_x, oy AS tile_y, d AS h
+FROM walk WHERE s = 0
+"""
+
+
+# Hilbert-curve tile index at the join zoom (locality-preserving
+# alternative to the Morton/quadkey order; mirrors
+# geo/tiles.hilbert_d level-for-level).
+HILBERT = _hilbert_sql(12)

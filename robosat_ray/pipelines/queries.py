@@ -1565,6 +1565,36 @@ def q_geohash(sf_dir: str):
     return pts.map_batches(gh, batch_format="pyarrow")
 
 
+def q_hilbert(sf_dir: str):
+    """Hilbert-curve index of every page's z=12 tile — the locality-
+    preserving cell ORDER (adjacent tiles adjacent on the curve, which
+    Morton breaks across quadrant seams): the key you'd range-
+    partition on to keep spatial neighbors in the same shard."""
+    import pyarrow as pa
+
+    from robosat_ray.geo.tiles import hilbert_d
+
+    pts = points_dataset(sf_dir).select_columns(["doc_id", "tile_x", "tile_y"])
+
+    def h(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "tile_x": batch.column("tile_x"),
+                "tile_y": batch.column("tile_y"),
+                "h": pa.array(
+                    hilbert_d(
+                        batch.column("tile_x").to_numpy(),
+                        batch.column("tile_y").to_numpy(),
+                        C.Z_JOIN,
+                    )
+                ),
+            }
+        )
+
+    return pts.map_batches(h, batch_format="pyarrow")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1644,6 +1674,7 @@ QUERIES = {
     "postings": q_postings,
     "clean_corpus": q_clean_corpus,
     "geohash": q_geohash,
+    "hilbert": q_hilbert,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1729,4 +1760,5 @@ ORACLES = {
     "postings": oracle.POSTINGS,
     "clean_corpus": oracle.CLEAN_CORPUS,
     "geohash": oracle.GEOHASH,
+    "hilbert": oracle.HILBERT,
 }

@@ -117,3 +117,41 @@ def test_geohash_matches_bitwise_reference():
         for b in range(a + 1, 40):
             if parents[a] == parents[b]:
                 assert strs[a][:5] == strs[b][:5]
+
+
+def test_hilbert_bijective_and_unit_step():
+    """Exhaustive at order 3: the index is a bijection onto 0..63 and
+    consecutive indices are grid-adjacent (|dx|+|dy| == 1) — the
+    locality property Morton lacks; plus per-row reference equality at
+    the join order."""
+    import numpy as np
+
+    from robosat_ray.geo.tiles import hilbert_d
+
+    n = 8
+    xx, yy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    dd = hilbert_d(xx.ravel(), yy.ravel(), 3)
+    assert sorted(dd) == list(range(n * n))
+    pos = np.empty((n * n, 2), np.int64)
+    pos[dd] = np.c_[xx.ravel(), yy.ravel()]
+    assert (np.abs(np.diff(pos, axis=0)).sum(axis=1) == 1).all()
+
+    def ref(order, x, y):
+        d = 0
+        s = 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rng = np.random.RandomState(3)
+    xs = rng.randint(0, 4096, 200)
+    ys = rng.randint(0, 4096, 200)
+    got = hilbert_d(xs, ys, 12)
+    assert all(got[i] == ref(12, int(xs[i]), int(ys[i])) for i in range(200))
