@@ -223,3 +223,41 @@ def hilbert_d(tx, ty, order: int):
         x, y = x2, y2
         s >>= 1
     return d
+
+
+# hex binning (pointy-top axial grid — the planar analog of H3's hex
+# cells). SQRT3_3 is a literal (the double nearest sqrt(3)/3) so the
+# SQL twin states the identical constant instead of trusting two
+# sqrt implementations.
+SQRT3_3 = 0.5773502691896258
+HEX_SIZE = 0.5  # plane units per hex circumradius
+
+
+def hexbin_axial(x, y, size: float = HEX_SIZE):
+    """(x, y) plane points -> axial hex coordinates (q, r) of the
+    containing pointy-top hexagon: fractional axial transform, then
+    cube rounding with floor(v + 0.5) (NOT banker's round — the SQL
+    twin's FLOOR(v + 0.5) is the same everywhere), fixing the
+    component with the largest rounding error. All whole-column numpy;
+    every float op is mirrored 1:1 in the oracle."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    qf = (SQRT3_3 * x - y / 3.0) / size
+    rf = (2.0 / 3.0 * y) / size
+    cx = qf
+    cz = rf
+    cy = -cx - cz
+    rx = np.floor(cx + 0.5)
+    ry = np.floor(cy + 0.5)
+    rz = np.floor(cz + 0.5)
+    dx = np.abs(rx - cx)
+    dy = np.abs(ry - cy)
+    dz = np.abs(rz - cz)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_y = (~fix_x) & (dy > dz)
+    fix_z = (~fix_x) & (~fix_y)
+    q = np.where(fix_x, -ry - rz, rx)
+    r = np.where(fix_z, -rx - ry, rz)
+    # (the y component needs no output: axial keeps only q, r)
+    del fix_y
+    return q.astype(np.int64), r.astype(np.int64)

@@ -2440,3 +2440,42 @@ FROM walk WHERE s = 0
 # alternative to the Morton/quadkey order; mirrors
 # geo/tiles.hilbert_d level-for-level).
 HILBERT = _hilbert_sql(12)
+
+
+def _hexbin_sql() -> str:
+    from robosat_ray.geo.tiles import HEX_SIZE, SQRT3_3
+
+    return f"""
+WITH {points_cte()},
+g AS (SELECT doc_id, lon AS x, my * 360.0 - 180.0 AS y FROM pts),
+f AS (
+  SELECT doc_id,
+         ({SQRT3_3!r} * x - y / 3.0) / {HEX_SIZE!r} AS cx,
+         (2.0 / 3.0 * y) / {HEX_SIZE!r} AS cz
+  FROM g
+),
+c AS (SELECT doc_id, cx, cz, -cx - cz AS cy FROM f),
+rr AS (
+  SELECT doc_id, cx, cy, cz,
+         FLOOR(cx + 0.5) AS rx, FLOOR(cy + 0.5) AS ry, FLOOR(cz + 0.5) AS rz
+  FROM c
+),
+fx AS (
+  SELECT doc_id,
+         CASE WHEN ABS(rx - cx) > ABS(ry - cy) AND ABS(rx - cx) > ABS(rz - cz)
+              THEN -ry - rz ELSE rx END AS q,
+         CASE WHEN NOT (ABS(rx - cx) > ABS(ry - cy) AND ABS(rx - cx) > ABS(rz - cz))
+                   AND NOT (ABS(ry - cy) > ABS(rz - cz))
+              THEN -rx - ry ELSE rz END AS r
+  FROM rr
+)
+SELECT CAST(q AS BIGINT) AS hq, CAST(r AS BIGINT) AS hr,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM fx GROUP BY 1, 2
+"""
+
+
+# Hex binning (pointy-top axial grid, H3's planar analog): per-hex
+# page counts; the cube-rounding fix chain mirrors
+# geo/tiles.hexbin_axial float-op-for-float-op.
+HEXBIN = _hexbin_sql()

@@ -1595,6 +1595,42 @@ def q_hilbert(sf_dir: str):
     return pts.map_batches(h, batch_format="pyarrow")
 
 
+def q_hexbin(sf_dir: str):
+    """Per-hex page counts on the pointy-top axial grid (H3's planar
+    analog): in-batch (q, r) combiner -> one small groupby Sum — raw
+    pages never shuffle."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from robosat_ray.geo.tiles import hexbin_axial
+
+    pts = points_dataset(sf_dir).select_columns(["doc_id", "lon", "my"])
+
+    def hb(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        y = batch.column("my").to_numpy() * 360.0 - 180.0
+        q, r = hexbin_axial(lon, y)
+        # offset pack (coords are a few hundred at most): non-negative
+        # composite key so unique/unpack are plain integer division
+        OFF, M = 1 << 20, 1 << 21
+        key = (q + OFF) * M + (r + OFF)
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "hq": pa.array(uniq // M - OFF, pa.int64()),
+                "hr": pa.array(uniq % M - OFF, pa.int64()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        pts.map_batches(hb, batch_format="pyarrow")
+        .groupby(["hq", "hr"])
+        .aggregate(Sum("n", alias_name="n_pages"))
+    )
+    return agg
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1675,6 +1711,7 @@ QUERIES = {
     "clean_corpus": q_clean_corpus,
     "geohash": q_geohash,
     "hilbert": q_hilbert,
+    "hexbin": q_hexbin,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1761,4 +1798,5 @@ ORACLES = {
     "clean_corpus": oracle.CLEAN_CORPUS,
     "geohash": oracle.GEOHASH,
     "hilbert": oracle.HILBERT,
+    "hexbin": oracle.HEXBIN,
 }

@@ -155,3 +155,26 @@ def test_hilbert_bijective_and_unit_step():
     ys = rng.randint(0, 4096, 200)
     got = hilbert_d(xs, ys, 12)
     assert all(got[i] == ref(12, int(xs[i]), int(ys[i])) for i in range(200))
+
+
+def test_hexbin_assigns_nearest_center():
+    """Every point's assigned hex center is the nearest center among
+    the cell and its six neighbors (the defining Voronoi property of
+    hex binning), on a dense random cloud including negative coords."""
+    import numpy as np
+
+    from robosat_ray.geo.tiles import HEX_SIZE, SQRT3_3, hexbin_axial
+
+    rng = np.random.RandomState(11)
+    x = rng.uniform(-180, 180, 3000)
+    y = rng.uniform(-180, 180, 3000)
+    q, r = hexbin_axial(x, y)
+    sqrt3 = SQRT3_3 * 3.0
+    cxc = HEX_SIZE * sqrt3 * (q + r / 2.0)
+    cyc = HEX_SIZE * 1.5 * r
+    d0 = (x - cxc) ** 2 + (y - cyc) ** 2
+    for dq, dr in [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]:
+        nq, nr = q + dq, r + dr
+        cxn = HEX_SIZE * sqrt3 * (nq + nr / 2.0)
+        cyn = HEX_SIZE * 1.5 * nr
+        assert (d0 <= (x - cxn) ** 2 + (y - cyn) ** 2 + 1e-9).all()
