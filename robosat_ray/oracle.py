@@ -2479,3 +2479,43 @@ FROM fx GROUP BY 1, 2
 # page counts; the cube-rounding fix chain mirrors
 # geo/tiles.hexbin_axial float-op-for-float-op.
 HEXBIN = _hexbin_sql()
+
+
+def _pagerank_sql(iters: int) -> str:
+    from robosat_ray.stages.pagerank import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_R0,
+        PR_TELEPORT,
+    )
+
+    step = (
+        "it{k} AS (SELECT e.dst AS node, "
+        f"CAST({PR_TELEPORT} + ({PR_DAMP_NUM} * SUM(p.r // d.sdeg)) // {PR_DAMP_DEN} AS BIGINT) AS r "
+        "FROM it{p} p JOIN deg d ON d.src = p.node JOIN edges e ON e.src = p.node "
+        "GROUP BY e.dst)"
+    )
+    its = ",\n".join(step.format(k=k, p=k - 1) for k in range(1, iters + 1))
+    return f"""
+WITH {points_cte()}, {feet_cte()},
+je AS (
+  SELECT p.doc_id AS d, f.feature_id AS f
+  FROM pts p JOIN feet f
+    ON p.lon >= f.minx AND p.lon <= f.maxx AND p.my >= f.miny AND p.my <= f.maxy
+),
+edges AS (
+  SELECT d * 2 AS src, f * 2 + 1 AS dst FROM je
+  UNION ALL
+  SELECT f * 2 + 1 AS src, d * 2 AS dst FROM je
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS sdeg FROM edges GROUP BY 1),
+it0 AS (SELECT src AS node, CAST({PR_R0} AS BIGINT) AS r FROM deg),
+{its}
+SELECT node, r AS rank_micro FROM it{iters}
+"""
+
+
+# Fixed-iteration integer PageRank over the doc<->footprint join graph
+# (iterative-algorithm surface; mirrors stages/pagerank.pagerank_micro
+# — the unrolled CTE chain IS the engine's superstep loop).
+PAGERANK = _pagerank_sql(6)

@@ -1631,6 +1631,32 @@ def q_hexbin(sf_dir: str):
     return agg
 
 
+def q_pagerank(sf_dir: str):
+    """Integer PageRank (6 supersteps) on the bipartite page<->
+    footprint graph from the flagship join: per iteration one edge<->
+    rank co-partition join + one groupby-dst sum — the Pregel loop as
+    Ray Data primitives, bit-exact vs the unrolled SQL twin."""
+    import pyarrow as pa
+
+    from robosat_ray.stages.pagerank import pagerank_micro
+
+    joined = flagship(sf_dir, through_html=False).select_columns(
+        ["doc_id", "feature_id"]
+    )
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy() * 2
+        f = batch.column("feature_id").to_numpy() * 2 + 1
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([d, f])),
+                "dst": pa.array(np.concatenate([f, d])),
+            }
+        )
+
+    return pagerank_micro(joined.map_batches(mk_edges, batch_format="pyarrow"))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1712,6 +1738,7 @@ QUERIES = {
     "geohash": q_geohash,
     "hilbert": q_hilbert,
     "hexbin": q_hexbin,
+    "pagerank": q_pagerank,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1799,4 +1826,5 @@ ORACLES = {
     "geohash": oracle.GEOHASH,
     "hilbert": oracle.HILBERT,
     "hexbin": oracle.HEXBIN,
+    "pagerank": oracle.PAGERANK,
 }

@@ -106,3 +106,59 @@ def test_merge_components_distributed_path_equal(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         key(base_u[sorted(base_u.columns)]), key(dist_u[sorted(dist_u.columns)])
     )
+
+
+def test_pagerank_strategies_bit_equal_and_exact(ray_session):
+    """Broadcast and shuffle supersteps produce identical integer
+    ranks; a hand-walked 3-node path graph pins the exact arithmetic
+    (r//deg contributions, 0.85/0.15 integer damping)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from robosat_ray.stages.pagerank import pagerank_micro
+
+    # path graph a-b-c as doubled directed edges
+    src = np.array([0, 1, 1, 2], np.int64)
+    dst = np.array([1, 0, 2, 1], np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    got = (
+        pagerank_micro(edges, iters=2, strategy="broadcast")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # hand walk: deg = [1, 2, 1]; r0 = 1e6
+    r = {0: 10**6, 1: 10**6, 2: 10**6}
+    deg = {0: 1, 1: 2, 2: 1}
+    for _ in range(2):
+        c = {n: r[n] // deg[n] for n in r}
+        s = {0: c[1], 1: c[0] + c[2], 2: c[1]}
+        r = {n: 150_000 + (85 * s[n]) // 100 for n in r}
+    want = pd.DataFrame(
+        {"node": [0, 1, 2], "rank_micro": [r[0], r[1], r[2]]}
+    ).astype({"node": "int64", "rank_micro": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+    # random undirected graph: strategy flip is bit-equal
+    rng = np.random.RandomState(5)
+    s2 = rng.randint(0, 300, 2000)
+    d2 = rng.randint(0, 300, 2000)
+    edges2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.concatenate([s2, d2]).astype("int64")),
+                "dst": pa.array(np.concatenate([d2, s2]).astype("int64")),
+            }
+        )
+    )
+    a = (
+        pagerank_micro(edges2, strategy="broadcast")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    b = (
+        pagerank_micro(edges2, strategy="shuffle")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
