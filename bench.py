@@ -123,7 +123,7 @@ def run_bench() -> dict:
         "mask_png", "pbf_extract", "ngram_jaccard",
         # round-4 LLM-data additions: RE2 scrubbing, phrase mining,
         # inverted-index build
-        "pii_scrub", "top_bigrams", "postings", "clean_corpus", "geohash", "hilbert", "hexbin", "pagerank",
+        "pii_scrub", "top_bigrams", "postings", "clean_corpus", "geohash", "hilbert", "hexbin", "pagerank", "token_triangles",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

@@ -2519,3 +2519,46 @@ SELECT node, r AS rank_micro FROM it{iters}
 # (iterative-algorithm surface; mirrors stages/pagerank.pagerank_micro
 # — the unrolled CTE chain IS the engine's superstep loop).
 PAGERANK = _pagerank_sql(6)
+
+
+def _triangles_sql() -> str:
+    from robosat_ray.stages.text_ops import TRI_TOP_K
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
+),
+flat AS (SELECT unnest(ts) AS token FROM tok),
+tot AS (SELECT token, count(*) AS total FROM flat GROUP BY token),
+top AS (
+  SELECT token FROM tot
+  QUALIFY row_number() OVER (ORDER BY total DESC, token ASC) <= {TRI_TOP_K}
+),
+idx AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM tok),
+bi AS (
+  SELECT LEAST(ts[i], ts[i + 1]) AS a, GREATEST(ts[i], ts[i + 1]) AS b
+  FROM idx WHERE ts[i] <> ts[i + 1]
+),
+e AS (
+  SELECT DISTINCT a, b FROM bi
+  WHERE a IN (SELECT token FROM top) AND b IN (SELECT token FROM top)
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+members AS (
+  SELECT x AS token FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_tri FROM members GROUP BY token
+"""
+
+
+# Triangle counts on the token co-occurrence graph (top-K nodes,
+# adjacent-bigram edges) — mirrors stages/text_ops.token_triangles
+# (a<b<c enumeration == diag(A^3)/2 per member).
+TOKEN_TRIANGLES = _triangles_sql()

@@ -1657,6 +1657,15 @@ def q_pagerank(sf_dir: str):
     return pagerank_micro(joined.map_batches(mk_edges, batch_format="pyarrow"))
 
 
+def q_token_triangles(sf_dir: str):
+    """Triangle counts on the token co-occurrence graph (top-60
+    tokens, adjacent-bigram edges): distributed edge mining bounded BY
+    CONSTRUCTION at K^2 pairs, exact diag(A^3)/2 per member."""
+    from robosat_ray.stages.text_ops import token_triangles
+
+    return token_triangles(_docs_ds(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1739,6 +1748,7 @@ QUERIES = {
     "hilbert": q_hilbert,
     "hexbin": q_hexbin,
     "pagerank": q_pagerank,
+    "token_triangles": q_token_triangles,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1827,4 +1837,5 @@ ORACLES = {
     "hilbert": oracle.HILBERT,
     "hexbin": oracle.HEXBIN,
     "pagerank": oracle.PAGERANK,
+    "token_triangles": oracle.TOKEN_TRIANGLES,
 }

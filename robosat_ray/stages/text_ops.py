@@ -596,3 +596,62 @@ def postings(documents_ds, k: int = POSTING_K):
     return parts.groupby("token").map_groups(
         lambda g: _merge_posting_group(g, k), batch_format="pandas"
     )
+
+
+TRI_TOP_K = 60  # token-graph node budget: edges bounded by K^2 BY CONSTRUCTION
+
+
+def token_triangles(documents_ds, k: int = TRI_TOP_K):
+    """Triangle counts on the token co-occurrence graph: nodes = the
+    top-k corpus tokens (count DESC, token ASC — deterministic under
+    ties), edges = unordered distinct adjacent-bigram pairs between
+    them. -> (token, n_tri) for tokens in >=1 triangle.
+
+    Scale shape: the node set caps the graph BY CONSTRUCTION (<= k^2/2
+    edges regardless of corpus size), so edge MINING is the only
+    corpus-scale work — bigram partials filtered to the top set inside
+    map_batches (vocabulary-bounded rows out) — while the triangle
+    enumeration runs on the driver over the bounded adjacency matrix
+    (diag(A^3)/2, exact ints)."""
+    top = top_tokens(documents_ds, k=k)
+    keep = set(top["token"])
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        t = bigram_partial_counts(batch)
+        bi = t.column("bigram").to_pylist()
+        a_out, b_out = [], []
+        for s in bi:
+            w1, w2 = s.split(" ", 1)
+            if w1 != w2 and w1 in keep and w2 in keep:
+                a, b = (w1, w2) if w1 < w2 else (w2, w1)
+                a_out.append(a)
+                b_out.append(b)
+        return pa.table(
+            {"a": pa.array(a_out, pa.string()), "b": pa.array(b_out, pa.string())}
+        )
+
+    from ray.data.aggregate import Count
+
+    edges = (
+        documents_ds.select_columns(["text"])
+        .map_batches(edge_partials, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )  # <= k^2/2 rows by construction
+    nodes = sorted(keep)
+    idx = {t: i for i, t in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    ai = np.fromiter((idx[x] for x in edges["a"]), np.int64, len(edges))
+    bi_ = np.fromiter((idx[x] for x in edges["b"]), np.int64, len(edges))
+    A[ai, bi_] = 1
+    A[bi_, ai] = 1
+    tri_per_node = np.diag(A @ A @ A) // 2
+    mask = tri_per_node > 0
+    out = pd.DataFrame(
+        {
+            "token": np.asarray(nodes, dtype=object)[mask],
+            "n_tri": tri_per_node[mask],
+        }
+    ).sort_values("token").reset_index(drop=True)
+    return out

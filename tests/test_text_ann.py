@@ -567,3 +567,25 @@ def test_clean_corpus_composition_semantics(ray_session):
     assert by.loc[1, "n_exact"] == 2  # {1,2}
     assert by.loc[1, "n_norm"] == 2   # {1, 3} among exact keepers
     assert by.loc[4, "n_exact"] == 1 and by.loc[4, "n_norm"] == 1
+
+
+def test_token_triangles_known_graph(ray_session):
+    """Hand-built corpus: tokens a b c form a triangle (bigrams ab,
+    bc, ca), d attaches to a and b only after c->d lacks the closing
+    edge... construct exactly: edges ab, bc, ca, ad -> one triangle
+    {a,b,c}, d in none."""
+    import pyarrow as pa
+    import ray.data
+
+    from robosat_ray.stages.text_ops import token_triangles
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["aa bb", "bb cc", "cc aa", "aa dd"]),
+            }
+        )
+    )
+    out = token_triangles(docs, k=10).set_index("token")["n_tri"].to_dict()
+    assert out == {"aa": 1, "bb": 1, "cc": 1}
