@@ -2562,3 +2562,62 @@ SELECT token, CAST(count(*) AS BIGINT) AS n_tri FROM members GROUP BY token
 # adjacent-bigram edges) — mirrors stages/text_ops.token_triangles
 # (a<b<c enumeration == diag(A^3)/2 per member).
 TOKEN_TRIANGLES = _triangles_sql()
+
+
+def _bm25_sql() -> str:
+    """Log-free BM25 (k1=6/5, b=3/4 cleared of denominators), integer
+    end to end — mirrors stages/retrieval.bm25_topk bit-for-bit:
+    idf_milli = min((1000*N)//df, cap), A = min((1000*L)//N, cap),
+    tfc = min(tf, 255),
+    term_milli = (44*idf*tfc*A) // (20*A*tfc + 6*A + 18000*dl).
+    All quantities positive, so DuckDB // == numpy floor-div."""
+    from robosat_ray.stages.retrieval import (
+        BM25_AVGDL_CAP_MILLI,
+        BM25_IDF_CAP_MILLI,
+        BM25_K,
+        BM25_QUERY,
+        BM25_TF_CAP,
+    )
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+st AS MATERIALIZED (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         (SELECT COUNT(*) FROM toks) AS L
+),
+av AS (SELECT n, LEAST((1000 * L) // n, {BM25_AVGDL_CAP_MILLI}) AS a FROM st),
+qt AS (SELECT unnest([{terms}]) AS t),
+df AS (
+  SELECT t, COUNT(DISTINCT doc_id) AS df FROM toks
+  WHERE t IN (SELECT t FROM qt) GROUP BY t
+),
+idf AS (
+  SELECT df.t, LEAST((1000 * av.n) // df.df, {BM25_IDF_CAP_MILLI}) AS idf
+  FROM df, av
+),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM toks
+  WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t
+),
+term AS (
+  SELECT tf.doc_id,
+         (44 * idf.idf * LEAST(tf.tf, {BM25_TF_CAP}) * av.a)
+         // (20 * av.a * LEAST(tf.tf, {BM25_TF_CAP}) + 6 * av.a + 18000 * dl.dl) AS tm
+  FROM tf JOIN idf ON idf.t = tf.t JOIN dl ON dl.doc_id = tf.doc_id, av
+),
+score AS (SELECT doc_id, SUM(tm) AS score_milli FROM term GROUP BY doc_id)
+SELECT doc_id, CAST(score_milli AS BIGINT) AS score_milli, rank FROM (
+  SELECT doc_id, score_milli,
+         row_number() OVER (ORDER BY score_milli DESC, doc_id) AS rank
+  FROM score
+) WHERE rank <= {BM25_K}
+"""
+
+
+# Ranked retrieval: integer-exact BM25 top-k over the fixed query —
+# mirrors stages/retrieval.bm25_topk.
+BM25 = _bm25_sql()

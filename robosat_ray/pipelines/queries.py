@@ -1666,6 +1666,15 @@ def q_token_triangles(sf_dir: str):
     return token_triangles(_docs_ds(sf_dir))
 
 
+def q_bm25(sf_dir: str):
+    """Integer-exact BM25 top-k retrieval (ranked search over the
+    training corpus): two streaming passes (stats reduce to one row,
+    then score + per-block top-k), no shuffle. Oracle: oracle.BM25."""
+    from robosat_ray.stages.retrieval import bm25_topk
+
+    return bm25_topk(_docs_ds(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1749,6 +1758,7 @@ QUERIES = {
     "hexbin": q_hexbin,
     "pagerank": q_pagerank,
     "token_triangles": q_token_triangles,
+    "bm25": q_bm25,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1838,4 +1848,5 @@ ORACLES = {
     "hexbin": oracle.HEXBIN,
     "pagerank": oracle.PAGERANK,
     "token_triangles": oracle.TOKEN_TRIANGLES,
+    "bm25": oracle.BM25,
 }
