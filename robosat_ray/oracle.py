@@ -2621,3 +2621,46 @@ SELECT doc_id, CAST(score_milli AS BIGINT) AS score_milli, rank FROM (
 # Ranked retrieval: integer-exact BM25 top-k over the fixed query —
 # mirrors stages/retrieval.bm25_topk.
 BM25 = _bm25_sql()
+
+
+# URL parse + registered-domain aggregation — mirrors stages/urls.py:
+# the URL fixture is rebuilt expression-for-expression from documents
+# (pure functions of doc_id and lang), then PARSED back with the same
+# RE2 grammar (DuckDB's regexp engine is RE2 like Arrow's), so the
+# parser itself is what parity checks.
+URL_STATS = """
+WITH built AS (
+  SELECT
+    (CASE WHEN doc_id % 11 = 0 THEN 'http' ELSE 'https' END) || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+    || 'site' || CAST(doc_id % 23 AS VARCHAR)
+    || (['.com', '.org', '.net', '.io', '.co.uk'])[(doc_id % 5) + 1]
+    || (CASE WHEN doc_id % 4 > 0 THEN '/p' || CAST(doc_id % 17 AS VARCHAR) ELSE '' END)
+    || (CASE WHEN doc_id % 4 > 1 THEN '/p' || CAST((doc_id + 1) % 17 AS VARCHAR) ELSE '' END)
+    || (CASE WHEN doc_id % 4 > 2 THEN '/p' || CAST((doc_id + 2) % 17 AS VARCHAR) ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0
+         THEN '?q=' || lang || '&p=' || CAST(doc_id % 13 AS VARCHAR) ELSE '' END)
+    AS url,
+    lang
+  FROM documents
+),
+parsed AS (
+  SELECT
+    regexp_extract(
+      regexp_replace(regexp_extract(url, '^https?://([^/?]+)', 1), '^www\\.', ''),
+      '([^.]+\\.co\\.uk|[^.]+\\.[^.]+)$', 1) AS regdom,
+    CASE WHEN regexp_extract(url, '^(https?)://', 1) = 'https' THEN 1 ELSE 0 END AS is_https,
+    CASE WHEN regexp_matches(url, '\\?') THEN 1 ELSE 0 END AS has_query,
+    len(regexp_extract(url, '^https?://[^/?]+(/[^?]*)', 1))
+      - len(replace(regexp_extract(url, '^https?://[^/?]+(/[^?]*)', 1), '/', '')) AS depth,
+    lang
+  FROM built
+)
+SELECT regdom AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(is_https) AS BIGINT) AS n_https,
+       CAST(SUM(has_query) AS BIGINT) AS n_query,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM parsed GROUP BY regdom
+"""

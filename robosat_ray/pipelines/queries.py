@@ -1666,6 +1666,21 @@ def q_token_triangles(sf_dir: str):
     return token_triangles(_docs_ds(sf_dir))
 
 
+def q_url_stats(sf_dir: str):
+    """URL parse + registered-domain aggregation (C4/RefinedWeb-style
+    per-domain curation stats): deterministic URL fixture from
+    documents, one RE2 extract_regex parse, (domain, lang) partial
+    pre-agg -> two vocabulary-bounded groupbys. Oracle: URL_STATS."""
+    import ray.data
+
+    from robosat_ray.stages.urls import rich_urls_batch, url_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return url_stats(docs.map_batches(rich_urls_batch, batch_format="pyarrow"))
+
+
 def q_bm25(sf_dir: str):
     """Integer-exact BM25 top-k retrieval (ranked search over the
     training corpus): two streaming passes (stats reduce to one row,
@@ -1759,6 +1774,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "token_triangles": q_token_triangles,
     "bm25": q_bm25,
+    "url_stats": q_url_stats,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1849,4 +1865,5 @@ ORACLES = {
     "pagerank": oracle.PAGERANK,
     "token_triangles": oracle.TOKEN_TRIANGLES,
     "bm25": oracle.BM25,
+    "url_stats": oracle.URL_STATS,
 }
