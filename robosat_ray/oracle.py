@@ -2664,3 +2664,63 @@ SELECT regdom AS domain,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
 FROM parsed GROUP BY regdom
 """
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Full-corpus integer Lloyd unrolled as CTE blocks (the ANN_IVF
+    oracle pattern, but integer-exact end to end) — mirrors
+    stages/cluster.kmeans_assignments bit-for-bit: floor(x*1e6)
+    lattice, k-smallest-vec_id init, argmin-L2 with lowest-j ties,
+    elementwise floor-div means ((s - mod)/n so negative sums floor
+    like numpy //), empty clusters keep their previous centroid."""
+    its = []
+    for i in range(iters):
+        its.append(f""",
+dist{i} AS MATERIALIZED (
+  SELECT q.vec_id, c.j, SUM((q.val - c.val) * (q.val - c.val)) AS d2
+  FROM qd q JOIN cent{i} c ON c.d = q.d
+  GROUP BY q.vec_id, c.j
+),
+asgn{i} AS MATERIALIZED (
+  SELECT vec_id, j FROM dist{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) = 1
+),
+upd{i} AS MATERIALIZED (
+  SELECT a.j, q.d, SUM(q.val) AS s, COUNT(*) AS n
+  FROM asgn{i} a JOIN qd q USING (vec_id)
+  GROUP BY a.j, q.d
+),
+cent{i + 1} AS MATERIALIZED (
+  SELECT c.j, c.d,
+         COALESCE((u.s - (((u.s % u.n) + u.n) % u.n)) // u.n, c.val) AS val
+  FROM cent{i} c LEFT JOIN upd{i} u ON u.j = c.j AND u.d = c.d
+)""")
+    return f"""
+WITH qd AS MATERIALIZED (
+  SELECT vec_id, d,
+         CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS val
+  FROM (SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings)
+),
+init AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+  FROM embeddings ORDER BY vec_id LIMIT {k}
+),
+cent0 AS MATERIALIZED (
+  SELECT i.j, q.d, q.val FROM init i JOIN qd q USING (vec_id)
+){"".join(its)},
+fdist AS (
+  SELECT q.vec_id, c.j, SUM((q.val - c.val) * (q.val - c.val)) AS d2
+  FROM qd q JOIN cent{iters} c ON c.d = q.d
+  GROUP BY q.vec_id, c.j
+)
+SELECT vec_id, CAST(j AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+FROM fdist
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) = 1
+"""
+
+
+# Distributed full-corpus KMeans (integer Lloyd, broadcast-model
+# iteration) — mirrors stages/cluster.kmeans_assignments.
+KMEANS = _kmeans_sql(k=10, iters=3)

@@ -1666,6 +1666,21 @@ def q_token_triangles(sf_dir: str):
     return token_triangles(_docs_ds(sf_dir))
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed full-corpus KMeans (integer Lloyd): broadcast
+    k x d centroid model per round, streaming assignment + partial
+    sums, driver merge of k x blocks rows. Oracle: unrolled-CTE
+    integer Lloyd (oracle.KMEANS)."""
+    import ray.data
+
+    from robosat_ray.stages.cluster import kmeans_assignments
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_assignments(emb)
+
+
 def q_url_stats(sf_dir: str):
     """URL parse + registered-domain aggregation (C4/RefinedWeb-style
     per-domain curation stats): deterministic URL fixture from
@@ -1775,6 +1790,7 @@ QUERIES = {
     "token_triangles": q_token_triangles,
     "bm25": q_bm25,
     "url_stats": q_url_stats,
+    "kmeans": q_kmeans,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1866,4 +1882,5 @@ ORACLES = {
     "token_triangles": oracle.TOKEN_TRIANGLES,
     "bm25": oracle.BM25,
     "url_stats": oracle.URL_STATS,
+    "kmeans": oracle.KMEANS,
 }
