@@ -2724,3 +2724,38 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) = 1
 # Distributed full-corpus KMeans (integer Lloyd, broadcast-model
 # iteration) — mirrors stages/cluster.kmeans_assignments.
 KMEANS = _kmeans_sql(k=10, iters=3)
+
+
+# Bloom-filter semi-join (deterministic FPs included) — mirrors
+# stages/bloom.py: bit positions = md5_64('bl<i>-' || key) mod 32768,
+# membership = every position present in the built bit set.
+def _bloom_sql() -> str:
+    from robosat_ray.stages.bloom import BLOOM_M
+
+    def pos(i: str, key: str) -> str:
+        return (
+            f"CAST(((md5_number('bl{i}-' || CAST({key} AS VARCHAR)) % {_U64}) + {_U64})"
+            f" % {_U64} % {BLOOM_M} AS BIGINT)"
+        )
+
+    return f"""
+WITH bits AS MATERIALIZED (
+  SELECT DISTINCT b FROM (
+    SELECT {pos('0', 'o_orderkey')} AS b FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT {pos('1', 'o_orderkey')} AS b FROM orders WHERE o_orderpriority = '1-URGENT'
+  )
+),
+probe AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+  WHERE {pos('0', 'l_orderkey')} IN (SELECT b FROM bits)
+    AND {pos('1', 'l_orderkey')} IN (SELECT b FROM bits)
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_pass,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty
+FROM probe GROUP BY l_returnflag
+"""
+
+
+BLOOM_JOIN = _bloom_sql()

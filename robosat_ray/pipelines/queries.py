@@ -1666,6 +1666,24 @@ def q_token_triangles(sf_dir: str):
     return token_triangles(_docs_ds(sf_dir))
 
 
+def q_bloom_join(sf_dir: str):
+    """Bloom-filter semi-join prefilter (deterministic FPs included):
+    4 KiB bitmap built over urgent order keys, broadcast once, probe
+    is a pure map + in-batch partial agg. Oracle: oracle.BLOOM_JOIN."""
+    import ray.data
+
+    from robosat_ray.stages.bloom import bloom_semijoin_agg
+
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    )
+    return bloom_semijoin_agg(li, urgent)
+
+
 def q_kmeans(sf_dir: str):
     """Distributed full-corpus KMeans (integer Lloyd): broadcast
     k x d centroid model per round, streaming assignment + partial
@@ -1791,6 +1809,7 @@ QUERIES = {
     "bm25": q_bm25,
     "url_stats": q_url_stats,
     "kmeans": q_kmeans,
+    "bloom_join": q_bloom_join,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1883,4 +1902,5 @@ ORACLES = {
     "bm25": oracle.BM25,
     "url_stats": oracle.URL_STATS,
     "kmeans": oracle.KMEANS,
+    "bloom_join": oracle.BLOOM_JOIN,
 }
