@@ -124,6 +124,9 @@ def run_bench() -> dict:
         # round-4 LLM-data additions: RE2 scrubbing, phrase mining,
         # inverted-index build
         "pii_scrub", "top_bigrams", "postings", "clean_corpus", "geohash", "hilbert", "hexbin", "pagerank", "token_triangles",
+        # round-4 session additions: retrieval, URL curation, iterative
+        # clustering, probabilistic join prefilter
+        "bm25", "url_stats", "kmeans", "bloom_join",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)
