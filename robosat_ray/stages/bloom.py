@@ -14,6 +14,13 @@ positions per key: pos_i(x) = md5_64('bl<i>-' || x) mod m, where
 md5_64 is the little-endian low 8 bytes of md5 (== DuckDB md5_number
 mod 2^64).
 
+Relation to stages/join.py's Bloom runtime filter (BLOOM_K=7
+splitmix64, used by recent_lineitems): that one ACCELERATES an exact
+semi-join (FPs removed downstream, hash needs no SQL twin, so it uses
+the faster fully-vectorized mix); this one IS the final operator (FPs
+part of the deterministic output), which forces the md5_number hash
+the oracle can replicate. Same build/probe shape, different contracts.
+
 Scale shape: the build side streams to per-block partial bitmaps
 (m/64 uint64 words per block) OR-merged on the driver; the probe side
 is a pure map with an in-batch per-UNIQUE-key md5 (worker-lifetime
