@@ -2759,3 +2759,61 @@ FROM probe GROUP BY l_returnflag
 
 
 BLOOM_JOIN = _bloom_sql()
+
+
+def _dup_spans_sql() -> str:
+    """Repeated-span detection twin — mirrors stages/spans.py: md5_64
+    token hashes, SPAN_W-step wraparound-mod-2^64 polynomial fold
+    (HUGEINT intermediates: acc*B < 2^104), 1/SPAN_SAMPLE_MOD anchor
+    sample, group-by-hash (n_docs, n_occ), tie-deterministic top-k."""
+    from robosat_ray.stages.spans import SPAN_SAMPLE_MOD, SPAN_TOP_K, SPAN_W
+
+    b = 1099511628211
+    expr = "list_extract(ths, CAST(p.i AS INTEGER))"
+    for j in range(1, SPAN_W):
+        expr = (
+            f"((({expr}) * {b} + list_extract(ths, CAST(p.i + {j} AS INTEGER)))"
+            f" % {_U64})"
+        )
+    return f"""
+WITH docs_all AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, 'zzvariant' || substr(text, strpos(text, ' '))
+  FROM documents WHERE doc_id % 5 = 0
+),
+toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           t -> ((md5_number(t) % {_U64}) + {_U64}) % {_U64}) AS ths
+  FROM docs_all
+),
+spans AS MATERIALIZED (
+  SELECT p.doc_id, {expr} AS h
+  FROM (SELECT doc_id, ths, unnest(range(1, len(ths) - {SPAN_W - 2})) AS i
+        FROM toks WHERE len(ths) >= {SPAN_W}) p
+),
+anchors AS (SELECT doc_id, h FROM spans WHERE h % {SPAN_SAMPLE_MOD} = 0),
+grp AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+  FROM anchors GROUP BY h
+)
+SELECT CAST(CASE WHEN h >= 9223372036854775808 THEN h - {_U64} ELSE h END AS BIGINT)
+         AS span_hash,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_occ AS BIGINT) AS n_occ,
+       rank
+FROM (
+  SELECT h, n_docs, n_occ,
+         row_number() OVER (
+           ORDER BY n_docs DESC, n_occ DESC,
+                    CASE WHEN h >= 9223372036854775808 THEN h - {_U64} ELSE h END
+         ) AS rank
+  FROM grp WHERE n_docs >= 2
+) WHERE rank <= {SPAN_TOP_K}
+"""
+
+
+# Cross-document repeated-span detection (Lee et al. substring-dedup
+# signal) — mirrors stages/spans.dup_spans.
+DUP_SPANS = _dup_spans_sql()

@@ -1666,6 +1666,18 @@ def q_token_triangles(sf_dir: str):
     return token_triangles(_docs_ds(sf_dir))
 
 
+def q_dup_spans(sf_dir: str):
+    """Cross-document repeated-span detection (Lee et al.
+    substring-dedup signal): sampled 16-token rolling-hash anchors,
+    one hash-bucket shuffle, tie-keeping local top-k. Oracle:
+    oracle.DUP_SPANS (HUGEINT wraparound fold twin)."""
+    from robosat_ray.stages.neardup import with_variants_batch
+    from robosat_ray.stages.spans import dup_spans
+
+    docs = _docs_ds(sf_dir).map_batches(with_variants_batch, batch_format="pyarrow")
+    return dup_spans(docs)
+
+
 def q_bloom_join(sf_dir: str):
     """Bloom-filter semi-join prefilter (deterministic FPs included):
     4 KiB bitmap built over urgent order keys, broadcast once, probe
@@ -1810,6 +1822,7 @@ QUERIES = {
     "url_stats": q_url_stats,
     "kmeans": q_kmeans,
     "bloom_join": q_bloom_join,
+    "dup_spans": q_dup_spans,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1903,4 +1916,5 @@ ORACLES = {
     "url_stats": oracle.URL_STATS,
     "kmeans": oracle.KMEANS,
     "bloom_join": oracle.BLOOM_JOIN,
+    "dup_spans": oracle.DUP_SPANS,
 }
