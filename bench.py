@@ -126,7 +126,7 @@ def run_bench() -> dict:
         "pii_scrub", "top_bigrams", "postings", "clean_corpus", "geohash", "hilbert", "hexbin", "pagerank", "token_triangles",
         # round-4 session additions: retrieval, URL curation, iterative
         # clustering, probabilistic join prefilter
-        "bm25", "url_stats", "kmeans", "bloom_join",
+        "bm25", "url_stats", "kmeans", "bloom_join", "dup_spans",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)
