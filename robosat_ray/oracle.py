@@ -2817,3 +2817,44 @@ FROM (
 # Cross-document repeated-span detection (Lee et al. substring-dedup
 # signal) — mirrors stages/spans.dup_spans.
 DUP_SPANS = _dup_spans_sql()
+
+
+# Chain-rule event debounce (streaming telemetry dedup): an event is
+# kept only if >= 60 s after the last KEPT event of the same
+# (user_id, event_type); dropped events do not reset the clock. The
+# recursive CTE's working set is exactly the per-key frontier (one
+# row per key per round) — the same frontier algorithm
+# stages/debounce.py runs vectorized. Ties at identical ts order by
+# event_id, mirroring the engine's composite sort.
+DEBOUNCE = """
+WITH RECURSIVE ev AS MATERIALIZED (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+         row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+         ) AS rn
+  FROM events
+),
+keep AS (
+  SELECT user_id, event_type, tus, event_id, rn FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.tus, e.event_id, e.rn
+  FROM (
+    SELECT e.*, row_number() OVER (
+             PARTITION BY e.user_id, e.event_type ORDER BY e.rn
+           ) AS pick
+    FROM keep k JOIN ev e
+      ON e.user_id = k.user_id AND e.event_type = k.event_type
+    WHERE e.tus >= k.tus + 60000000
+  ) e WHERE e.pick = 1
+)
+SELECT t.user_id, t.event_type, t.n_events, k.n_kept, k.kept_id_sum
+FROM (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY user_id, event_type
+) t
+JOIN (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(event_id) AS BIGINT) AS kept_id_sum
+  FROM keep GROUP BY user_id, event_type
+) k USING (user_id, event_type)
+"""

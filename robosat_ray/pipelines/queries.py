@@ -1735,6 +1735,24 @@ def q_bm25(sf_dir: str):
     return bm25_topk(_docs_ds(sf_dir))
 
 
+def q_debounce(sf_dir: str):
+    """Chain-rule event debounce (streaming telemetry dedup): keep an
+    event only if >= 60 s since the last KEPT event of the same
+    (user_id, event_type) — dropped events do not reset the clock.
+    One hash-bucket shuffle on user_id, then a vectorized per-bucket
+    FRONTIER scan (rounds = longest kept-chain, one searchsorted per
+    round). Oracle: oracle.DEBOUNCE (recursive-CTE frontier twin)."""
+    import ray.data
+
+    from robosat_ray.stages.debounce import debounce_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return debounce_counts(ev)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1823,6 +1841,7 @@ QUERIES = {
     "kmeans": q_kmeans,
     "bloom_join": q_bloom_join,
     "dup_spans": q_dup_spans,
+    "debounce": q_debounce,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1917,4 +1936,5 @@ ORACLES = {
     "kmeans": oracle.KMEANS,
     "bloom_join": oracle.BLOOM_JOIN,
     "dup_spans": oracle.DUP_SPANS,
+    "debounce": oracle.DEBOUNCE,
 }
