@@ -2858,3 +2858,56 @@ JOIN (
   FROM keep GROUP BY user_id, event_type
 ) k USING (user_id, event_type)
 """
+
+
+def _decontaminate_sql() -> str:
+    """Benchmark-decontamination twin — mirrors stages/decontaminate.py:
+    the spans.py polynomial window fold at DECON_W=13, benchmark =
+    (doc_id % MOD == 0 AND doc_id < MAX_ID) fixture, per-train-doc
+    window/hit counts + 0/1 flag."""
+    from robosat_ray.stages.decontaminate import (
+        DECON_BENCH_MAX_ID,
+        DECON_BENCH_MOD,
+        DECON_W,
+    )
+
+    b = 1099511628211
+    expr = "list_extract(ths, CAST(p.i AS INTEGER))"
+    for j in range(1, DECON_W):
+        expr = (
+            f"((({expr}) * {b} + list_extract(ths, CAST(p.i + {j} AS INTEGER)))"
+            f" % {_U64})"
+        )
+    bench_pred = f"doc_id % {DECON_BENCH_MOD} = 0 AND doc_id < {DECON_BENCH_MAX_ID}"
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           t -> ((md5_number(t) % {_U64}) + {_U64}) % {_U64}) AS ths
+  FROM documents
+),
+spans AS MATERIALIZED (
+  SELECT p.doc_id, {expr} AS h
+  FROM (SELECT doc_id, ths, unnest(range(1, len(ths) - {DECON_W - 2})) AS i
+        FROM toks WHERE len(ths) >= {DECON_W}) p
+),
+bench AS (SELECT DISTINCT h FROM spans WHERE {bench_pred}),
+hits AS (
+  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM spans s
+  WHERE NOT ({bench_pred.replace('doc_id', 's.doc_id')})
+    AND s.h IN (SELECT h FROM bench)
+  GROUP BY s.doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.ths) - {DECON_W - 1}, 0) AS BIGINT) AS n_grams,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+FROM toks t LEFT JOIN hits h USING (doc_id)
+WHERE NOT (t.doc_id % {DECON_BENCH_MOD} = 0 AND t.doc_id < {DECON_BENCH_MAX_ID})
+"""
+
+
+# Benchmark decontamination (GPT-3-style 13-gram train/eval overlap) —
+# mirrors stages/decontaminate.decontaminate.
+DECONTAMINATE = _decontaminate_sql()

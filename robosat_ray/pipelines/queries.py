@@ -1753,6 +1753,17 @@ def q_debounce(sf_dir: str):
     return debounce_counts(ev)
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3-style 13-gram train/eval
+    overlap): the bounded benchmark fixture's window hashes broadcast
+    once (sorted array, ray.put), the train corpus probed with a pure
+    map — searchsorted membership + bincount hits, zero shuffles.
+    Oracle: oracle.DECONTAMINATE."""
+    from robosat_ray.stages.decontaminate import decontaminate
+
+    return decontaminate(_docs_ds(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1842,6 +1853,7 @@ QUERIES = {
     "bloom_join": q_bloom_join,
     "dup_spans": q_dup_spans,
     "debounce": q_debounce,
+    "decontaminate": q_decontaminate,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1937,4 +1949,5 @@ ORACLES = {
     "bloom_join": oracle.BLOOM_JOIN,
     "dup_spans": oracle.DUP_SPANS,
     "debounce": oracle.DEBOUNCE,
+    "decontaminate": oracle.DECONTAMINATE,
 }

@@ -41,16 +41,19 @@ SPAN_B = np.uint64(1099511628211)  # the codebase's FNV-ish fold base (< 2^41)
 N_SPAN_BUCKETS = 64
 
 
-def _span_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+def _span_hashes(
+    texts: list[str], w: int = SPAN_W
+) -> tuple[np.ndarray, np.ndarray]:
     """-> (flat span hashes uint64, doc index per span): stride-1
-    SPAN_W-token windows, vectorized over the whole batch (the
-    batch_shingle_sets window idiom, without per-doc dedup)."""
+    w-token windows, vectorized over the whole batch (the
+    batch_shingle_sets window idiom, without per-doc dedup). Shared
+    with stages/decontaminate.py (w=13 there)."""
     from robosat_ray.functions.text_hash import _batch_token_hashes
 
     th, doc_off = _batch_token_hashes(texts)
     n_docs = len(doc_off) - 1
     lens = np.diff(doc_off)
-    n_sp = np.maximum(lens - SPAN_W + 1, 0)
+    n_sp = np.maximum(lens - w + 1, 0)
     sp_off = np.concatenate([[0], np.cumsum(n_sp)])
     total = int(sp_off[-1])
     if total == 0:
@@ -59,7 +62,7 @@ def _span_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     local = np.arange(total, dtype=np.int64) - np.repeat(sp_off[:-1], n_sp)
     start = doc_off[:-1][doc_of] + local
     acc = np.zeros(total, dtype=np.uint64)
-    for j in range(SPAN_W):
+    for j in range(w):
         acc = acc * SPAN_B + th[start + j]
     return acc, doc_of
 
