@@ -2911,3 +2911,28 @@ WHERE NOT (t.doc_id % {DECON_BENCH_MOD} = 0 AND t.doc_id < {DECON_BENCH_MAX_ID})
 # Benchmark decontamination (GPT-3-style 13-gram train/eval overlap) —
 # mirrors stages/decontaminate.decontaminate.
 DECONTAMINATE = _decontaminate_sql()
+
+
+# Training-sequence packing (concat-and-chunk placement) — mirrors
+# stages/pack.py: global doc_id-ordered token prefix sum sliced into
+# SEQ_LEN sequences. The window frame IS the scan pass A+B performs
+# distributed.
+PACK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // 2048 AS first_seq,
+       (tok_offset + n_tokens - 1) // 2048 AS last_seq,
+       (tok_offset + n_tokens - 1) // 2048 - tok_offset // 2048 + 1 AS n_seqs
+FROM c
+"""

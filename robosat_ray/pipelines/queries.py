@@ -1764,6 +1764,16 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_docs_ds(sf_dir))
 
 
+def q_pack(sf_dir: str):
+    """Training-sequence packing (concat-and-chunk): the distributed
+    ordered prefix-scan — range-bucket on doc_id, per-bucket partial
+    token sums to the driver, one bucket-offset broadcast, local
+    cumsum per bucket. Oracle: oracle.PACK (window-frame twin)."""
+    from robosat_ray.stages.pack import pack_sequences
+
+    return pack_sequences(_docs_ds(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1854,6 +1864,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "debounce": q_debounce,
     "decontaminate": q_decontaminate,
+    "pack": q_pack,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1950,4 +1961,5 @@ ORACLES = {
     "dup_spans": oracle.DUP_SPANS,
     "debounce": oracle.DEBOUNCE,
     "decontaminate": oracle.DECONTAMINATE,
+    "pack": oracle.PACK,
 }
