@@ -127,7 +127,7 @@ def run_bench() -> dict:
         # round-4 session additions: retrieval, URL curation, iterative
         # clustering, probabilistic join prefilter
         "bm25", "url_stats", "kmeans", "bloom_join", "dup_spans",
-        "debounce", "decontaminate", "pack",
+        "debounce", "decontaminate", "pack", "domain_cap", "ingest",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

@@ -2936,3 +2936,61 @@ SELECT doc_id, n_tokens, tok_offset,
        (tok_offset + n_tokens - 1) // 2048 - tok_offset // 2048 + 1 AS n_seqs
 FROM c
 """
+
+
+# Per-domain contribution cap (RefinedWeb-style curation) — mirrors
+# stages/domain_cap.py: the URL_STATS fixture/parse chain, MMIX-LCG
+# rank hash in HUGEINT (== the engine's uint64 wraparound), top
+# DOMAIN_CAP per registered domain.
+DOMAIN_CAP = f"""
+WITH built AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 11 = 0 THEN 'http' ELSE 'https' END) || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+    || 'site' || CAST(doc_id % 23 AS VARCHAR)
+    || (['.com', '.org', '.net', '.io', '.co.uk'])[(doc_id % 5) + 1]
+    AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id,
+    regexp_extract(
+      regexp_replace(regexp_extract(url, '^https?://([^/?]+)', 1), '^www\\.', ''),
+      '([^.]+\\.co\\.uk|[^.]+\\.[^.]+)$', 1) AS regdom,
+    (CAST(doc_id AS HUGEINT) * 6364136223846793005 + 1442695040888963407)
+      % {_U64} AS rh
+  FROM built
+)
+SELECT doc_id, regdom,
+       CAST(row_number() OVER (PARTITION BY regdom ORDER BY rh, doc_id)
+            AS BIGINT) AS dom_rank
+FROM parsed
+QUALIFY dom_rank <= 3
+"""
+
+
+# Incremental snapshot ingestion (dedup-against-the-corpus) — mirrors
+# stages/ingest.py: the deterministic re-crawl fixture, corpus-hash
+# anti-join, within-shard min-id dedup. WHERE (the anti-join) runs
+# before the window count, but rejection is all-or-none per hash, so
+# the surviving groups' counts equal the full shard counts — same as
+# the engine's bucket scan.
+INGEST = """
+WITH snap AS (
+  SELECT doc_id + 10000000 AS doc_id, text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'rev2 ' || text
+  FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id + 20000000, 'rev2 ' || text
+  FROM documents WHERE doc_id % 21 = 1
+),
+sh AS (SELECT doc_id, md5(text) AS text_hash FROM snap),
+old AS (SELECT DISTINCT md5(text) AS th FROM documents)
+SELECT s.doc_id, s.text_hash,
+       CAST(COUNT(*) OVER (PARTITION BY s.text_hash) AS BIGINT) AS n_shard_dups
+FROM sh s
+WHERE s.text_hash NOT IN (SELECT th FROM old)
+QUALIFY row_number() OVER (PARTITION BY s.text_hash ORDER BY s.doc_id) = 1
+"""

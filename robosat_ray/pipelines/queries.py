@@ -1774,6 +1774,32 @@ def q_pack(sf_dir: str):
     return pack_sequences(_docs_ds(sf_dir))
 
 
+def q_domain_cap(sf_dir: str):
+    """Per-domain contribution cap (RefinedWeb curation rule): parse
+    the URL fixture, ONE regdom hash-bucket shuffle, per-bucket
+    lexsort + run-length rank, keep <= 3 docs per domain by a
+    deterministic LCG rank hash. Oracle: oracle.DOMAIN_CAP."""
+    import ray.data
+
+    from robosat_ray.stages.domain_cap import domain_cap
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return domain_cap(docs)
+
+
+def q_ingest(sf_dir: str):
+    """Incremental snapshot ingestion: dedup a new crawl snapshot
+    against the existing corpus (content anti-join) AND against
+    itself (mirror dedup) in ONE md5 hash-bucket co-partition —
+    corpus-scale x corpus-scale, no broadcast side. Oracle:
+    oracle.INGEST."""
+    from robosat_ray.stages.ingest import ingest_snapshot
+
+    return ingest_snapshot(_docs_ds(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1865,6 +1891,8 @@ QUERIES = {
     "debounce": q_debounce,
     "decontaminate": q_decontaminate,
     "pack": q_pack,
+    "domain_cap": q_domain_cap,
+    "ingest": q_ingest,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1962,4 +1990,6 @@ ORACLES = {
     "debounce": oracle.DEBOUNCE,
     "decontaminate": oracle.DECONTAMINATE,
     "pack": oracle.PACK,
+    "domain_cap": oracle.DOMAIN_CAP,
+    "ingest": oracle.INGEST,
 }
