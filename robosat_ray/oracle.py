@@ -2994,3 +2994,21 @@ FROM sh s
 WHERE s.text_hash NOT IN (SELECT th FROM old)
 QUALIFY row_number() OVER (PARTITION BY s.text_hash ORDER BY s.doc_id) = 1
 """
+
+
+# Exact rank / percentile normalization of the quality score —
+# mirrors stages/rank.py (RANK() ties, integer-micro percentile; the
+# score expression is QUALITY_FILTER's ratio_micro).
+QUALITY_RANK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(FLOOR(1000000.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              / GREATEST(length(text), 1) + 0.5) AS BIGINT) AS score
+  FROM documents
+)
+SELECT doc_id, score,
+       CAST(RANK() OVER (ORDER BY score) AS BIGINT) AS rank,
+       CAST((RANK() OVER (ORDER BY score) - 1) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM t) - 1, 1) AS BIGINT) AS pct_micro
+FROM t
+"""

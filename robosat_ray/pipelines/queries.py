@@ -1800,6 +1800,17 @@ def q_ingest(sf_dir: str):
     return ingest_snapshot(_docs_ds(sf_dir))
 
 
+def q_quality_rank(sf_dir: str):
+    """Exact distributed rank/percentile normalization of the quality
+    score: the pack.py two-pass prefix scan generalized to a VALUE
+    key (value-range buckets so ties co-locate, per-bucket counts +
+    one offset broadcast, local searchsorted rank). Oracle:
+    oracle.QUALITY_RANK (RANK() window twin)."""
+    from robosat_ray.stages.rank import quality_rank
+
+    return quality_rank(_docs_ds(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1893,6 +1904,7 @@ QUERIES = {
     "pack": q_pack,
     "domain_cap": q_domain_cap,
     "ingest": q_ingest,
+    "quality_rank": q_quality_rank,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -1992,4 +2004,5 @@ ORACLES = {
     "pack": oracle.PACK,
     "domain_cap": oracle.DOMAIN_CAP,
     "ingest": oracle.INGEST,
+    "quality_rank": oracle.QUALITY_RANK,
 }
