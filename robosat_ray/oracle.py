@@ -3012,3 +3012,35 @@ SELECT doc_id, score,
             // GREATEST((SELECT COUNT(*) FROM t) - 1, 1) AS BIGINT) AS pct_micro
 FROM t
 """
+
+
+# Funnel analysis (signup -> view -> purchase, each step within 24 h
+# of the previous matched step) — mirrors stages/funnel.py: earliest
+# qualifying event per step, -1 sentinels keep columns int64.
+FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+),
+s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, MIN(e.t) AS t2
+  FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.t > s1.t1 AND e.t <= s1.t1 + 86400000000
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.t) AS t3
+  FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.t > s2.t2 AND e.t <= s2.t2 + 86400000000
+  GROUP BY 1
+),
+allu AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+       CAST(COALESCE(t1, -1) AS BIGINT) AS t1_us,
+       CAST(COALESCE(t2, -1) AS BIGINT) AS t2_us,
+       CAST(COALESCE(t3, -1) AS BIGINT) AS t3_us
+FROM allu u
+LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""

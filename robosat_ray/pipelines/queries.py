@@ -1811,6 +1811,21 @@ def q_quality_rank(sf_dir: str):
     return quality_rank(_docs_ds(sf_dir))
 
 
+def q_funnel(sf_dir: str):
+    """Ordered funnel analysis (signup -> view -> purchase, each step
+    within 24 h of the previous matched step, earliest-match greedy):
+    one user_id hash-bucket shuffle, per-bucket vectorized
+    filter + groupby-min + gather per step. Oracle: oracle.FUNNEL."""
+    import ray.data
+
+    from robosat_ray.stages.funnel import funnel
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return funnel(ev)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1905,6 +1920,7 @@ QUERIES = {
     "domain_cap": q_domain_cap,
     "ingest": q_ingest,
     "quality_rank": q_quality_rank,
+    "funnel": q_funnel,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2005,4 +2021,5 @@ ORACLES = {
     "domain_cap": oracle.DOMAIN_CAP,
     "ingest": oracle.INGEST,
     "quality_rank": oracle.QUALITY_RANK,
+    "funnel": oracle.FUNNEL,
 }
