@@ -3044,3 +3044,19 @@ SELECT u.user_id,
 FROM allu u
 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
+
+
+# Weekly cohort retention triangle — mirrors stages/cohort.py:
+# cohort = first signup week, activity = distinct (user, week), k >= 0.
+COHORT = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) // 604800000000 AS w FROM events
+),
+c AS (SELECT user_id, MIN(w) AS cw FROM e WHERE event_type = 'signup' GROUP BY 1),
+a AS (SELECT DISTINCT user_id, w FROM e)
+SELECT c.cw AS cohort_week, a.w - c.cw AS k,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM c JOIN a USING (user_id)
+WHERE a.w >= c.cw
+GROUP BY 1, 2
+"""

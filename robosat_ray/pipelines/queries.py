@@ -1826,6 +1826,21 @@ def q_funnel(sf_dir: str):
     return funnel(ev)
 
 
+def q_cohort(sf_dir: str):
+    """Weekly cohort retention triangle (first-signup cohorts, k-week
+    activity): ONE user_id hash-bucket shuffle computes cohorts AND
+    distinct activity per bucket, exact partial counts, tiny final
+    sum. Oracle: oracle.COHORT."""
+    import ray.data
+
+    from robosat_ray.stages.cohort import cohort_retention
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return cohort_retention(ev)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1921,6 +1936,7 @@ QUERIES = {
     "ingest": q_ingest,
     "quality_rank": q_quality_rank,
     "funnel": q_funnel,
+    "cohort": q_cohort,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2022,4 +2038,5 @@ ORACLES = {
     "ingest": oracle.INGEST,
     "quality_rank": oracle.QUALITY_RANK,
     "funnel": oracle.FUNNEL,
+    "cohort": oracle.COHORT,
 }
