@@ -3060,3 +3060,71 @@ FROM c JOIN a USING (user_id)
 WHERE a.w >= c.cw
 GROUP BY 1, 2
 """
+
+
+def _phash_dup_sql() -> str:
+    """Image perceptual-hash dedup twin — mirrors stages/phash.py:
+    the media synth pixel formula (MEDIA_FEATURES' Weyl chain) sampled
+    on the 8x9 dHash grid, the one-bad-pixel perturbed copies, 63-bit
+    difference hash via LEAD, then the SIMHASH_DUP banding + run-cap
+    + hamming verify structure."""
+    val = f"CAST(((seed + (flat + 1) * {_DECODE_MUL_SQL}) % {_U64}) // 72057594037927936 AS BIGINT)"
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, FALSE AS pert,
+         ((md5_number(text) % {_U64}) + {_U64}) % {_U64} AS seed,
+         32 + (doc_id % 4) * 16 AS w, 32 + (doc_id % 3) * 16 AS h
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, TRUE,
+         ((md5_number(text) % {_U64}) + {_U64}) % {_U64},
+         32 + (doc_id % 4) * 16, 32 + (doc_id % 3) * 16
+  FROM documents WHERE doc_id % 6 = 0
+),
+grid AS (
+  SELECT media_id, gy.v AS y, gx.v AS x, pert, seed, w, h,
+         ((gy.v * h) // 8) * w + ((gx.v * w) // 9) AS flat
+  FROM m CROSS JOIN generate_series(0, 7) gy(v)
+         CROSS JOIN generate_series(0, 8) gx(v)
+),
+vals AS (
+  SELECT media_id, y, x,
+         CASE WHEN pert AND flat = seed % (w * h)
+              THEN ({val} + 7) % 256 ELSE {val} END AS val
+  FROM grid
+),
+bits AS (
+  SELECT media_id, y, x, val,
+         LEAD(val) OVER (PARTITION BY media_id, y ORDER BY x) AS nxt
+  FROM vals
+),
+sh AS (
+  SELECT media_id AS doc_id,
+         CAST(SUM(CASE WHEN x < 8 AND y * 8 + x < 63 AND val > nxt
+              THEN CAST(power(2, y * 8 + x) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY media_id
+),
+bands AS (
+  SELECT doc_id, simhash, b.b AS band,
+         (simhash // CAST(power(2, b.b * 16) AS BIGINT)) % 65536 AS band_val
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+bandc AS (
+  SELECT doc_id, simhash, band, band_val FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band, band_val ORDER BY doc_id) <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bandc a JOIN bandc b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
+# Image perceptual-hash near-dup (decode -> dHash -> banded hamming)
+# — mirrors stages/phash.phash_dup_pairs.
+PHASH_DUP = _phash_dup_sql()

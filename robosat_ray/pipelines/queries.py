@@ -1841,6 +1841,16 @@ def q_cohort(sf_dir: str):
     return cohort_retention(ev)
 
 
+def q_phash_dup(sf_dir: str):
+    """Image perceptual-hash dedup: REAL container decode (BMP) ->
+    63-bit dHash -> the SimHash pigeonhole banding (shared machinery,
+    one fingerprint map adapts the text near-dup stack to images).
+    Fixture plants one-bad-pixel re-encodes. Oracle: oracle.PHASH_DUP."""
+    from robosat_ray.stages.phash import phash_dup_pairs
+
+    return phash_dup_pairs(_docs_ds(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1937,6 +1947,7 @@ QUERIES = {
     "quality_rank": q_quality_rank,
     "funnel": q_funnel,
     "cohort": q_cohort,
+    "phash_dup": q_phash_dup,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2039,4 +2050,5 @@ ORACLES = {
     "quality_rank": oracle.QUALITY_RANK,
     "funnel": oracle.FUNNEL,
     "cohort": oracle.COHORT,
+    "phash_dup": oracle.PHASH_DUP,
 }

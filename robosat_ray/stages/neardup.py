@@ -493,18 +493,26 @@ def _simband_pairs(group: pd.DataFrame, max_hamming: int,
 def simhash_dup_pairs(docs_ds, max_hamming: int = SIMHASH_MAX_HAMMING,
                       run_cap: int = _SIMDUP_RUN_CAP):
     """-> Dataset (doc_a, doc_b, hamming): all document pairs whose
-    63-bit SimHash fingerprints differ by <= max_hamming bits.
+    63-bit SimHash fingerprints differ by <= max_hamming bits."""
+    sh = simhash_table(docs_ds).select_columns(["doc_id", "simhash"])
+    return banded_hamming_pairs(sh, max_hamming, run_cap)
 
-    Plan: simhash map -> 4-way band explode -> bucketed groupby ->
-    in-group all-pairs popcount verify -> bucketed pair-dedupe (a pair
-    can surface from several agreeing bands; same lexsort idiom as
+
+def banded_hamming_pairs(sh, max_hamming: int = SIMHASH_MAX_HAMMING,
+                         run_cap: int = _SIMDUP_RUN_CAP):
+    """(doc_id, simhash int64 63-bit) Dataset -> all pairs within
+    max_hamming bits. The fingerprint-agnostic half of the SimHash
+    dup pipeline (stages/phash.py feeds image dHashes through it).
+
+    Plan: 4-way band explode -> bucketed groupby -> in-group
+    all-pairs popcount verify -> bucketed pair-dedupe (a pair can
+    surface from several agreeing bands; same lexsort idiom as
     dedup_pairs_ds — Ray's two-key Aggregate is pathologically slow at
     millions of pair rows). Requires max_hamming < SIMHASH_N_BANDS for
     the pigeonhole guarantee."""
     from robosat_ray.functions.hashing import hash_bucket2
 
     assert max_hamming < SIMHASH_N_BANDS, "pigeonhole guarantee needs k < bands"
-    sh = simhash_table(docs_ds).select_columns(["doc_id", "simhash"])
     pairs = (
         sh.map_batches(_simband_rows, batch_format="pyarrow")
         .groupby("bucket")
