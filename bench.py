@@ -128,7 +128,7 @@ def run_bench() -> dict:
         # clustering, probabilistic join prefilter
         "bm25", "url_stats", "kmeans", "bloom_join", "dup_spans",
         "debounce", "decontaminate", "pack", "domain_cap", "ingest",
-        "quality_rank", "funnel", "cohort", "phash_dup",
+        "quality_rank", "funnel", "cohort", "phash_dup", "semdedup",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

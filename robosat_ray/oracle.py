@@ -2666,7 +2666,7 @@ FROM parsed GROUP BY regdom
 """
 
 
-def _kmeans_sql(k: int, iters: int) -> str:
+def _kmeans_sql(k: int, iters: int, src: str = "embeddings") -> str:
     """Full-corpus integer Lloyd unrolled as CTE blocks (the ANN_IVF
     oracle pattern, but integer-exact end to end) — mirrors
     stages/cluster.kmeans_assignments bit-for-bit: floor(x*1e6)
@@ -2701,11 +2701,11 @@ WITH qd AS MATERIALIZED (
          CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS val
   FROM (SELECT vec_id, unnest(embedding) AS v,
                generate_subscripts(embedding, 1) AS d
-        FROM embeddings)
+        FROM {src})
 ),
 init AS MATERIALIZED (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
-  FROM embeddings ORDER BY vec_id LIMIT {k}
+  FROM {src} ORDER BY vec_id LIMIT {k}
 ),
 cent0 AS MATERIALIZED (
   SELECT i.j, q.d, q.val FROM init i JOIN qd q USING (vec_id)
@@ -3128,3 +3128,67 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 # Image perceptual-hash near-dup (decode -> dHash -> banded hamming)
 # — mirrors stages/phash.phash_dup_pairs.
 PHASH_DUP = _phash_dup_sql()
+
+
+def _semdedup_sql() -> str:
+    """SemDeDup twin — mirrors stages/semdedup.py: the KMEANS oracle
+    chain as the cluster assignment, the normalize-then-floor coarse
+    unit lattice (scale 1024), exact integer tau=0.8 test
+    (25*dot^2 >= 16*|a|^2*|b|^2, dot > 0), min-partner keep rule."""
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+),
+vars AS (
+  SELECT -(v + 1) AS vec_id,
+         list_transform(embedding, x -> x * f) AS embedding
+  FROM (
+    SELECT vec_id AS v,
+           CAST(1.0 AS DOUBLE) + (CAST(vec_id % 5 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(100.0 AS DOUBLE) AS f,
+           CAST(embedding AS DOUBLE[]) AS embedding
+    FROM embeddings WHERE vec_id % 7 = 0
+  )
+),
+alls AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM vars),
+asgn AS MATERIALIZED ({_kmeans_sql(k=10, iters=3, src="alls")}),
+unn AS MATERIALIZED (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS d
+  FROM alls
+),
+nrm AS MATERIALIZED (
+  SELECT vec_id, SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS s
+  FROM unn GROUP BY vec_id
+),
+qn AS MATERIALIZED (
+  SELECT u.vec_id, u.d,
+         CAST(FLOOR((CAST(u.v AS DOUBLE) / sqrt(n.s)) * 1024.0) AS BIGINT) AS q
+  FROM unn u JOIN nrm n USING (vec_id)
+),
+na AS MATERIALIZED (SELECT vec_id, SUM(q * q) AS n2 FROM qn GROUP BY vec_id),
+pair AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(qa.q * qb.q) AS dot
+  FROM asgn a JOIN asgn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN qn qa ON qa.vec_id = a.vec_id
+  JOIN qn qb ON qb.vec_id = b.vec_id AND qb.d = qa.d
+  GROUP BY a.vec_id, b.vec_id
+),
+dup AS (
+  SELECT va, vb FROM pair
+  JOIN na x ON x.vec_id = va JOIN na y ON y.vec_id = vb
+  WHERE dot > 0 AND 25 * dot * dot >= 16 * x.n2 * y.n2
+),
+edges AS (SELECT va AS v, vb AS w FROM dup UNION ALL SELECT vb, va FROM dup),
+stats AS (SELECT v AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+                 MIN(w) AS mn FROM edges GROUP BY v)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       COALESCE(s.n_dups, 0) AS n_dups,
+       CAST(CASE WHEN s.vec_id IS NULL OR s.mn > a.vec_id THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+FROM asgn a LEFT JOIN stats s USING (vec_id)
+"""
+
+
+# SemDeDup (cluster-then-compare semantic dedup) — mirrors
+# stages/semdedup.semdedup.
+SEMDEDUP = _semdedup_sql()

@@ -1851,6 +1851,23 @@ def q_phash_dup(sf_dir: str):
     return phash_dup_pairs(_docs_ds(sf_dir))
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): kmeans-cluster the embeddings
+    (the `kmeans` query's exact integer-Lloyd chain), then inside each
+    cluster drop every vector with a smaller-id semantic duplicate
+    (integer tau=0.8 cosine on a coarse unit lattice, blocked in-group
+    matmul). Oracle: oracle.SEMDEDUP."""
+    import ray.data
+
+    from robosat_ray.stages.ann import with_emb_variants_batch
+    from robosat_ray.stages.semdedup import semdedup
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(with_emb_variants_batch, batch_format="pyarrow")
+    return semdedup(emb)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1948,6 +1965,7 @@ QUERIES = {
     "funnel": q_funnel,
     "cohort": q_cohort,
     "phash_dup": q_phash_dup,
+    "semdedup": q_semdedup,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2051,4 +2069,5 @@ ORACLES = {
     "funnel": oracle.FUNNEL,
     "cohort": oracle.COHORT,
     "phash_dup": oracle.PHASH_DUP,
+    "semdedup": oracle.SEMDEDUP,
 }

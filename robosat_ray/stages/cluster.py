@@ -72,8 +72,10 @@ def _init_centroids(emb_ds, k: int) -> np.ndarray:
     return np.array([r["q"] for r in rows[:k]], dtype=np.int64)
 
 
-def kmeans_assignments(emb_ds, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
-    """-> Dataset (vec_id, cluster, dist2): full-corpus integer Lloyd."""
+def kmeans_model(emb_ds, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """-> (k, d) int64 centroid lattice after `iters` Lloyd rounds
+    (the fitting half of kmeans_assignments; stages/semdedup.py reuses
+    it to label + lattice-quantize in one pass)."""
     import ray
 
     M = _init_centroids(emb_ds, k)
@@ -105,7 +107,14 @@ def kmeans_assignments(emb_ds, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
         nz = counts > 0
         M = M.copy()
         M[nz] = sums[nz] // counts[nz, None]  # floor-div == the SQL twin
+    return M
 
+
+def kmeans_assignments(emb_ds, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """-> Dataset (vec_id, cluster, dist2): full-corpus integer Lloyd."""
+    import ray
+
+    M = kmeans_model(emb_ds, k, iters)
     ref = ray.put(M)
 
     def label(batch: pa.Table, _ref=ref) -> pa.Table:
