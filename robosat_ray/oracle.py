@@ -3192,3 +3192,31 @@ FROM asgn a LEFT JOIN stats s USING (vec_id)
 # SemDeDup (cluster-then-compare semantic dedup) — mirrors
 # stages/semdedup.semdedup.
 SEMDEDUP = _semdedup_sql()
+
+
+# Late-arrival accounting — mirrors stages/events.late_events: the
+# per-user watermark is the running max event-time over PRIOR arrivals
+# (arrival order = event_id); first arrival is never late.
+LATE_EVENTS = """
+SELECT event_id, user_id,
+       CAST(GREATEST(COALESCE(MAX(epoch_us(ts)) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ) - epoch_us(ts), 0), 0) AS BIGINT) AS late_by_us
+FROM events
+"""
+
+
+# Changelog compaction (upsert/CDC) — mirrors stages/events.
+# compact_state: latest event per (user_id, event_type), ties by
+# highest event_id, value in the EVENTS_WINDOW_FNS micro convention.
+COMPACT_STATE = """
+SELECT user_id, event_type,
+       event_id AS last_event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS last_tus,
+       CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS last_value_micro
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+) = 1
+"""

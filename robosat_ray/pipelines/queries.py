@@ -1868,6 +1868,37 @@ def q_semdedup(sf_dir: str):
     return semdedup(emb)
 
 
+def q_late_events(sf_dir: str):
+    """Late-arrival accounting (watermark lag): per event, how far
+    behind the user's running-max event-time (over earlier ARRIVALS,
+    arrival order = event_id) it lands. One user hash-bucket shuffle,
+    segmented cummax per bucket. Oracle: oracle.LATE_EVENTS."""
+    import ray.data
+
+    from robosat_ray.stages.events import late_events
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return late_events(ev)
+
+
+def q_compact_state(sf_dir: str):
+    """Changelog compaction (upsert/CDC staple): latest event per
+    (user_id, event_type) with exact integer-micro value. One user
+    hash-bucket shuffle, per-bucket sort + keep-last. Oracle:
+    oracle.COMPACT_STATE."""
+    import ray.data
+
+    from robosat_ray.stages.events import compact_state
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    return compact_state(ev)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1966,6 +1997,8 @@ QUERIES = {
     "cohort": q_cohort,
     "phash_dup": q_phash_dup,
     "semdedup": q_semdedup,
+    "late_events": q_late_events,
+    "compact_state": q_compact_state,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2070,4 +2103,6 @@ ORACLES = {
     "cohort": oracle.COHORT,
     "phash_dup": oracle.PHASH_DUP,
     "semdedup": oracle.SEMDEDUP,
+    "late_events": oracle.LATE_EVENTS,
+    "compact_state": oracle.COMPACT_STATE,
 }

@@ -462,3 +462,112 @@ def rollup_day_type(events_ds, cube: bool = False):
         pieces.insert(2, by_type[cols])
     out = pd.concat(pieces, ignore_index=True)
     return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+# --- event-stream bookkeeping: late arrivals + changelog compaction ---
+
+N_BOOK_BUCKETS = 64
+
+
+def _late_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """Per user, arrival order = event_id: late_by = running max of
+    PRIOR arrivals' event-times minus own event-time (>= 0; first
+    arrival is never late). One sort + cummax, no per-event Python."""
+    g = group.sort_values(["user_id", "event_id"], kind="stable")
+    t = g["tus"].to_numpy(np.int64)
+    codes, _ = pd.factorize(g["user_id"], sort=False)
+    # per-user running max of PRIOR arrivals: segmented cummax, one
+    # pass per user segment (segments are bucket-local and contiguous)
+    starts = np.concatenate([[0], np.nonzero(np.diff(codes))[0] + 1])
+    prior = np.empty(len(t), dtype=np.int64)
+    for s, e in zip(starts, np.concatenate([starts[1:], [len(t)]])):
+        seg = t[s:e]
+        prior[s] = np.iinfo(np.int64).min  # first arrival: no prior
+        if e - s > 1:
+            prior[s + 1 : e] = np.maximum.accumulate(seg[:-1])
+    late = np.maximum(prior - t, 0)
+    late[starts] = 0
+    return pd.DataFrame(
+        {
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "late_by_us": late.astype(np.int64),
+        }
+    )
+
+
+def late_events(events_ds):
+    """-> (event_id, user_id, late_by_us): how far behind the user's
+    watermark (max event-time among EARLIER-ARRIVING events, arrival
+    order = event_id) each event lands. ONE user hash-bucket shuffle,
+    per-bucket sort + segmented cummax."""
+    from robosat_ray.functions.hashing import hash_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "tus": batch.column("ts").cast(pa.int64()),
+                "lbucket": pa.array(hash_bucket(uid, N_BOOK_BUCKETS)),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("lbucket")
+        .map_groups(_late_bucket, batch_format="pandas")
+    )
+
+
+def _compact_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    g = group.sort_values(
+        ["user_id", "event_type", "tus", "event_id"], kind="stable"
+    )
+    # last row per (user, event_type) = latest ts, tiebreak highest id
+    last = ~g.duplicated(subset=["user_id", "event_type"], keep="last")
+    out = g[last]
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "event_type": out["event_type"].to_numpy(),
+            "last_event_id": out["event_id"].to_numpy(np.int64),
+            "last_tus": out["tus"].to_numpy(np.int64),
+            "last_value_micro": out["vmicro"].to_numpy(np.int64),
+        }
+    )
+
+
+def compact_state(events_ds):
+    """Changelog compaction (the upsert/CDC staple): latest event per
+    (user_id, event_type) — max ts, ties broken by highest event_id —
+    with its value in exact integer micro-units. ONE user hash-bucket
+    shuffle, per-bucket sort + duplicated(keep='last')."""
+    from robosat_ray.functions.hashing import hash_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        v = batch.column("value").to_numpy()
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "tus": batch.column("ts").cast(pa.int64()),
+                "vmicro": pa.array(
+                    np.floor(v * 1e6 + 0.5).astype(np.int64)
+                ),
+                "cbucket": pa.array(hash_bucket(uid, N_BOOK_BUCKETS)),
+            }
+        )
+
+    return (
+        events_ds.select_columns(
+            ["event_id", "user_id", "event_type", "ts", "value"]
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(_compact_bucket, batch_format="pandas")
+    )
