@@ -3220,3 +3220,47 @@ QUALIFY row_number() OVER (
   PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
 ) = 1
 """
+
+
+# Per-group robust statistics (exact median, exact MAD, 3-MAD outlier
+# count) — mirrors stages/robust.robust_stats: the quantiles.py q=50
+# rule applied twice, integer compares throughout.
+ROBUST_STATS = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+med AS (
+  SELECT l_returnflag, MIN(cents) AS m FROM (
+    SELECT l_returnflag, cents,
+           SUM(COUNT(*)) OVER (PARTITION BY l_returnflag ORDER BY cents
+                               ROWS UNBOUNDED PRECEDING) AS cum_n,
+           SUM(COUNT(*)) OVER (PARTITION BY l_returnflag) AS total
+    FROM v GROUP BY 1, 2
+  ) WHERE cum_n >= (50 * total + 99) // 100
+  GROUP BY l_returnflag
+),
+dev AS (
+  SELECT v.l_returnflag, ABS(v.cents - med.m) AS adev
+  FROM v JOIN med USING (l_returnflag)
+),
+mad AS (
+  SELECT l_returnflag, MIN(adev) AS d FROM (
+    SELECT l_returnflag, adev,
+           SUM(COUNT(*)) OVER (PARTITION BY l_returnflag ORDER BY adev
+                               ROWS UNBOUNDED PRECEDING) AS cum_n,
+           SUM(COUNT(*)) OVER (PARTITION BY l_returnflag) AS total
+    FROM dev GROUP BY 1, 2
+  ) WHERE cum_n >= (50 * total + 99) // 100
+  GROUP BY l_returnflag
+)
+SELECT v.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(med.m) AS BIGINT) AS median_cents,
+       CAST(MIN(mad.d) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN ABS(v.cents - med.m) > 3 * mad.d THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM v JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
+GROUP BY v.l_returnflag
+"""

@@ -1899,6 +1899,22 @@ def q_compact_state(sf_dir: str):
     return compact_state(ev)
 
 
+def q_robust_stats(sf_dir: str):
+    """Per-group robust stats (exact median + MAD + 3-MAD outlier
+    count): the exact-quantile histogram machinery composed twice
+    plus one counting pass — three streaming scans, no raw-row
+    shuffle. Oracle: oracle.ROBUST_STATS."""
+    import ray.data
+
+    from robosat_ray.stages.robust import robust_stats
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    return robust_stats(li)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -1999,6 +2015,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "late_events": q_late_events,
     "compact_state": q_compact_state,
+    "robust_stats": q_robust_stats,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2105,4 +2122,5 @@ ORACLES = {
     "semdedup": oracle.SEMDEDUP,
     "late_events": oracle.LATE_EVENTS,
     "compact_state": oracle.COMPACT_STATE,
+    "robust_stats": oracle.ROBUST_STATS,
 }
