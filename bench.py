@@ -129,7 +129,7 @@ def run_bench() -> dict:
         "bm25", "url_stats", "kmeans", "bloom_join", "dup_spans",
         "debounce", "decontaminate", "pack", "domain_cap", "ingest",
         "quality_rank", "funnel", "cohort", "phash_dup", "semdedup",
-        "late_events", "compact_state", "robust_stats",
+        "late_events", "compact_state", "robust_stats", "mix_sample",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

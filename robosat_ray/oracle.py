@@ -3264,3 +3264,57 @@ SELECT v.l_returnflag,
 FROM v JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
 GROUP BY v.l_returnflag
 """
+
+
+# Temperature-balanced mixture sampling (p ∝ sqrt(n) with exact
+# largest-remainder allocation) — mirrors stages/mixture.mix_sample:
+# the DOMAIN_CAP fixture/rank chain with per-domain variable caps.
+MIX_SAMPLE = f"""
+WITH built AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 11 = 0 THEN 'http' ELSE 'https' END) || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+    || 'site' || CAST(doc_id % 23 AS VARCHAR)
+    || (['.com', '.org', '.net', '.io', '.co.uk'])[(doc_id % 5) + 1]
+    AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id,
+    regexp_extract(
+      regexp_replace(regexp_extract(url, '^https?://([^/?]+)', 1), '^www\\.', ''),
+      '([^.]+\\.co\\.uk|[^.]+\\.[^.]+)$', 1) AS regdom,
+    (CAST(doc_id AS HUGEINT) * 6364136223846793005 + 1442695040888963407)
+      % {_U64} AS rh
+  FROM built
+),
+cnt AS (SELECT regdom, CAST(COUNT(*) AS BIGINT) AS n FROM parsed GROUP BY 1),
+w AS (SELECT regdom, n,
+             CAST(FLOOR(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt FROM cnt),
+tot AS (SELECT SUM(wt) AS W FROM w),
+base AS (
+  SELECT regdom, n, (200 * wt) // W AS b, (200 * wt) % W AS r
+  FROM w, tot
+),
+extra AS (SELECT 200 - SUM(b) AS e FROM base),
+ranked AS (
+  SELECT regdom, n, b,
+         row_number() OVER (ORDER BY r DESC, regdom) AS rn
+  FROM base
+),
+alloc AS (
+  SELECT regdom,
+         LEAST(b + CASE WHEN rn <= (SELECT e FROM extra) THEN 1 ELSE 0 END, n)
+           AS a
+  FROM ranked
+),
+rankd AS (
+  SELECT doc_id, regdom,
+         CAST(row_number() OVER (PARTITION BY regdom ORDER BY rh, doc_id)
+              AS BIGINT) AS dom_rank
+  FROM parsed
+)
+SELECT r.doc_id, r.regdom, r.dom_rank
+FROM rankd r JOIN alloc USING (regdom)
+WHERE r.dom_rank <= alloc.a
+"""

@@ -1915,6 +1915,22 @@ def q_robust_stats(sf_dir: str):
     return robust_stats(li)
 
 
+def q_mix_sample(sf_dir: str):
+    """Temperature-balanced mixture sampling (p ∝ sqrt(domain size),
+    alpha=0.5 multilingual/domain tempering): vocabulary-bounded
+    count groupby, exact driver-side largest-remainder allocation,
+    then the domain co-partition rank scan with per-domain caps.
+    Oracle: oracle.MIX_SAMPLE."""
+    import ray.data
+
+    from robosat_ray.stages.mixture import mix_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return mix_sample(docs)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2016,6 +2032,7 @@ QUERIES = {
     "late_events": q_late_events,
     "compact_state": q_compact_state,
     "robust_stats": q_robust_stats,
+    "mix_sample": q_mix_sample,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2123,4 +2140,5 @@ ORACLES = {
     "late_events": oracle.LATE_EVENTS,
     "compact_state": oracle.COMPACT_STATE,
     "robust_stats": oracle.ROBUST_STATS,
+    "mix_sample": oracle.MIX_SAMPLE,
 }

@@ -49,12 +49,14 @@ def robust_stats(lineitem_ds):
     med_ref = ray.put(med)
 
     def absdev(b: pa.Table, _ref=med_ref) -> pa.Table:
+        import pandas as pd
+
         m = ray.get(_ref)
         g = b.column(GROUP).to_numpy(zero_copy_only=False)
         v = b.column("cents").to_numpy()
-        # per-batch group gather (group vocabulary is tiny)
-        lut = {x: m[x] for x in set(g)}
-        base = np.fromiter((lut[x] for x in g), dtype=np.int64, count=len(g))
+        # factorize + per-UNIQUE gather: no per-row Python
+        codes, uniq = pd.factorize(g, sort=False)
+        base = np.array([m[u] for u in uniq], dtype=np.int64)[codes]
         return pa.table(
             {GROUP: b.column(GROUP), "cents": pa.array(np.abs(v - base))}
         )
@@ -66,13 +68,14 @@ def robust_stats(lineitem_ds):
     mad_ref = ray.put((med, mad))
 
     def flag(b: pa.Table, _ref=mad_ref) -> pa.Table:
+        import pandas as pd
+
         m, d = ray.get(_ref)
         g = b.column(GROUP).to_numpy(zero_copy_only=False)
         v = b.column("cents").to_numpy()
-        lm = {x: m[x] for x in set(g)}
-        ld = {x: d[x] for x in set(g)}
-        base = np.fromiter((lm[x] for x in g), dtype=np.int64, count=len(g))
-        mads = np.fromiter((ld[x] for x in g), dtype=np.int64, count=len(g))
+        codes, uniq = pd.factorize(g, sort=False)
+        base = np.array([m[u] for u in uniq], dtype=np.int64)[codes]
+        mads = np.array([d[u] for u in uniq], dtype=np.int64)[codes]
         out = (np.abs(v - base) > 3 * mads).astype(np.int64)
         return pa.table(
             {GROUP: b.column(GROUP), "is_out": pa.array(out)}
