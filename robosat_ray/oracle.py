@@ -3318,3 +3318,75 @@ SELECT r.doc_id, r.regdom, r.dom_rank
 FROM rankd r JOIN alloc USING (regdom)
 WHERE r.dom_rank <= alloc.a
 """
+
+
+def _span_clean_sql() -> str:
+    """Exact-substring-removal twin — mirrors stages/spans.py
+    remove_dup_spans: the DUP_SPANS anchor chain kept per-OCCURRENCE
+    (doc_id, i), duplicated = >=2 total occurrences, canonical = first
+    by (doc_id, i); every other occurrence blanks tokens
+    [i, i+SPAN_W-1]; docs are re-joined from their kept tokens."""
+    from robosat_ray.stages.spans import SPAN_SAMPLE_MOD, SPAN_W
+
+    b = 1099511628211
+    expr = "list_extract(ths, CAST(p.i AS INTEGER))"
+    for j in range(1, SPAN_W):
+        expr = (
+            f"((({expr}) * {b} + list_extract(ths, CAST(p.i + {j} AS INTEGER)))"
+            f" % {_U64})"
+        )
+    return f"""
+WITH docs_all AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, 'zzvariant' || substr(text, strpos(text, ' '))
+  FROM documents WHERE doc_id % 5 = 0
+),
+toks AS MATERIALIZED (
+  SELECT doc_id,
+         string_split(text, ' ') AS ts,
+         list_transform(string_split(text, ' '),
+           t -> ((md5_number(t) % {_U64}) + {_U64}) % {_U64}) AS ths
+  FROM docs_all
+),
+anchors AS MATERIALIZED (
+  SELECT doc_id, i, h FROM (
+    SELECT p.doc_id, p.i, {expr} AS h
+    FROM (SELECT doc_id, ths, unnest(range(1, len(ths) - {SPAN_W - 2})) AS i
+          FROM toks WHERE len(ths) >= {SPAN_W}) p
+  ) WHERE h % {SPAN_SAMPLE_MOD} = 0
+),
+dup AS (SELECT h FROM anchors GROUP BY h HAVING COUNT(*) >= 2),
+removals AS MATERIALIZED (
+  SELECT doc_id, i FROM (
+    SELECT a.doc_id, a.i,
+           row_number() OVER (PARTITION BY a.h ORDER BY a.doc_id, a.i) AS rn
+    FROM anchors a JOIN dup USING (h)
+  ) WHERE rn > 1
+),
+tokpos AS (
+  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS p FROM toks
+),
+kept AS (
+  SELECT tp.doc_id, tp.t, tp.p
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM removals r
+    WHERE r.doc_id = tp.doc_id AND tp.p >= r.i AND tp.p < r.i + {SPAN_W}
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.ts) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# Exact-substring removal (Lee et al. 2022 rewrite step) — mirrors
+# stages/spans.remove_dup_spans over the dup_spans variant corpus.
+SPAN_CLEAN = _span_clean_sql()

@@ -1931,6 +1931,20 @@ def q_mix_sample(sf_dir: str):
     return mix_sample(docs)
 
 
+def q_span_clean(sf_dir: str):
+    """Exact-substring removal (the rewrite step of Lee et al. 2022):
+    every non-first occurrence of a duplicated sampled 16-token span
+    is cut from its doc; the canonical occurrence and untouched docs
+    pass through byte-identical. One anchor-occurrence hash-bucket
+    shuffle + a broadcast↔co-partition removal attach. Oracle:
+    oracle.SPAN_CLEAN (over the dup_spans variant corpus)."""
+    from robosat_ray.stages.neardup import with_variants_batch
+    from robosat_ray.stages.spans import remove_dup_spans
+
+    docs = _docs_ds(sf_dir).map_batches(with_variants_batch, batch_format="pyarrow")
+    return remove_dup_spans(docs)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2033,6 +2047,7 @@ QUERIES = {
     "compact_state": q_compact_state,
     "robust_stats": q_robust_stats,
     "mix_sample": q_mix_sample,
+    "span_clean": q_span_clean,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2141,4 +2156,5 @@ ORACLES = {
     "compact_state": oracle.COMPACT_STATE,
     "robust_stats": oracle.ROBUST_STATS,
     "mix_sample": oracle.MIX_SAMPLE,
+    "span_clean": oracle.SPAN_CLEAN,
 }
