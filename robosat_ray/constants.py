@@ -74,3 +74,13 @@ MERGE_EPS_Y = 0.0000024
 # off-pair cosine (~0.51) and the scaled-variant pairs (cosine 1.0)
 EMB_DUP_THRESHOLD = 0.8
 EMB_DIM = 64  # synth embeddings dimension (all scales)
+
+# grid-DBSCAN over the page points (quantized plane, integer-exact):
+# coords quantize at zoom DB_Q via the tile_x/tile_y floor chain; eps
+# is DB_R grid units (squared-Euclidean test), a neighborhood counts
+# the point itself, and minPts is DB_MINPTS. At sf0.01 the 8 city
+# blobs (~582x524 units, ~37 points each) yield a core/border/noise
+# mix; the uniform background is all noise.
+DB_Q = 20
+DB_R = 128
+DB_MINPTS = 4

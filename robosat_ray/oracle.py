@@ -3390,3 +3390,69 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 # Exact-substring removal (Lee et al. 2022 rewrite step) — mirrors
 # stages/spans.remove_dup_spans over the dup_spans variant corpus.
 SPAN_CLEAN = _span_clean_sql()
+
+
+def _dbscan_sql() -> str:
+    """Grid-DBSCAN twin (stages/dbscan.py contract): quantized-plane
+    eps-pairs via a blocked self-join, core = degree+1 >= minPts,
+    min-label CC over core-core edges as a recursive CTE, border =
+    min core-neighbor cluster label, noise label -1."""
+    n = float(1 << C.DB_Q)
+    r, r2, mp = C.DB_R, C.DB_R * C.DB_R, C.DB_MINPTS
+    return f"""
+WITH RECURSIVE {points_cte()},
+q AS (
+  SELECT doc_id,
+         CAST(floor((lon + 180.0) / 360.0 * {n!r}) AS BIGINT) AS xq,
+         CAST(floor(my * {n!r}) AS BIGINT) AS yq
+  FROM pts
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM q a JOIN q b
+    ON b.xq BETWEEN a.xq - {r} AND a.xq + {r}
+   AND b.yq BETWEEN a.yq - {r} AND a.yq + {r}
+   AND (a.xq - b.xq) * (a.xq - b.xq) + (a.yq - b.yq) * (a.yq - b.yq) <= {r2}
+   AND a.doc_id < b.doc_id
+),
+deg AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT a AS id FROM pairs UNION ALL SELECT b AS id FROM pairs
+  ) GROUP BY id
+),
+core AS (SELECT id AS doc_id FROM deg WHERE d + 1 >= {mp}),
+ced AS (
+  SELECT p.a, p.b FROM pairs p
+  WHERE p.a IN (SELECT doc_id FROM core) AND p.b IN (SELECT doc_id FROM core)
+),
+ced2 AS (SELECT a, b FROM ced UNION ALL SELECT b AS a, a AS b FROM ced),
+reach AS (
+  SELECT doc_id AS id, doc_id AS l FROM core
+  UNION
+  SELECT e.b AS id, r.l AS l FROM reach r JOIN ced2 e ON e.a = r.id
+),
+lbl AS (SELECT id AS doc_id, MIN(l) AS label FROM reach GROUP BY id),
+bord AS (
+  SELECT x.nc AS doc_id, MIN(l.label) AS label FROM (
+    SELECT p.b AS nc, p.a AS c FROM pairs p
+    WHERE p.a IN (SELECT doc_id FROM core)
+      AND p.b NOT IN (SELECT doc_id FROM core)
+    UNION ALL
+    SELECT p.a AS nc, p.b AS c FROM pairs p
+    WHERE p.b IN (SELECT doc_id FROM core)
+      AND p.a NOT IN (SELECT doc_id FROM core)
+  ) x JOIN lbl l ON l.doc_id = x.c GROUP BY x.nc
+)
+SELECT q.doc_id,
+       CASE WHEN lbl.label IS NOT NULL THEN 'core'
+            WHEN bord.label IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(lbl.label, bord.label, -1) AS label
+FROM q
+LEFT JOIN lbl USING (doc_id)
+LEFT JOIN bord USING (doc_id)
+"""
+
+
+# Grid-DBSCAN over the page points — mirrors stages/dbscan.dbscan.
+DBSCAN = _dbscan_sql()

@@ -1945,6 +1945,20 @@ def q_span_clean(sf_dir: str):
     return remove_dup_spans(docs)
 
 
+def q_dbscan(sf_dir: str):
+    """Exact grid-DBSCAN over the page points (eps = DB_R units on
+    the zoom-DB_Q quantized plane, minPts = DB_MINPTS): one cell-group
+    shuffle mines every eps-pair exactly once, then core/border/noise
+    roles and min-label cluster ids resolve on the pair table (driver
+    below DBSCAN_DRIVER_PAIR_CAP pairs, co-partition groupbys +
+    distributed CC above — bit-equal, see test_dbscan). Oracle:
+    oracle.DBSCAN (blocked self-join + recursive-CTE CC)."""
+    from robosat_ray.stages.dbscan import dbscan
+
+    pts = points_dataset(sf_dir).select_columns(["doc_id", "lon", "my"])
+    return dbscan(pts)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2048,6 +2062,7 @@ QUERIES = {
     "robust_stats": q_robust_stats,
     "mix_sample": q_mix_sample,
     "span_clean": q_span_clean,
+    "dbscan": q_dbscan,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2157,4 +2172,5 @@ ORACLES = {
     "robust_stats": oracle.ROBUST_STATS,
     "mix_sample": oracle.MIX_SAMPLE,
     "span_clean": oracle.SPAN_CLEAN,
+    "dbscan": oracle.DBSCAN,
 }
