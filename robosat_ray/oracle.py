@@ -3456,3 +3456,23 @@ LEFT JOIN bord USING (doc_id)
 
 # Grid-DBSCAN over the page points — mirrors stages/dbscan.dbscan.
 DBSCAN = _dbscan_sql()
+
+
+# Skyline / Pareto front on (max alpha-quality micro score, max token
+# count) — mirrors stages/skyline.skyline. Metrics reuse the QUALITY
+# and TOKEN_COUNT expressions; `//` is DuckDB's integer floor division
+# (both operands nonnegative BIGINT, identical to numpy's).
+SKYLINE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           * 1000000 // GREATEST(length(text), 1) AS score_micro,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT t.doc_id, t.score_micro, t.n_tokens FROM m t
+WHERE NOT EXISTS (
+  SELECT 1 FROM m o
+  WHERE o.score_micro >= t.score_micro AND o.n_tokens >= t.n_tokens
+    AND (o.score_micro > t.score_micro OR o.n_tokens > t.n_tokens))
+"""

@@ -1959,6 +1959,17 @@ def q_dbscan(sf_dir: str):
     return dbscan(pts)
 
 
+def q_skyline(sf_dir: str):
+    """Pareto front of documents on (max alpha-quality micro score,
+    max token count): algebraic two-stage skyline — per-block partial
+    fronts, one score-bucket shuffle, <= 62-row suffix-extremum
+    driver table (no data-scale broadcast, no cap). Oracle:
+    oracle.SKYLINE (NOT EXISTS dominance)."""
+    from robosat_ray.stages.skyline import skyline
+
+    return skyline(_docs_ds(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2063,6 +2074,7 @@ QUERIES = {
     "mix_sample": q_mix_sample,
     "span_clean": q_span_clean,
     "dbscan": q_dbscan,
+    "skyline": q_skyline,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2173,4 +2185,5 @@ ORACLES = {
     "mix_sample": oracle.MIX_SAMPLE,
     "span_clean": oracle.SPAN_CLEAN,
     "dbscan": oracle.DBSCAN,
+    "skyline": oracle.SKYLINE,
 }
