@@ -3476,3 +3476,48 @@ WHERE NOT EXISTS (
   WHERE o.score_micro >= t.score_micro AND o.n_tokens >= t.n_tokens
     AND (o.score_micro > t.score_micro OR o.n_tokens > t.n_tokens))
 """
+
+
+def _bfs_sql() -> str:
+    """BFS twin (stages/bfs.py contract): the dbscan eps-pair graph,
+    source = max-degree hub (tie min node), BFS_K-superstep wave as a
+    recursive CTE with UNION dedup (state bounded at nodes x K), min
+    depth per node, -1 for unreached / isolated points."""
+    from robosat_ray.stages.bfs import BFS_K
+
+    n = float(1 << C.DB_Q)
+    r, r2 = C.DB_R, C.DB_R * C.DB_R
+    return f"""
+WITH RECURSIVE {points_cte()},
+q AS (
+  SELECT doc_id,
+         CAST(floor((lon + 180.0) / 360.0 * {n!r}) AS BIGINT) AS xq,
+         CAST(floor(my * {n!r}) AS BIGINT) AS yq
+  FROM pts
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM q a JOIN q b
+    ON b.xq BETWEEN a.xq - {r} AND a.xq + {r}
+   AND b.yq BETWEEN a.yq - {r} AND a.yq + {r}
+   AND (a.xq - b.xq) * (a.xq - b.xq) + (a.yq - b.yq) * (a.yq - b.yq) <= {r2}
+   AND a.doc_id < b.doc_id
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT src AS node, count(*) AS dg FROM edges GROUP BY 1),
+s AS (SELECT node AS sn FROM deg ORDER BY dg DESC, node LIMIT 1),
+wave AS (
+  SELECT sn AS node, CAST(0 AS BIGINT) AS d FROM s
+  UNION
+  SELECT e.dst AS node, wave.d + 1 AS d
+  FROM wave JOIN edges e ON e.src = wave.node WHERE wave.d < {BFS_K}
+),
+md AS (SELECT node, MIN(d) AS dist FROM wave GROUP BY node)
+SELECT q.doc_id, COALESCE(md.dist, -1) AS dist
+FROM q LEFT JOIN md ON md.node = q.doc_id
+"""
+
+
+# BFS hop distances over the eps-pair graph — mirrors
+# stages/bfs.bfs_hops composed with stages/dbscan.eps_pairs.
+BFS_HOPS = _bfs_sql()

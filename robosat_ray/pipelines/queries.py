@@ -1970,6 +1970,34 @@ def q_skyline(sf_dir: str):
     return skyline(_docs_ds(sf_dir))
 
 
+def q_bfs_hops(sf_dir: str):
+    """Exact 6-superstep BFS hop distances over the eps-pair graph of
+    the page points (the dbscan pair miner reused as a graph source);
+    source = max-degree hub, tie min id; unreached (incl. isolated
+    points) report -1. Broadcast/shuffle superstep switch, flip-tested
+    bit-equal. Oracle: oracle.BFS_HOPS (recursive CTE wave)."""
+    import pyarrow as pa
+
+    from robosat_ray.stages.bfs import bfs_hops
+    from robosat_ray.stages.dbscan import eps_pairs
+
+    pts = points_dataset(sf_dir).select_columns(["doc_id", "lon", "my"]).materialize()
+    pairs = eps_pairs(pts)
+
+    def both_dir(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(both_dir, batch_format="pyarrow")
+    return bfs_hops(edges, pts.select_columns(["doc_id"]), id_col="doc_id")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2075,6 +2103,7 @@ QUERIES = {
     "span_clean": q_span_clean,
     "dbscan": q_dbscan,
     "skyline": q_skyline,
+    "bfs_hops": q_bfs_hops,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2186,4 +2215,5 @@ ORACLES = {
     "span_clean": oracle.SPAN_CLEAN,
     "dbscan": oracle.DBSCAN,
     "skyline": oracle.SKYLINE,
+    "bfs_hops": oracle.BFS_HOPS,
 }
