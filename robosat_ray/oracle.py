@@ -3521,3 +3521,42 @@ FROM q LEFT JOIN md ON md.node = q.doc_id
 # BFS hop distances over the eps-pair graph — mirrors
 # stages/bfs.bfs_hops composed with stages/dbscan.eps_pairs.
 BFS_HOPS = _bfs_sql()
+
+
+# Hashed bigram LM fluency (CCNet-style, logarithm-free): unigram and
+# adjacent-bigram occurrence counts feature-hashed into 2^18 buckets.
+# Token hash th = md5_number(t) mod 2^64 (low-8-LE convention);
+# unigram bucket = th % 2^18; bigram bucket =
+# ((th1 * 1099511628211 + th2) mod 2^64) % 2^18 (the spans.py FNV
+# fold, HUGEINT intermediates: th*B < 2^104).
+# p_milli = (1000 * bigram_cnt) // unigram_cnt(t1) per pair,
+# fluency_milli = floor-mean over the doc's bigrams (0 when none).
+# Mirrors stages/lm.lm_fluency bit-for-bit, including the
+# capped-by-construction hashed vocabulary.
+LM_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS o,
+         ((md5_number(unnest(string_split(text, ' '))) % {_U64}) + {_U64}) % {_U64} AS th
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, o, th, CAST(th % 262144 AS BIGINT) AS ub FROM toks
+),
+uc AS (SELECT ub, COUNT(*) AS c FROM tb GROUP BY ub),
+big AS (
+  SELECT a.doc_id, a.ub,
+         CAST(((a.th * 1099511628211 + b.th) % {_U64}) % 262144 AS BIGINT) AS bb
+  FROM tb a JOIN tb b ON b.doc_id = a.doc_id AND b.o = a.o + 1
+),
+bc AS (SELECT bb, COUNT(*) AS c FROM big GROUP BY bb),
+sc AS (
+  SELECT big.doc_id, COUNT(*) AS nb, SUM((1000 * bc.c) // uc.c) AS s
+  FROM big JOIN uc ON uc.ub = big.ub JOIN bc ON bc.bb = big.bb
+  GROUP BY big.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(sc.s // sc.nb, 0) AS BIGINT) AS fluency_milli
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""

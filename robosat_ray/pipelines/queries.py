@@ -1998,6 +1998,16 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, pts.select_columns(["doc_id"]), id_col="doc_id")
 
 
+def q_lm_score(sf_dir: str):
+    """Hashed bigram LM fluency per document (CCNet-style quality
+    signal, logarithm-free): corpus unigram/bigram occurrence counts
+    in a 2 x 2^18-slot broadcast model, floor-mean integer conditional
+    probability per doc. Oracle: oracle.LM_SCORE."""
+    from robosat_ray.stages.lm import lm_fluency
+
+    return lm_fluency(_docs_ds(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2104,6 +2114,7 @@ QUERIES = {
     "dbscan": q_dbscan,
     "skyline": q_skyline,
     "bfs_hops": q_bfs_hops,
+    "lm_score": q_lm_score,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2216,4 +2227,5 @@ ORACLES = {
     "dbscan": oracle.DBSCAN,
     "skyline": oracle.SKYLINE,
     "bfs_hops": oracle.BFS_HOPS,
+    "lm_score": oracle.LM_SCORE,
 }
