@@ -3560,3 +3560,65 @@ SELECT d.doc_id,
        CAST(COALESCE(sc.s // sc.nb, 0) AS BIGINT) AS fluency_milli
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """
+
+
+def _sssp_sql() -> str:
+    """SSSP twin (stages/sssp.py contract): the eps-pair graph with
+    integer weights w = 1 + d2 (quantized squared distance), source =
+    max-degree hub (tie min node), SSSP_K Bellman-Ford rounds UNROLLED
+    as K groupby-min levels (the pagerank/kmeans unrolled-CTE house
+    pattern — state bounded at nodes per level, no recursion), -1 for
+    nodes unreached within K hops / isolated points."""
+    from robosat_ray.stages.sssp import SSSP_K
+
+    n = float(1 << C.DB_Q)
+    r, r2 = C.DB_R, C.DB_R * C.DB_R
+    prev = "r0"
+    levels = []
+    for i in range(1, SSSP_K + 1):
+        levels.append(
+            f"""r{i} AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, {prev}.d + e.w AS d
+    FROM {prev} JOIN edges e ON e.src = {prev}.node
+  ) GROUP BY node
+)"""
+        )
+        prev = f"r{i}"
+    lvl_sql = ",\n".join(levels)
+    return f"""
+WITH {points_cte()},
+q AS (
+  SELECT doc_id,
+         CAST(floor((lon + 180.0) / 360.0 * {n!r}) AS BIGINT) AS xq,
+         CAST(floor(my * {n!r}) AS BIGINT) AS yq
+  FROM pts
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         (a.xq - b.xq) * (a.xq - b.xq) + (a.yq - b.yq) * (a.yq - b.yq) AS d2
+  FROM q a JOIN q b
+    ON b.xq BETWEEN a.xq - {r} AND a.xq + {r}
+   AND b.yq BETWEEN a.yq - {r} AND a.yq + {r}
+   AND (a.xq - b.xq) * (a.xq - b.xq) + (a.yq - b.yq) * (a.yq - b.yq) <= {r2}
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT a AS src, b AS dst, 1 + d2 AS w FROM pairs
+  UNION ALL
+  SELECT b, a, 1 + d2 FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS dg FROM edges GROUP BY 1),
+s AS (SELECT node AS sn FROM deg ORDER BY dg DESC, node LIMIT 1),
+r0 AS (SELECT sn AS node, CAST(0 AS BIGINT) AS d FROM s),
+{lvl_sql}
+SELECT q.doc_id, CAST(COALESCE({prev}.d, -1) AS BIGINT) AS wdist
+FROM q LEFT JOIN {prev} ON {prev}.node = q.doc_id
+"""
+
+
+# Weighted shortest paths over the eps-pair graph — mirrors
+# stages/sssp.sssp composed with stages/dbscan.eps_pairs(with_d2).
+SSSP = _sssp_sql()

@@ -2008,6 +2008,37 @@ def q_lm_score(sf_dir: str):
     return lm_fluency(_docs_ds(sf_dir))
 
 
+def q_sssp(sf_dir: str):
+    """Exact 4-round weighted shortest paths (Bellman-Ford supersteps
+    with delta frontiers) over the eps-pair graph, edge weight = 1 +
+    quantized squared distance; source = max-degree hub, tie min id;
+    unreached within K hops -> -1. Broadcast/shuffle round switch,
+    flip-tested bit-equal. Oracle: oracle.SSSP (unrolled K-level CTE)."""
+    import pyarrow as pa
+
+    from robosat_ray.stages.dbscan import eps_pairs
+    from robosat_ray.stages.sssp import sssp
+
+    pts = points_dataset(sf_dir).select_columns(["doc_id", "lon", "my"]).materialize()
+    pairs = eps_pairs(pts, with_d2=True)
+
+    def both_dir(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        d2 = batch.column("d2").to_numpy()
+        w = 1 + d2
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+                "w": pa.array(np.concatenate([w, w])),
+            }
+        )
+
+    edges = pairs.map_batches(both_dir, batch_format="pyarrow")
+    return sssp(edges, pts.select_columns(["doc_id"]), id_col="doc_id")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2115,6 +2146,7 @@ QUERIES = {
     "skyline": q_skyline,
     "bfs_hops": q_bfs_hops,
     "lm_score": q_lm_score,
+    "sssp": q_sssp,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2228,4 +2260,5 @@ ORACLES = {
     "skyline": oracle.SKYLINE,
     "bfs_hops": oracle.BFS_HOPS,
     "lm_score": oracle.LM_SCORE,
+    "sssp": oracle.SSSP,
 }

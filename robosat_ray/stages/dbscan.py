@@ -92,33 +92,47 @@ def _emit9(batch: pa.Table) -> pa.Table:
     )
 
 
-def _mine_pairs(group: pd.DataFrame) -> pd.DataFrame:
+def _mine_pairs(group: pd.DataFrame, with_d2: bool = False) -> pd.DataFrame:
     """One cell group: residents x all members, keep dist^2 <= R^2 and
     resident.doc_id < member.doc_id — each unordered eps-pair is
     emitted exactly once across all groups (in the smaller id's home
-    cell, which the larger id's 3x3 emit always covers)."""
+    cell, which the larger id's 3x3 emit always covers). with_d2 adds
+    the quantized squared distance column (sssp edge weights)."""
     ids = group["doc_id"].to_numpy()
     xq = group["xq"].to_numpy()
     yq = group["yq"].to_numpy()
     res = group["is_res"].to_numpy()
     ri = np.flatnonzero(res)
     if len(ri) == 0 or len(ids) < 2:
-        return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
+        empty = pd.Series([], dtype=np.int64)
+        cols = {"a": empty, "b": empty}
+        if with_d2:
+            cols["d2"] = empty
+        return pd.DataFrame(cols)
     dx = xq[ri][:, None] - xq[None, :]
     dy = yq[ri][:, None] - yq[None, :]
-    ok = (dx * dx + dy * dy <= C.DB_R * C.DB_R) & (ids[ri][:, None] < ids[None, :])
+    d2 = dx * dx + dy * dy
+    ok = (d2 <= C.DB_R * C.DB_R) & (ids[ri][:, None] < ids[None, :])
     ai, bj = np.nonzero(ok)
-    return pd.DataFrame({"a": ids[ri][ai], "b": ids[bj]})
+    out = {"a": ids[ri][ai], "b": ids[bj]}
+    if with_d2:
+        out["d2"] = d2[ai, bj]
+    return pd.DataFrame(out)
 
 
-def eps_pairs(pts_ds):
-    """points (doc_id, lon, my) -> materialized pairs Dataset (a, b):
-    all unordered eps-pairs, each exactly once. ONE groupby shuffle of
-    9 compact rows per point."""
+def eps_pairs(pts_ds, with_d2: bool = False):
+    """points (doc_id, lon, my) -> materialized pairs Dataset (a, b
+    [, d2]): all unordered eps-pairs, each exactly once. ONE groupby
+    shuffle of 9 compact rows per point."""
+    import functools
+
     rows = pts_ds.map_batches(_emit9, batch_format="pyarrow")
     return (
         rows.groupby("ck")
-        .map_groups(_mine_pairs, batch_format="pandas")
+        .map_groups(
+            functools.partial(_mine_pairs, with_d2=with_d2),
+            batch_format="pandas",
+        )
         .materialize()
     )
 
