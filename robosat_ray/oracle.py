@@ -3622,3 +3622,69 @@ FROM q LEFT JOIN {prev} ON {prev}.node = q.doc_id
 # Weighted shortest paths over the eps-pair graph — mirrors
 # stages/sssp.sssp composed with stages/dbscan.eps_pairs(with_d2).
 SSSP = _sssp_sql()
+
+
+def _kcore_sql() -> str:
+    """K-core twin (stages/kcore.py contract): the eps-pair graph,
+    PEEL_ROUNDS peel rounds UNROLLED as survivor-set levels (a_i =
+    a_{i-1} nodes with degree >= CORE_K within a_{i-1}; the monotone
+    twin of the sssp/pagerank unrolled house pattern — state bounded
+    at nodes per level, no recursion). Output: in_core 0/1 membership
+    of the final survivor set, core_deg = degree within it (0 for a
+    survivor that lost every neighbor in the last round), -1 for
+    peeled / isolated nodes."""
+    from robosat_ray.stages.kcore import CORE_K, PEEL_ROUNDS
+
+    n = float(1 << C.DB_Q)
+    r, r2 = C.DB_R, C.DB_R * C.DB_R
+    prev = "a0"
+    levels = []
+    for i in range(1, PEEL_ROUNDS + 1):
+        levels.append(
+            f"""a{i} AS (
+  SELECT e.src AS node FROM edges e
+  JOIN {prev} s ON e.src = s.node
+  JOIN {prev} t ON e.dst = t.node
+  GROUP BY e.src HAVING count(*) >= {CORE_K}
+)"""
+        )
+        prev = f"a{i}"
+    lvl_sql = ",\n".join(levels)
+    return f"""
+WITH {points_cte()},
+q AS (
+  SELECT doc_id,
+         CAST(floor((lon + 180.0) / 360.0 * {n!r}) AS BIGINT) AS xq,
+         CAST(floor(my * {n!r}) AS BIGINT) AS yq
+  FROM pts
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM q a JOIN q b
+    ON b.xq BETWEEN a.xq - {r} AND a.xq + {r}
+   AND b.yq BETWEEN a.yq - {r} AND a.yq + {r}
+   AND (a.xq - b.xq) * (a.xq - b.xq) + (a.yq - b.yq) * (a.yq - b.yq) <= {r2}
+   AND a.doc_id < b.doc_id
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+a0 AS (SELECT DISTINCT src AS node FROM edges),
+{lvl_sql},
+cd AS (
+  SELECT e.src AS node, count(*) AS cdeg FROM edges e
+  JOIN {prev} s ON e.src = s.node
+  JOIN {prev} t ON e.dst = t.node
+  GROUP BY e.src
+)
+SELECT q.doc_id,
+       CAST(CASE WHEN {prev}.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core,
+       CAST(CASE WHEN {prev}.node IS NULL THEN -1
+                 ELSE COALESCE(cd.cdeg, 0) END AS BIGINT) AS core_deg
+FROM q
+LEFT JOIN {prev} ON {prev}.node = q.doc_id
+LEFT JOIN cd ON cd.node = q.doc_id
+"""
+
+
+# Fixed-round k-core peeling over the eps-pair graph — mirrors
+# stages/kcore.kcore composed with stages/dbscan.eps_pairs.
+KCORE = _kcore_sql()

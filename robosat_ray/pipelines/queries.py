@@ -2039,6 +2039,35 @@ def q_sssp(sf_dir: str):
     return sssp(edges, pts.select_columns(["doc_id"]), id_col="doc_id")
 
 
+def q_kcore(sf_dir: str):
+    """Fixed-round k-core peeling (Seidman 1983; 4 rounds, k=3) over
+    the eps-pair graph: survivors of round i are round i-1 survivors
+    with >= k neighbors among round i-1 survivors. in_core 0/1 +
+    core_deg within the final core (-1 for peeled/isolated points).
+    Broadcast/shuffle peel switch, flip-tested bit-equal. Oracle:
+    oracle.KCORE (unrolled survivor-set levels)."""
+    import pyarrow as pa
+
+    from robosat_ray.stages.dbscan import eps_pairs
+    from robosat_ray.stages.kcore import kcore
+
+    pts = points_dataset(sf_dir).select_columns(["doc_id", "lon", "my"]).materialize()
+    pairs = eps_pairs(pts)
+
+    def both_dir(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(both_dir, batch_format="pyarrow")
+    return kcore(edges, pts.select_columns(["doc_id"]), id_col="doc_id")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2147,6 +2176,7 @@ QUERIES = {
     "bfs_hops": q_bfs_hops,
     "lm_score": q_lm_score,
     "sssp": q_sssp,
+    "kcore": q_kcore,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2261,4 +2291,5 @@ ORACLES = {
     "bfs_hops": oracle.BFS_HOPS,
     "lm_score": oracle.LM_SCORE,
     "sssp": oracle.SSSP,
+    "kcore": oracle.KCORE,
 }
