@@ -131,7 +131,7 @@ def run_bench() -> dict:
         "quality_rank", "funnel", "cohort", "phash_dup", "semdedup",
         "late_events", "compact_state", "robust_stats", "mix_sample",
         "span_clean", "dbscan", "skyline", "bfs_hops", "lm_score", "sssp",
-        "kcore",
+        "kcore", "ols_fit", "ols_residuals", "cheapest_supplier",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

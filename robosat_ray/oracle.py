@@ -3688,3 +3688,104 @@ LEFT JOIN cd ON cd.node = q.doc_id
 # Fixed-round k-core peeling over the eps-pair graph — mirrors
 # stages/kcore.kcore composed with stages/dbscan.eps_pairs.
 KCORE = _kcore_sql()
+
+
+# --- OLS quality-model fit (stages/regress.py contract) ---
+# Sufficient statistics in HUGEINT (exact, like the engine's
+# Python-int driver accumulate), Cramer 3x3 in DOUBLE with the
+# IDENTICAL expression tree as regress.cramer3_micro (the contract:
+# both sides round bit-identically), betas floored to int64 micros.
+_OLS_CTE = """
+feat AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS y,
+         CAST(len(string_split_regex(text, '[ ]+')) AS BIGINT) AS x1,
+         CAST(length(text) AS BIGINT) AS x2
+  FROM documents
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(x1 AS HUGEINT)) AS sx1,
+         SUM(CAST(x2 AS HUGEINT)) AS sx2,
+         SUM(CAST(y  AS HUGEINT)) AS sy,
+         SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+         SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+         SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+         SUM(CAST(x1 AS HUGEINT) * y)  AS s1y,
+         SUM(CAST(x2 AS HUGEINT) * y)  AS s2y
+  FROM feat
+),
+d AS (
+  SELECT CAST(n AS DOUBLE) AS n, CAST(sx1 AS DOUBLE) AS sx1,
+         CAST(sx2 AS DOUBLE) AS sx2, CAST(sy AS DOUBLE) AS sy,
+         CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+         CAST(s22 AS DOUBLE) AS s22, CAST(s1y AS DOUBLE) AS s1y,
+         CAST(s2y AS DOUBLE) AS s2y
+  FROM s
+),
+dets AS (
+  SELECT
+    n * (s11 * s22 - s12 * s12)
+      - sx1 * (sx1 * s22 - s12 * sx2)
+      + sx2 * (sx1 * s12 - s11 * sx2) AS det,
+    sy * (s11 * s22 - s12 * s12)
+      - sx1 * (s1y * s22 - s12 * s2y)
+      + sx2 * (s1y * s12 - s11 * s2y) AS d0,
+    n * (s1y * s22 - s12 * s2y)
+      - sy * (sx1 * s22 - s12 * sx2)
+      + sx2 * (sx1 * s2y - s1y * sx2) AS d1,
+    n * (s11 * s2y - s1y * s12)
+      - sx1 * (sx1 * s2y - s1y * sx2)
+      + sy * (sx1 * s12 - s11 * sx2) AS d2
+  FROM d
+),
+b AS (
+  SELECT CAST(FLOOR(d0 / det * 1000000.0) AS BIGINT) AS b0_micro,
+         CAST(FLOOR(d1 / det * 1000000.0) AS BIGINT) AS b1_micro,
+         CAST(FLOOR(d2 / det * 1000000.0) AS BIGINT) AS b2_micro
+  FROM dets
+)
+"""
+
+# One-row model fit: n_alpha ~ b0 + b1*n_tokens + b2*n_chars.
+OLS_FIT = f"""
+WITH {_OLS_CTE}
+SELECT CAST(s.n AS BIGINT) AS n_docs, b.b0_micro, b.b1_micro, b.b2_micro
+FROM s, b
+"""
+
+# Top-k curation outliers by |integer residual|, tie doc_id asc.
+OLS_RESIDUALS = f"""
+WITH {_OLS_CTE}
+SELECT feat.doc_id,
+       1000000 * feat.y
+         - (b.b0_micro + b.b1_micro * feat.x1 + b.b2_micro * feat.x2)
+         AS resid_micro
+FROM feat, b
+ORDER BY ABS(1000000 * feat.y
+         - (b.b0_micro + b.b1_micro * feat.x1 + b.b2_micro * feat.x2)) DESC,
+         feat.doc_id ASC
+LIMIT 20
+"""
+
+
+# TPC-H-Q2-shaped argmin-per-group join-back (q_cheapest_supplier):
+# two-key argmin (price_cents, suppkey) encoded into one BIGINT
+# (price_cents * 2^20 + suppkey), exactly the engine's reduction.
+CHEAPEST_SUPPLIER = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM lineitem
+),
+m AS (
+  SELECT l_partkey AS p_partkey,
+         MIN(price_cents * 1048576 + l_suppkey) AS enc
+  FROM li GROUP BY 1
+)
+SELECT m.p_partkey,
+       enc // 1048576 AS min_price_cents,
+       enc % 1048576 AS s_suppkey,
+       s.s_name
+FROM m JOIN supplier s ON s.s_suppkey = enc % 1048576
+"""

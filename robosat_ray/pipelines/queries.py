@@ -2068,6 +2068,96 @@ def q_kcore(sf_dir: str):
     return kcore(edges, pts.select_columns(["doc_id"]), id_col="doc_id")
 
 
+def q_ols_fit(sf_dir: str):
+    """Distributed OLS fit of the quality model n_alpha ~ b0 +
+    b1*n_tokens + b2*n_chars: exact integer sufficient statistics
+    (per-block partials, Python-int driver reduce, zero shuffle),
+    Cramer 3x3 solve in float64 with the expression tree mirrored by
+    oracle.OLS_FIT, betas as int64 micros."""
+    from robosat_ray.stages.regress import ols_fit
+
+    return ols_fit(_docs_ds(sf_dir))
+
+
+def q_ols_residuals(sf_dir: str):
+    """Top-20 curation outliers of the OLS quality model: docs whose
+    alphabetic mass diverges most from the length-based expectation
+    (|resid_micro| desc, tie doc_id asc). Residuals are pure int64
+    arithmetic once the betas are micros. Oracle: oracle.OLS_RESIDUALS."""
+    from robosat_ray.stages.regress import ols_residuals
+
+    return ols_residuals(_docs_ds(sf_dir))
+
+
+def q_cheapest_supplier(sf_dir: str):
+    """TPC-H-Q2-shaped argmin-per-group join-back: for every part
+    with lineitems, the cheapest offer and the supplier making it
+    (tie -> min suppkey). The two-key argmin (price, suppkey) is
+    encoded into ONE int64 (price_cents * 2^20 + suppkey, suppkey
+    asserted < 2^20), so the whole reduction is per-block
+    np.minimum.at partials + one part-bounded groupby-Min — no
+    window, no sort. Supplier names attach via a broadcast lookup
+    (dimension-table pattern). Oracle: oracle.CHEAPEST_SUPPLIER."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    ENC = 1 << 20
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def enc_argmin(batch: pa.Table) -> pa.Table:
+        price = np.floor(
+            batch.column("l_extendedprice").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy()
+        assert sk.max(initial=0) < ENC and sk.min(initial=0) >= 0, (
+            "suppkey outside the 2^20 encode range"
+        )
+        e = price * ENC + sk
+        pk = batch.column("l_partkey").to_numpy()
+        un, codes = np.unique(pk, return_inverse=True)
+        mv = np.full(len(un), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mv, codes, e)
+        return pa.table({"p_partkey": pa.array(un), "enc": pa.array(mv)})
+
+    m = (
+        li.map_batches(enc_argmin, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Min("enc", alias_name="enc"))
+    )
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    skeys = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    order = np.argsort(skeys)
+    sref = ray.put((skeys[order], sup.column("s_name").to_numpy()[order]))
+
+    def finish(batch: pa.Table, _s=sref) -> pa.Table:
+        keys, names = ray.get(_s)
+        enc = batch.column("enc").to_numpy()
+        price = enc // ENC
+        sk = enc % ENC
+        pos = np.searchsorted(keys, sk)
+        assert (keys[np.clip(pos, 0, len(keys) - 1)] == sk).all(), (
+            "lineitem references an unknown supplier"
+        )
+        return pa.table(
+            {
+                "p_partkey": batch.column("p_partkey"),
+                "min_price_cents": pa.array(price),
+                "s_suppkey": pa.array(sk),
+                "s_name": pa.array(names[pos]),
+            }
+        )
+
+    return m.map_batches(finish, batch_format="pyarrow")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2177,6 +2267,9 @@ QUERIES = {
     "lm_score": q_lm_score,
     "sssp": q_sssp,
     "kcore": q_kcore,
+    "ols_fit": q_ols_fit,
+    "ols_residuals": q_ols_residuals,
+    "cheapest_supplier": q_cheapest_supplier,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2292,4 +2385,7 @@ ORACLES = {
     "lm_score": oracle.LM_SCORE,
     "sssp": oracle.SSSP,
     "kcore": oracle.KCORE,
+    "ols_fit": oracle.OLS_FIT,
+    "ols_residuals": oracle.OLS_RESIDUALS,
+    "cheapest_supplier": oracle.CHEAPEST_SUPPLIER,
 }

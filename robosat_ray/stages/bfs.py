@@ -36,6 +36,35 @@ BFS_K = 6
 BFS_BROADCAST_NODE_CAP = 2_000_000
 
 
+def combine_partials(ds, nodes: np.ndarray, init: int, ufunc,
+                     key: str = "node", val: str | None = None):
+    """Stream compact per-block partial rows (key[, val]) into a
+    full-length int64 array over the sorted node universe `nodes` —
+    the broadcast-strategy replacement for a per-round
+    `groupby(key).aggregate(...)` shuffle. The driver already holds
+    node-length arrays under the broadcast contract, so the combine is
+    node-bounded by construction; partial volume is whatever the
+    per-batch combiner already compacted to (<= uniques per block).
+    -> (out array, touched boolean mask). Fails loudly if a partial
+    key is missing from `nodes` (silent wrong-slot gather otherwise).
+    Shared by the graph family's broadcast rounds (bfs / sssp /
+    pagerank / kcore)."""
+    out = np.full(len(nodes), init, dtype=np.int64)
+    touched = np.zeros(len(nodes), dtype=bool)
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        if batch.num_rows == 0:  # all-to-all empties may lack a schema
+            continue
+        n = batch.column(key).to_numpy()
+        pos = np.searchsorted(nodes, n)
+        assert (
+            nodes[np.clip(pos, 0, len(nodes) - 1)] == n
+        ).all(), "partial key missing from the node universe"
+        touched[pos] = True
+        if val is not None:
+            ufunc.at(out, pos, batch.column(val).to_numpy())
+    return out, touched
+
+
 def _degrees(edges_ds):
     from ray.data.aggregate import Count
 
@@ -85,17 +114,15 @@ def _bfs_broadcast(edges, deg_ds, k: int) -> tuple[np.ndarray, np.ndarray]:
             hit = (pos < len(f)) & (f[np.clip(pos, 0, len(f) - 1)] == s)
             return pa.table({"node": pa.array(np.unique(t[hit]))})
 
-        reached = (
-            edges.map_batches(expand, batch_format="pyarrow")
-            .groupby("node")
-            .count()
-            .to_pandas()["node"]
-            .to_numpy()
+        # driver combine of the compact per-block partials (the
+        # broadcast contract already holds node-length arrays on the
+        # driver) — one streaming execution, no groupby shuffle
+        _, seen = combine_partials(
+            edges.map_batches(expand, batch_format="pyarrow"), nodes, 0, None
         )
-        pos = np.searchsorted(nodes, reached)
-        new = dist[pos] == -1
-        dist[pos[new]] = d
-        frontier = reached[new]
+        new = seen & (dist == -1)
+        dist[new] = d
+        frontier = nodes[new]
         del fref
     return nodes, dist
 
@@ -104,7 +131,7 @@ def _bfs_shuffle(edges, deg_ds, k: int, num_buckets: int):
     """-> Dataset (node, dist) covering exactly the reached nodes."""
     import ray.data
 
-    from robosat_ray.stages.join import copartition_join
+    from robosat_ray.stages.join import compact_arrow, copartition_join
 
     src = _source_node(deg_ds)
     dist = ray.data.from_arrow(
@@ -163,13 +190,19 @@ def _bfs_shuffle(edges, deg_ds, k: int, num_buckets: int):
                 }
             )
 
-        new = hit.map_batches(keep_new, batch_format="pyarrow").materialize()
+        # compact_arrow: round barrier — drops the schema-less empty
+        # pandas blocks all-to-all stages emit (they bypass pyarrow
+        # maps and crash type-uniform consumers with mixed block types)
+        new = compact_arrow(hit.map_batches(keep_new, batch_format="pyarrow"))
         if new.count() == 0:
             break
         dist = dist.union(new).materialize()
-        frontier = new.map_batches(
-            lambda b: pa.table({"node": b.column("node")}), batch_format="pyarrow"
-        ).materialize()
+        frontier = compact_arrow(
+            new.map_batches(
+                lambda b: pa.table({"node": b.column("node")}),
+                batch_format="pyarrow",
+            )
+        )
     return dist
 
 

@@ -32,6 +32,50 @@ NUM_JOIN_BUCKETS = 64
 _MAX_U_CHARS = 64
 
 
+def compact_arrow(ds):
+    """Materialization barrier that returns `ds` with uniformly-Arrow
+    blocks, dropping empty blocks by metadata (zero data movement).
+
+    Why: Ray's map operators pass EMPTY input blocks through without
+    calling the UDF (ray/data/_internal/planner/plan_udf_map_op.py,
+    "For empty input blocks, we directly output them without calling
+    the UDF"), and all-to-all stages (sort / aggregate shuffles) emit
+    schema-less empty PANDAS blocks. Those empties then survive every
+    downstream `batch_format="pyarrow"` map unconverted, and a later
+    type-uniform consumer (`union(...).groupby(...)`) dies with
+    `AssertionError: (BlockType.ARROW, BlockType.PANDAS)` — observed
+    at the 100x sssp stress (7.8M-pair graph, shuffle strategy), never
+    at sf0.01 where no shuffle partition comes out empty. Use at the
+    per-round materialization barriers of iterative shuffle loops.
+
+    Non-empty non-Arrow stragglers are converted block-remote; if all
+    blocks are empty, one is kept (converted) so the dataset keeps a
+    schema for downstream count()/union."""
+    import ray
+    import ray.data
+    from ray.data.block import BlockAccessor
+
+    kept: list = []       # refs of non-empty blocks (arrow by contract)
+    fallback = None       # one empty block, converted, if nothing is kept
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                kept.append(ref)
+            elif fallback is None:
+                fallback = ref
+
+    @ray.remote
+    def _to_arrow(block):
+        return BlockAccessor.for_block(block).to_arrow()
+
+    if not kept:
+        assert fallback is not None, "dataset yielded no blocks at all"
+        kept = [fallback]
+    # one tiny remote task per block, never through the driver;
+    # BlockAccessor.to_arrow is zero-copy identity for Arrow blocks
+    return ray.data.from_arrow_refs([_to_arrow.remote(r) for r in kept])
+
+
 def _keys_valid(col) -> tuple[np.ndarray, np.ndarray]:
     """Join-key column -> (key array, validity mask). NULL keys never
     match (NOT-EXISTS semantics — callers zero their hits through the

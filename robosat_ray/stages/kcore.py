@@ -66,19 +66,18 @@ def _alive_deg_broadcast(edges, alive: np.ndarray):
         un, cnt = np.unique(s[ok], return_counts=True)
         return pa.table({"node": pa.array(un), "c": pa.array(cnt.astype(np.int64))})
 
-    from ray.data.aggregate import Sum
+    # driver sum-combine of the compact per-block partials (the
+    # broadcast contract already holds node-length arrays on the
+    # driver) — one streaming execution per round, no groupby shuffle;
+    # value-identical to the former groupby-Sum
+    from robosat_ray.stages.bfs import combine_partials
 
-    deg = (
-        edges.map_batches(part, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("c", alias_name="dg"))
-        .to_pandas()
+    cnt, touched = combine_partials(
+        edges.map_batches(part, batch_format="pyarrow"),
+        alive, 0, np.add, val="c",
     )
     del aref
-    nodes = deg["node"].to_numpy(dtype=np.int64)
-    cnt = deg["dg"].to_numpy(dtype=np.int64)
-    order = np.argsort(nodes)  # groupby output order is not a contract
-    return nodes[order], cnt[order]
+    return alive[touched], cnt[touched]
 
 
 def _peel_broadcast(edges, deg_ds, k: int, rounds: int):
@@ -152,7 +151,11 @@ def _alive_deg_shuffle(edges_n, alive_ds, num_buckets: int):
 
 
 def _peel_shuffle(edges_n, deg_ds, k: int, rounds: int, num_buckets: int):
-    """-> Dataset (node, cdeg) covering exactly the final survivors."""
+    """-> Dataset (node, cdeg) covering exactly the final survivors.
+    compact_arrow at every round barrier: drops the schema-less empty
+    pandas blocks all-to-all stages emit (they bypass pyarrow maps and
+    crash type-uniform consumers with mixed block types)."""
+    from robosat_ray.stages.join import compact_arrow
 
     def node_only(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch.column("node")})
@@ -160,20 +163,18 @@ def _peel_shuffle(edges_n, deg_ds, k: int, rounds: int, num_buckets: int):
     def src_nodes(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch.column("src")})
 
-    alive = deg_ds.map_batches(src_nodes, batch_format="pyarrow").materialize()
+    alive = compact_arrow(deg_ds.map_batches(src_nodes, batch_format="pyarrow"))
     n_alive = alive.count()
     for _ in range(rounds):
         if n_alive == 0:
             break
-        surv = (
-            _alive_deg_shuffle(edges_n, alive, num_buckets)
-            .filter(expr=f"dg >= {k}")
-            .materialize()
+        surv = compact_arrow(
+            _alive_deg_shuffle(edges_n, alive, num_buckets).filter(expr=f"dg >= {k}")
         )
         n_new = surv.count()
         if n_new == n_alive:  # fixpoint: monotone shrink
             return surv
-        alive = surv.map_batches(node_only, batch_format="pyarrow").materialize()
+        alive = compact_arrow(surv.map_batches(node_only, batch_format="pyarrow"))
         n_alive = n_new
 
     from robosat_ray.stages.join import copartition_join
@@ -193,7 +194,7 @@ def _peel_shuffle(edges_n, deg_ds, k: int, rounds: int, num_buckets: int):
         d = np.where(pd.isna(d), 0, d).astype(np.int64)
         return pa.table({"node": batch.column("node"), "dg": pa.array(d)})
 
-    return lab.map_batches(fill0, batch_format="pyarrow").materialize()
+    return compact_arrow(lab.map_batches(fill0, batch_format="pyarrow"))
 
 
 class _AttachCore:

@@ -63,7 +63,6 @@ def pagerank_micro(edges_ds, iters: int = PR_ITERS, strategy: str = "auto",
 def _pagerank_broadcast(edges_ds, deg, iters: int):
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     deg_df = deg.to_pandas()  # node table, ≤ cap rows by construction
     order = np.argsort(deg_df["src"].to_numpy(), kind="stable")
@@ -87,15 +86,18 @@ def _pagerank_broadcast(edges_ds, deg, iters: int):
             np.add.at(sums, inv, vals)
             return pa.table({"dst": pa.array(uniq), "c": pa.array(sums)})
 
-        sums_df = (
-            edges.map_batches(contrib, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("c", alias_name="s"))
-            .to_pandas()
+        # driver sum-combine of the compact per-block partials (the
+        # broadcast contract already holds node-length arrays on the
+        # driver) — one streaming execution per iteration, no groupby
+        # shuffle; value-identical to the former groupby-Sum
+        from robosat_ray.stages.bfs import combine_partials
+
+        sums, touched = combine_partials(
+            edges.map_batches(contrib, batch_format="pyarrow"),
+            nodes, 0, np.add, key="dst", val="c",
         )
-        pos = np.searchsorted(nodes, sums_df["dst"].to_numpy())
         r = np.full(len(nodes), PR_TELEPORT, dtype=np.int64)  # no in-edges → teleport only
-        r[pos] = _update(sums_df["s"].to_numpy())
+        r[touched] = _update(sums[touched])
         del contrib_ref
 
     return ray.data.from_arrow(

@@ -75,20 +75,19 @@ def _sssp_broadcast(edges, deg_ds, k: int):
             np.minimum.at(mv, codes, cand_v)
             return pa.table({"node": pa.array(un), "v": pa.array(mv)})
 
-        from ray.data.aggregate import Min
+        # driver min-combine of the compact per-block partials (the
+        # broadcast contract already holds node-length arrays on the
+        # driver) — one streaming execution per round, no groupby
+        # shuffle; value-identical to the former groupby-Min
+        from robosat_ray.stages.bfs import combine_partials
 
-        cand = (
-            edges.map_batches(relax, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("v", alias_name="mv"))
-            .to_pandas()
+        cv, _ = combine_partials(
+            edges.map_batches(relax, batch_format="pyarrow"),
+            nodes, int(_UNSET), np.minimum, val="v",
         )
-        cn = cand["node"].to_numpy(dtype=np.int64)
-        cv = cand["mv"].to_numpy(dtype=np.int64)
-        pos = np.searchsorted(nodes, cn)
-        better = cv < dist[pos]
-        dist[pos[better]] = cv[better]
-        delta_n, delta_d = cn[better], cv[better]
+        better = cv < dist
+        dist[better] = cv[better]
+        delta_n, delta_d = nodes[better], cv[better]
         del fref
     return nodes, dist
 
@@ -99,7 +98,7 @@ def _sssp_shuffle(edges_n, deg_ds, k: int, num_buckets: int):
     import ray.data
     from ray.data.aggregate import Min
 
-    from robosat_ray.stages.join import copartition_join
+    from robosat_ray.stages.join import compact_arrow, copartition_join
 
     src = _source_node(deg_ds)
     start = pa.table(
@@ -155,14 +154,16 @@ def _sssp_shuffle(edges_n, deg_ds, k: int, num_buckets: int):
                 }
             )
 
-        delta = hit.map_batches(keep_better, batch_format="pyarrow").materialize()
+        # compact_arrow: round barrier — drops the schema-less empty
+        # pandas blocks all-to-all stages emit (they bypass pyarrow
+        # maps and crash the union+groupby with mixed block types)
+        delta = compact_arrow(hit.map_batches(keep_better, batch_format="pyarrow"))
         if delta.count() == 0:
             break
-        dist = (
+        dist = compact_arrow(
             dist.union(delta)
             .groupby("node")
             .aggregate(Min("dist", alias_name="dist"))
-            .materialize()
         )
     return dist
 
