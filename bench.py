@@ -132,6 +132,7 @@ def run_bench() -> dict:
         "late_events", "compact_state", "robust_stats", "mix_sample",
         "span_clean", "dbscan", "skyline", "bfs_hops", "lm_score", "sssp",
         "kcore", "ols_fit", "ols_residuals", "cheapest_supplier",
+        "idw_interp", "colloc_lift", "nearest_foot", "promo_share",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

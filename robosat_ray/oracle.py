@@ -3789,3 +3789,173 @@ SELECT m.p_partkey,
        s.s_name
 FROM m JOIN supplier s ON s.s_suppkey = enc % 1048576
 """
+
+
+def _idw_sql() -> str:
+    """IDW interpolation to tile centers — mirrors
+    stages/interp.idw_tile_interp: ONE float floor() quantizes each
+    page onto the global 256px-per-tile pixel lattice with the
+    IDENTICAL expression tree ((lon+180)/360*4096 then *256), then
+    weights / sums / the final milli ratio are pure integer ops
+    (HUGEINT sums == the engine's exact Python-int finisher)."""
+    from robosat_ray.stages.interp import IDW_WSCALE
+
+    cxx = "((px // 256) + dx) * 256 + 128"
+    cyy = "((py // 256) + dy) * 256 + 128"
+    return f"""
+WITH {points_cte()},
+p AS (
+  SELECT CAST(floor((pts.lon + 180.0) / 360.0 * {_N!r} * 256.0) AS BIGINT) AS px,
+         CAST(floor(pts.my * {_N!r} * 256.0) AS BIGINT) AS py,
+         d.n_chars AS v
+  FROM pts JOIN documents d USING (doc_id)
+),
+nbr AS (
+  SELECT dx, dy
+  FROM (VALUES (-1), (0), (1)) AS dxs(dx)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dys(dy)
+),
+c AS (
+  SELECT (px // 256) + dx AS qx, (py // 256) + dy AS qy,
+         {IDW_WSCALE} // ((px - ({cxx})) * (px - ({cxx}))
+                        + (py - ({cyy})) * (py - ({cyy})) + 1) AS w,
+         v,
+         CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END AS own
+  FROM p CROSS JOIN nbr
+)
+SELECT qx AS tile_x, qy AS tile_y,
+       CAST(SUM(own) AS BIGINT) AS n_own,
+       CAST(SUM(w) AS BIGINT) AS wsum,
+       CAST((SUM(w * v) * 1000) // SUM(w) AS BIGINT) AS idw_milli
+FROM c
+GROUP BY 1, 2
+HAVING SUM(own) > 0
+"""
+
+
+# IDW surface estimate over the occupied tile lattice — mirrors
+# stages/interp.idw_tile_interp (3x3 halo contributions, integer
+# weights, exact floor-ratio finisher).
+IDW_INTERP = _idw_sql()
+
+
+def _colloc_sql() -> str:
+    """Collocation lift — mirrors stages/text_ops.colloc_lift: the
+    same tokenizer as TOP_BIGRAMS, lift as ONE HUGEINT floor division
+    (== the engine's Python-int numerator), min-count floor, tiebreak
+    lift_ppm DESC then bigram ASC."""
+    from robosat_ray.stages.text_ops import COLLOC_MIN_COUNT
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
+),
+idx AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM tok
+),
+bc AS (
+  SELECT ts[i] AS l, ts[i + 1] AS r, CAST(count(*) AS HUGEINT) AS c
+  FROM idx GROUP BY 1, 2
+),
+uc AS (
+  SELECT token, CAST(count(*) AS HUGEINT) AS c
+  FROM (SELECT unnest(ts) AS token FROM tok) GROUP BY 1
+),
+tot AS (SELECT SUM(c) AS t FROM uc),
+nbi AS (SELECT SUM(c) AS nb FROM bc)
+SELECT bc.l || ' ' || bc.r AS bigram,
+       CAST(bc.c AS BIGINT) AS total,
+       CAST((bc.c * tot.t * tot.t * 1000000) // (nbi.nb * lx.c * rx.c)
+            AS BIGINT) AS lift_ppm,
+       CAST(row_number() OVER (
+         ORDER BY (bc.c * tot.t * tot.t * 1000000) // (nbi.nb * lx.c * rx.c) DESC,
+                  bc.l || ' ' || bc.r ASC) AS BIGINT) AS rank
+FROM bc
+JOIN uc lx ON lx.token = bc.l
+JOIN uc rx ON rx.token = bc.r
+CROSS JOIN tot CROSS JOIN nbi
+WHERE bc.c >= {COLLOC_MIN_COUNT}
+ORDER BY lift_ppm DESC, bigram ASC
+LIMIT 25
+"""
+
+
+# Collocation lift (exact integer PMI-family score) — mirrors
+# stages/text_ops.colloc_lift.
+COLLOC_LIFT = _colloc_sql()
+
+
+def _nearest_foot_sql() -> str:
+    """Nearest-footprint map matching — mirrors
+    stages/mapmatch.nearest_footprint: footprint centers recomputed
+    from scratch (NOT (minx+maxx)/2 — IEEE does not round back),
+    both sides quantized to micro ints on the knn (lon, my*360)
+    plane, candidates ring-bounded to the 3x3 tile neighborhood of
+    the page, winner = min (d2q, feature_id)."""
+    return f"""
+WITH {points_cte()},
+fcent AS (
+  SELECT p_partkey AS feature_id,
+         list_extract(['building', 'road', 'water', 'parking'], CAST(p_partkey % 4 AS INTEGER) + 1) AS kind,
+         CASE WHEN p_partkey % 10 < 6 THEN
+           list_extract({_CITY_LON}, CAST(p_partkey % 8 AS INTEGER) + 1)
+             + (((p_partkey * {C.G1_MUL} + {C.G1_ADD}) % {C.MOD32}) / {float(C.MOD32)!r} - 0.5) * {C.CITY_LON_SPAN!r}
+         ELSE ((p_partkey * {C.G1_MUL} + {C.G1_ADD}) % {C.MOD32}) / {float(C.MOD32)!r} * 360.0 - 180.0 END AS cx,
+         CASE WHEN p_partkey % 10 < 6 THEN
+           list_extract({_CITY_MY}, CAST(p_partkey % 8 AS INTEGER) + 1)
+             + (((p_partkey * {C.G2_MUL} + {C.G2_ADD}) % {C.MOD32}) / {float(C.MOD32)!r} - 0.5) * {C.CITY_MY_SPAN!r}
+         ELSE {C.BG_MY_LO!r} + (((p_partkey * {C.G2_MUL} + {C.G2_ADD}) % {C.MOD32}) / {float(C.MOD32)!r}) * {C.BG_MY_RANGE!r} END AS cy
+  FROM part
+),
+fq AS (
+  SELECT feature_id, kind,
+         CAST(floor(cx * 1000000.0) AS BIGINT) AS cxq,
+         CAST(floor(cy * 360.0 * 1000000.0) AS BIGINT) AS cyq,
+         {tile_x('cx')} AS ftx, {tile_y('cy')} AS fty
+  FROM fcent
+),
+pq AS (
+  SELECT doc_id,
+         CAST(floor(lon * 1000000.0) AS BIGINT) AS xq,
+         CAST(floor(my * 360.0 * 1000000.0) AS BIGINT) AS yq,
+         {tile_x('lon')} AS tx, {tile_y('my')} AS ty
+  FROM pts
+),
+cand AS (
+  SELECT p.doc_id, f.feature_id, f.kind,
+         (p.xq - f.cxq) * (p.xq - f.cxq) + (p.yq - f.cyq) * (p.yq - f.cyq) AS d2q
+  FROM pq p JOIN fq f
+    ON f.ftx BETWEEN p.tx - 1 AND p.tx + 1
+   AND f.fty BETWEEN p.ty - 1 AND p.ty + 1
+)
+SELECT doc_id, feature_id, kind, d2q
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY d2q, feature_id) AS rn
+  FROM cand
+)
+WHERE rn = 1
+"""
+
+
+# Nearest-footprint map matching (bounded-ring NN join) — mirrors
+# stages/mapmatch.nearest_footprint.
+NEAREST_FOOT = _nearest_foot_sql()
+
+
+# TPC-H-Q14-shaped promo revenue share: revenue in exact integer
+# cents (the pricing_summary floor idiom), share as ONE HUGEINT floor
+# division == the engine's Python-int 1-row finisher.
+PROMO_SHARE = """
+WITH f AS (
+  SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev,
+         p_type = 'PROMO' AS ispromo
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+)
+SELECT CAST(SUM(CASE WHEN ispromo THEN rev ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(rev) AS BIGINT) AS total_cents,
+       CAST((SUM(CASE WHEN ispromo THEN rev ELSE 0 END) * 1000000) // SUM(rev)
+            AS BIGINT) AS promo_share_micro
+FROM f
+"""

@@ -2158,6 +2158,116 @@ def q_cheapest_supplier(sf_dir: str):
     return m.map_batches(finish, batch_format="pyarrow")
 
 
+def q_idw_interp(sf_dir: str):
+    """IDW interpolation of page n_chars to tile centers over the
+    occupied z=12 lattice: 3x3 halo contributions with pure-integer
+    weights (w = 2^24 // (px_dist^2 + 1)), per-batch compaction to
+    (tile, num, den, n_own) partials, ONE tile-bounded groupby Sum,
+    exact floor-ratio finisher. Oracle: oracle.IDW_INTERP."""
+    import ray.data
+
+    from robosat_ray.stages.interp import idw_tile_interp
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return idw_tile_interp(docs)
+
+
+def q_colloc_lift(sf_dir: str):
+    """Collocation mining by lift (the PMI-family score kept exact as
+    one integer floor division): top-25 adjacent token pairs most
+    over-represented vs token independence, min support 5. Oracle:
+    oracle.COLLOC_LIFT."""
+    from robosat_ray.stages.text_ops import colloc_lift
+
+    return colloc_lift(_docs_ds(sf_dir))
+
+
+def q_nearest_foot(sf_dir: str):
+    """Map matching: every page snaps to the nearest footprint center
+    within its 3x3 tile ring (z=12) — broadcast cell-CSR probe, zero
+    shuffle, exact integer distance ranking. Oracle:
+    oracle.NEAREST_FOOT."""
+    import pyarrow.parquet as pq
+
+    from robosat_ray.stages.mapmatch import nearest_footprint
+
+    keys = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).column("p_partkey").to_numpy()
+    pts = points_dataset(sf_dir).select_columns(["doc_id", "lon", "my"])
+    return nearest_footprint(pts, keys)
+
+
+def q_promo_share(sf_dir: str):
+    """TPC-H-Q14-shaped promo revenue share for ship-year 1996:
+    revenue in exact integer cents, part types attached via a
+    broadcast dimension lookup (ray.put once, searchsorted per
+    batch), one-row partials summed by a constant-key groupby, the
+    share ratio finished with Python ints (the 1e6-scaled numerator
+    outgrows int64 at sf>=0.1). Oracle: oracle.PROMO_SHARE."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    is_promo = (np.asarray(part.column("p_type").to_pylist(), dtype=object) == "PROMO")[order]
+    pref = ray.put((pk[order], is_promo))
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def partial(batch: pa.Table, _p=pref) -> pa.Table:
+        keys, promo = ray.get(_p)
+        ship = batch.column("l_shipdate").to_numpy()
+        keep = (ship >= lo) & (ship < hi)
+        ext = batch.column("l_extendedprice").to_numpy()[keep]
+        disc = batch.column("l_discount").to_numpy()[keep]
+        pkey = batch.column("l_partkey").to_numpy()[keep]
+        rev = np.floor(ext * (1 - disc) * 100 + 0.5).astype(np.int64)
+        pos = np.searchsorted(keys, pkey)
+        assert (keys[np.clip(pos, 0, len(keys) - 1)] == pkey).all(), (
+            "lineitem references an unknown part"
+        )
+        isp = promo[pos]
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "promo_cents": pa.array([int(rev[isp].sum())], pa.int64()),
+                "total_cents": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        p = int(batch.column("promo_cents")[0].as_py())
+        t = int(batch.column("total_cents")[0].as_py())
+        return pa.table(
+            {
+                "promo_cents": pa.array([p], pa.int64()),
+                "total_cents": pa.array([t], pa.int64()),
+                "promo_share_micro": pa.array([p * 1_000_000 // t], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2270,6 +2380,10 @@ QUERIES = {
     "ols_fit": q_ols_fit,
     "ols_residuals": q_ols_residuals,
     "cheapest_supplier": q_cheapest_supplier,
+    "idw_interp": q_idw_interp,
+    "colloc_lift": q_colloc_lift,
+    "nearest_foot": q_nearest_foot,
+    "promo_share": q_promo_share,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2388,4 +2502,8 @@ ORACLES = {
     "ols_fit": oracle.OLS_FIT,
     "ols_residuals": oracle.OLS_RESIDUALS,
     "cheapest_supplier": oracle.CHEAPEST_SUPPLIER,
+    "idw_interp": oracle.IDW_INTERP,
+    "colloc_lift": oracle.COLLOC_LIFT,
+    "nearest_foot": oracle.NEAREST_FOOT,
+    "promo_share": oracle.PROMO_SHARE,
 }

@@ -655,3 +655,106 @@ def token_triangles(documents_ds, k: int = TRI_TOP_K):
         }
     ).sort_values("token").reset_index(drop=True)
     return out
+
+
+# minimum bigram support before a lift score is meaningful (classic
+# collocation-mining noise floor; rare pairs get huge lifts by chance)
+COLLOC_MIN_COUNT = 5
+
+
+def colloc_lift(documents_ds, k: int = 25, min_count: int = COLLOC_MIN_COUNT):
+    """-> (bigram, total, lift_ppm, rank): the k adjacent token pairs
+    most over-represented vs token independence — the PMI-family
+    collocation score, kept EXACT by scoring the lift ratio as one
+    integer floor division instead of a log:
+
+        lift_ppm = (c_xy * T * T * 10^6) // (N_bi * c_x * c_y)
+
+    (c_xy bigram count, c_x/c_y unigram counts, T total tokens, N_bi
+    total bigrams — lift = P(xy) / (P(x) P(y)); PMI = log(lift) is
+    monotone in it, so the ranking is PMI's). Python-int numerators on
+    the engine side, HUGEINT on the SQL side: bit-identical.
+
+    Scale shape: bigram totals via the vocabulary²-bounded partial
+    combiner + ONE string groupby (exactly top_bigrams); unigram
+    totals are vocabulary-bounded and broadcast once into the scoring
+    map (the doc_rarity idf-broadcast idiom — capped BY CONSTRUCTION);
+    min_count prunes the scored table before any per-row work; final
+    pick is a tie-preserving per-block top-k then a tiny driver sort.
+    Tiebreak lift_ppm DESC, bigram ASC."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    bi = (
+        documents_ds.select_columns(["text"])
+        .map_batches(bigram_partial_counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="total"))
+    )
+    uni = (
+        documents_ds.select_columns(["text"])
+        .map_batches(token_partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="c"))
+        .to_pandas()  # vocabulary-bounded by construction
+    )
+    t_tokens = int(uni["c"].sum())
+    counts = dict(zip(uni["token"], (int(v) for v in uni["c"])))
+    cref = ray.put((counts, t_tokens))
+
+    # total bigram mass: exact and tiny (sum of the grouped totals).
+    # Materialize the vocabulary²-bounded totals ONCE — the same
+    # blocks feed the scoring pass below (no recompute).
+    bi = bi.materialize()
+    n_bi = 0
+    for b in bi.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            n_bi += int(np.sum(b.column("total").to_numpy()))
+
+    def score(batch: pa.Table, _c=cref) -> pa.Table:
+        cnts, t_tok = ray.get(_c)
+        tot = batch.column("total").to_numpy()
+        keep = tot >= min_count
+        bigrams = batch.column("bigram").to_pylist()
+        out_b: list[str] = []
+        out_t: list[int] = []
+        out_l: list[int] = []
+        tt6 = t_tok * t_tok * 1_000_000  # Python int: no overflow
+        for i in np.nonzero(keep)[0]:
+            bg = bigrams[i]
+            l, r = bg.split(" ", 1)
+            c_xy = int(tot[i])
+            out_b.append(bg)
+            out_t.append(c_xy)
+            out_l.append(c_xy * tt6 // (n_bi * cnts[l] * cnts[r]))
+        return pa.table(
+            {
+                "bigram": pa.array(out_b, pa.string()),
+                "total": pa.array(out_t, pa.int64()),
+                "lift_ppm": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    scored = bi.map_batches(score, batch_format="pyarrow")
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        lv = batch.column("lift_ppm").to_numpy()
+        if len(lv) > k:
+            kth = np.partition(lv, len(lv) - k)[len(lv) - k]
+            batch = batch.take(pa.array(np.nonzero(lv >= kth)[0]))
+        return batch
+
+    small = scored.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if small.empty:  # nothing cleared min_count: keep the typed schema
+        small = pd.DataFrame(
+            {
+                "bigram": pd.Series([], dtype=object),
+                "total": pd.Series([], dtype=np.int64),
+                "lift_ppm": pd.Series([], dtype=np.int64),
+            }
+        )
+    small = small.sort_values(
+        ["lift_ppm", "bigram"], ascending=[False, True], kind="stable"
+    ).head(k)
+    small["rank"] = np.arange(1, len(small) + 1, dtype=np.int64)
+    return small.reset_index(drop=True)

@@ -32,6 +32,19 @@ def footprint_rects(partkey: np.ndarray, p_size: np.ndarray):
     """
     k = np.asarray(partkey, dtype=np.int64)
     sz = np.asarray(p_size, dtype=np.int64)
+    cx, cy = footprint_centers(k)
+    hw = C.FOOT_HW_BASE + (sz % 10).astype(np.float64) * C.FOOT_HW_STEP
+    hh = C.FOOT_HH_BASE + (sz % 10).astype(np.float64) * C.FOOT_HH_STEP
+    return cx - hw, cy - hh, cx + hw, cy + hh
+
+
+def footprint_centers(partkey: np.ndarray):
+    """p_partkey -> exact footprint center (cx, cy) in (lon, my) —
+    the cx/cy sub-chain of footprint_rects, exposed separately because
+    (minx+maxx)/2 does NOT round back to cx in IEEE arithmetic (both
+    the map-matching stage and its SQL twin must recompute the center
+    from scratch with this exact op order)."""
+    k = np.asarray(partkey, dtype=np.int64)
     g1 = (k.astype(np.uint64) * np.uint64(C.G1_MUL) + np.uint64(C.G1_ADD)) % np.uint64(C.MOD32)
     g2 = (k.astype(np.uint64) * np.uint64(C.G2_MUL) + np.uint64(C.G2_ADD)) % np.uint64(C.MOD32)
     v1 = g1.astype(np.float64) / float(C.MOD32)
@@ -42,9 +55,7 @@ def footprint_rects(partkey: np.ndarray, p_size: np.ndarray):
     cmy = np.asarray(C.CITY_MY, dtype=np.float64)[city]
     cx = np.where(is_city, clon + (v1 - 0.5) * C.CITY_LON_SPAN, v1 * 360.0 - 180.0)
     cy = np.where(is_city, cmy + (v2 - 0.5) * C.CITY_MY_SPAN, C.BG_MY_LO + v2 * C.BG_MY_RANGE)
-    hw = C.FOOT_HW_BASE + (sz % 10).astype(np.float64) * C.FOOT_HW_STEP
-    hh = C.FOOT_HH_BASE + (sz % 10).astype(np.float64) * C.FOOT_HH_STEP
-    return cx - hw, cy - hh, cx + hw, cy + hh
+    return cx, cy
 
 
 def rect_rings(minx, miny, maxx, maxy):
