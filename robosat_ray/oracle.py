@@ -3959,3 +3959,72 @@ SELECT CAST(SUM(CASE WHEN ispromo THEN rev ELSE 0 END) AS BIGINT) AS promo_cents
             AS BIGINT) AS promo_share_micro
 FROM f
 """
+
+
+def _event_transitions_sql() -> str:
+    """Markov transitions — mirrors stages/events.event_transitions:
+    lead() per user ordered by (ts, event_id), pairs kept only when
+    the gap stays under the session break (sessionize's rule negated)."""
+    from robosat_ray.stages.events import SESSION_GAP_US
+
+    return f"""
+WITH w AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS gap
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS n
+FROM w
+WHERE nxt IS NOT NULL AND gap < {SESSION_GAP_US}
+GROUP BY 1, 2
+"""
+
+
+# Same-session event-type transition counts (sequence mining) —
+# mirrors stages/events.event_transitions.
+EVENT_TRANSITIONS = _event_transitions_sql()
+
+
+# Market-basket co-occurrence: distinct part pairs per order, top-25
+# by count (tie part_a, part_b asc) — mirrors q_basket_pairs.
+BASKET_PAIRS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(row_number() OVER (
+         ORDER BY count(*) DESC, a.l_partkey, b.l_partkey) AS BIGINT) AS rank
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n DESC, part_a, part_b
+LIMIT 25
+"""
+
+
+def _zonal_sql() -> str:
+    """Zonal statistics — mirrors q_zonal_stats: the flagship PIP
+    join (inclusive rect edges, identical predicate to SPATIAL_JOIN)
+    grouped per footprint zone with the page payload attached."""
+    return f"""
+WITH {points_cte()}, {feet_cte()},
+j AS (
+  SELECT p.doc_id, f.feature_id
+  FROM pts p JOIN feet f
+    ON p.lon >= f.minx AND p.lon <= f.maxx
+   AND p.my >= f.miny AND p.my <= f.maxy
+)
+SELECT j.feature_id,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       MIN(j.doc_id) AS min_doc,
+       MAX(j.doc_id) AS max_doc
+FROM j JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+# Per-footprint-zone page statistics (zonal stats) — mirrors
+# q_zonal_stats.
+ZONAL_STATS = _zonal_sql()

@@ -2268,6 +2268,151 @@ def q_promo_share(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_event_transitions(sf_dir: str):
+    """Same-session Markov transition counts of the event stream:
+    one user-hash bucket shuffle, per-bucket vectorized adjacency,
+    type-pair-bounded partials, tiny groupby Sum. Oracle:
+    oracle.EVENT_TRANSITIONS."""
+    import ray.data
+
+    from robosat_ray.stages.events import event_transitions
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return event_transitions(ev)
+
+
+def q_basket_pairs(sf_dir: str):
+    """Market-basket co-occurrence mining: top-25 distinct part pairs
+    bought in the same order (count DESC, part_a/part_b ASC ties).
+    One l_orderkey hash-bucket shuffle; per-bucket pandas self-merge
+    generates pairs (bounded: TPC-H orders hold <= 7 lineitems, so
+    the pair blow-up is <= 21 per order BY CONSTRUCTION of the
+    schema); pairs encode into one int64 and compact per bucket; a
+    second pkey hash-bucket pass combines counts exactly and emits
+    per-bucket tie-preserving top-25s (pair counts are ~all-unique
+    keys — the worst case for Ray's sort aggregate, 57 s vs 3 s
+    measured at sf0.01). Oracle: oracle.BASKET_PAIRS."""
+    import ray.data
+
+    from robosat_ray.functions.hashing import hash_bucket
+
+    ENC = 1 << 32
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "obucket",
+            pa.array(hash_bucket(b.column("l_orderkey").to_numpy(), 64)),
+        )
+
+    def pairs(group):
+        import pandas as pd
+
+        d = group[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "part_a": pd.Series([], dtype=np.int64),
+                    "part_b": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        key = m["l_partkey_x"].to_numpy() * ENC + m["l_partkey_y"].to_numpy()
+        uniq, counts = np.unique(key, return_counts=True)
+        # single int64 pair key: Ray's multi-key aggregate is a known
+        # hot spot (see the r3 near-dup pair-dedup fix) — decode to
+        # (part_a, part_b) only after the tiny top-k
+        return pd.DataFrame({"pkey": uniq, "n": counts.astype(np.int64)})
+
+    mined = (
+        li.map_batches(bucket, batch_format="pyarrow")
+        .groupby("obucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    # pair counts are ~all-unique keys, the worst case for Ray's
+    # sort-based aggregate (57 s for 119k keys at sf0.01, measured).
+    # Instead: pkey hash-bucket co-partition, per-bucket exact
+    # unique-sum, and — because pkey -> bucket is a FUNCTION, every
+    # pair's count combines fully inside one bucket — a per-bucket
+    # tie-preserving top-25. The global top-25 is a subset of the
+    # union of bucket top-25s.
+    def pbucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pbucket", pa.array(hash_bucket(b.column("pkey").to_numpy(), 64))
+        )
+
+    def bucket_topk(group):
+        import pandas as pd
+
+        key = group["pkey"].to_numpy()
+        n = group["n"].to_numpy()
+        uniq, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, n)
+        if len(tot) > 25:
+            kth = np.partition(tot, len(tot) - 25)[len(tot) - 25]
+            keep = tot >= kth
+            uniq, tot = uniq[keep], tot[keep]
+        return pd.DataFrame({"pkey": uniq, "n": tot})
+
+    small = (
+        mined.map_batches(pbucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    small["part_a"] = (small["pkey"] // ENC).astype(np.int64)
+    small["part_b"] = (small["pkey"] % ENC).astype(np.int64)
+    small = small.drop(columns=["pkey"])
+    small = small.sort_values(
+        ["n", "part_a", "part_b"], ascending=[False, True, True], kind="stable"
+    ).head(25)
+    small["rank"] = np.arange(1, len(small) + 1, dtype=np.int64)
+    return small.reset_index(drop=True)
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: per footprint zone, count/sum/min/max of the
+    pages whose point falls inside it — the flagship PIP join with
+    the page payload attached via a doc_id co-partition join, then
+    ONE zone-bounded groupby. Oracle: oracle.ZONAL_STATS."""
+    import pyarrow as _pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from robosat_ray.stages.join import copartition_join
+
+    joined = flagship(sf_dir, through_html=False).select_columns(
+        ["doc_id", "feature_id"]
+    )
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    j = copartition_join(
+        joined,
+        docs,
+        on="doc_id",
+        schema_hints={
+            "left": {"doc_id": _pa.int64(), "feature_id": _pa.int64()},
+            "right": {"doc_id": _pa.int64(), "n_chars": _pa.int64()},
+        },
+    )
+    return j.groupby("feature_id").aggregate(
+        Count(alias_name="n_pages"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("doc_id", alias_name="min_doc"),
+        Max("doc_id", alias_name="max_doc"),
+    )
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2384,6 +2529,9 @@ QUERIES = {
     "colloc_lift": q_colloc_lift,
     "nearest_foot": q_nearest_foot,
     "promo_share": q_promo_share,
+    "event_transitions": q_event_transitions,
+    "basket_pairs": q_basket_pairs,
+    "zonal_stats": q_zonal_stats,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2506,4 +2654,7 @@ ORACLES = {
     "colloc_lift": oracle.COLLOC_LIFT,
     "nearest_foot": oracle.NEAREST_FOOT,
     "promo_share": oracle.PROMO_SHARE,
+    "event_transitions": oracle.EVENT_TRANSITIONS,
+    "basket_pairs": oracle.BASKET_PAIRS,
+    "zonal_stats": oracle.ZONAL_STATS,
 }

@@ -571,3 +571,65 @@ def compact_state(events_ds):
         .groupby("cbucket")
         .map_groups(_compact_bucket, batch_format="pandas")
     )
+
+
+def _transitions_bucket(group: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """One user-hash bucket: adjacent same-session event-type pairs
+    over the (user, ts, event_id)-sorted rows, compacted to per-bucket
+    (from_type, to_type, n) partial counts — one np.unique over joined
+    fixed-width unicode, no per-pair Python."""
+    g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    uid = g["user_id"].to_numpy()
+    et = np.asarray(g["event_type"].to_numpy(), dtype="U")
+    same = np.zeros(len(g), dtype=bool)
+    if len(g) > 1:
+        same[1:] = (uid[1:] == uid[:-1]) & (ts[1:] - ts[:-1] < gap_us)
+    keep = same[1:]
+    frm = et[:-1][keep]
+    to = et[1:][keep]
+    if len(frm) == 0:
+        return pd.DataFrame(
+            {
+                "from_type": pd.Series([], dtype=object),
+                "to_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+            }
+        )
+    key = np.char.add(np.char.add(frm, "\x1f"), to)
+    uniq, counts = np.unique(key, return_counts=True)
+    split = np.char.partition(uniq, "\x1f")
+    return pd.DataFrame(
+        {
+            "from_type": split[:, 0].astype(object),
+            "to_type": split[:, 2].astype(object),
+            "n": counts.astype(np.int64),
+        }
+    )
+
+
+def event_transitions(events_ds, gap_us: int = SESSION_GAP_US):
+    """Markov transition counts of the event stream: (from_type,
+    to_type, n) over CONSECUTIVE events of the same user that fall in
+    the same session (gap < gap_us — the sessionize(342) break rule
+    negated, so transition chains never cross a session boundary).
+
+    Scale shape: one user-hash bucket shuffle (the sessionize plan),
+    per-bucket vectorized adjacency + compaction to type-pair
+    partials (bounded by |event_type|² per bucket), then a tiny
+    groupby Sum. Sequence mining with zero per-event Python."""
+    from ray.data.aggregate import Sum
+
+    def bucket(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy()
+        return b.append_column("ubucket", pa.array(hash_bucket(u, NUM_USER_BUCKETS)))
+
+    per_bucket = (
+        events_ds.select_columns(["event_id", "user_id", "ts", "event_type"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(lambda g: _transitions_bucket(g, gap_us), batch_format="pandas")
+    )
+    return per_bucket.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )
