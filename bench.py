@@ -133,7 +133,7 @@ def run_bench() -> dict:
         "span_clean", "dbscan", "skyline", "bfs_hops", "lm_score", "sssp",
         "kcore", "ols_fit", "ols_residuals", "cheapest_supplier",
         "idw_interp", "colloc_lift", "nearest_foot", "promo_share",
-        "event_transitions", "basket_pairs", "zonal_stats",
+        "event_transitions", "basket_pairs", "zonal_stats", "doc_keywords",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

@@ -4028,3 +4028,32 @@ GROUP BY 1
 # Per-footprint-zone page statistics (zonal stats) — mirrors
 # q_zonal_stats.
 ZONAL_STATS = _zonal_sql()
+
+
+# Per-doc keyword (argmax tf * idf_milli, tie token ASC) — mirrors
+# stages/text_ops.doc_keywords; same hashed-bucket idf as DOC_RARITY.
+DOC_KEYWORDS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf,
+         CAST((((md5_number(t) % {_U64}) + {_U64}) % {_U64}) % 262144 AS BIGINT) AS b
+  FROM tok GROUP BY doc_id, t
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS (
+  SELECT b, (1000 * n.n_docs) // COUNT(DISTINCT doc_id) AS idf_milli
+  FROM tf, n GROUP BY b, n.n_docs
+),
+sc AS (
+  SELECT tf.doc_id, tf.t, tf.tf * i.idf_milli AS score
+  FROM tf JOIN idf i ON i.b = tf.b
+)
+SELECT doc_id, t AS keyword, CAST(score AS BIGINT) AS tfidf_milli
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t ASC) AS rn
+  FROM sc
+)
+WHERE rn = 1
+"""

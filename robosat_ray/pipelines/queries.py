@@ -2413,6 +2413,15 @@ def q_zonal_stats(sf_dir: str):
     )
 
 
+def q_doc_keywords(sf_dir: str):
+    """Per-document keyword: argmax tf*idf_milli over the doc's
+    tokens (tie -> smallest token), hashed-bucket idf broadcast once.
+    Oracle: oracle.DOC_KEYWORDS."""
+    from robosat_ray.stages.text_ops import doc_keywords
+
+    return doc_keywords(_docs_ds(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2532,6 +2541,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "basket_pairs": q_basket_pairs,
     "zonal_stats": q_zonal_stats,
+    "doc_keywords": q_doc_keywords,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2657,4 +2667,5 @@ ORACLES = {
     "event_transitions": oracle.EVENT_TRANSITIONS,
     "basket_pairs": oracle.BASKET_PAIRS,
     "zonal_stats": oracle.ZONAL_STATS,
+    "doc_keywords": oracle.DOC_KEYWORDS,
 }

@@ -758,3 +758,71 @@ def colloc_lift(documents_ds, k: int = 25, min_count: int = COLLOC_MIN_COUNT):
     ).head(k)
     small["rank"] = np.arange(1, len(small) + 1, dtype=np.int64)
     return small.reset_index(drop=True)
+
+
+def doc_keywords(documents_ds):
+    """Per-document keyword extraction: the token with the maximal
+    tf * idf_milli score (tie -> lexicographically smallest token) —
+    the per-doc argmax companion of doc_rarity, sharing its two-phase
+    plan: hashed-bucket df aggregate (shuffle rows bounded by buckets
+    x blocks), dense idf broadcast once via ray.put, then an in-batch
+    vectorized score + lexsort argmax. Integer-exact (idf_milli =
+    (1000 * N) // df; score = tf * idf_milli), so the SQL twin ranks
+    bit-identically. -> (doc_id, keyword, tfidf_milli)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    docs = documents_ds.select_columns(["doc_id", "text"])
+    n_docs = docs.count()
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        lists = pa.compute.split_pattern(batch.column("text"), " ")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        parents = pa.compute.list_parent_indices(lists).to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(lists.values.to_pandas(), sort=False)
+        bkt = _token_buckets(np.asarray(uniq, dtype=object))
+        key = parents * np.int64(N_RARITY_BUCKETS) + bkt[codes]
+        ub = np.unique(key) % N_RARITY_BUCKETS
+        return pa.table({"bucket": pa.array(ub.astype(np.int64))})
+
+    df_tab = (
+        docs.map_batches(bucket_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="df"))
+    ).to_pandas()
+    idf_dense = np.zeros(N_RARITY_BUCKETS, dtype=np.int64)
+    bs = df_tab["bucket"].to_numpy(dtype=np.int64)
+    idf_dense[bs] = 1000 * n_docs // df_tab["df"].to_numpy(dtype=np.int64)
+    ref = ray.put(idf_dense)
+
+    def pick(batch: pa.Table, _ref=ref) -> pa.Table:
+        idf_vals = ray.get(_ref)
+        lists = pa.compute.split_pattern(batch.column("text"), " ")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        parents = pa.compute.list_parent_indices(lists).to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(lists.values.to_pandas(), sort=False)
+        k = max(len(uniq), 1)
+        ukey, tf = np.unique(parents * k + codes.astype(np.int64), return_counts=True)
+        updoc = ukey // k
+        ucode = ukey % k
+        bkt = _token_buckets(np.asarray(uniq, dtype=object))
+        score = tf.astype(np.int64) * idf_vals[bkt[ucode]]
+        toks = np.asarray(uniq, dtype="U")[ucode]
+        # per-doc argmax with (score DESC, token ASC) tie-break: one
+        # lexsort (last key primary), first row per doc run
+        order = np.lexsort((toks, -score, updoc))
+        updoc, ucode, score, toks = (
+            updoc[order], ucode[order], score[order], toks[order],
+        )
+        first = np.ones(len(updoc), dtype=bool)
+        first[1:] = updoc[1:] != updoc[:-1]
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[updoc[first]]),
+                "keyword": pa.array(list(toks[first]), pa.string()),
+                "tfidf_milli": pa.array(score[first]),
+            }
+        )
+
+    return docs.map_batches(pick, batch_format="pyarrow")
