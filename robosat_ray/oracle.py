@@ -4057,3 +4057,123 @@ FROM (
 )
 WHERE rn = 1
 """
+
+
+# Per-user union of overlapping [ts, ts + value-seconds) intervals —
+# mirrors stages/events.interval_union: island break where a start
+# exceeds the running max of all previous ends in the user partition.
+INTERVAL_UNION = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS s,
+         CAST(epoch_us(ts) AS BIGINT)
+           + GREATEST(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT), 0) AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -4611686018427387904)
+         THEN 1 ELSE 0 END AS brk
+  FROM iv
+),
+g AS (
+  SELECT user_id, s, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM m
+),
+i AS (SELECT user_id, isl, MIN(s) AS st, MAX(e) AS en FROM g GROUP BY user_id, isl)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(en - st) AS BIGINT) AS covered_micro
+FROM i GROUP BY user_id
+"""
+
+
+# Edit-distance near-dup pairs — mirrors stages/neardup.edit_dup_pairs_ds:
+# block on (lang, first-8 chars), cap each block to its 256 smallest
+# doc_ids (same contract as SIMHASH_DUP's QUALIFY), exact Levenshtein
+# over the first-64-char slices.
+EDIT_DUP = """
+WITH b AS (
+  SELECT doc_id, lang, substr(text, 1, 8) AS pfx, substr(text, 1, 64) AS s64
+  FROM documents
+),
+c AS (
+  SELECT * FROM b
+  QUALIFY row_number() OVER (PARTITION BY lang, pfx ORDER BY doc_id) <= 256
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(levenshtein(x.s64, y.s64) AS BIGINT) AS dist
+FROM c x JOIN c y ON x.lang = y.lang AND x.pfx = y.pfx AND x.doc_id < y.doc_id
+WHERE levenshtein(x.s64, y.s64) <= 8
+"""
+
+
+# TPC-H-Q15-shape top supplier(s) by 1996Q1 revenue (ties kept) —
+# mirrors q_top_supplier; same per-row cents quantization as
+# ORDER_REVENUE(1014).
+TOP_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS total_rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev_cents
+FROM r JOIN supplier s USING (s_suppkey)
+WHERE r.total_rev_cents = (SELECT MAX(total_rev_cents) FROM r)
+"""
+
+
+# Per-user CUSUM alerts — mirrors stages/events.cusum_alerts: the
+# closed form s_i = P_i - min(0, cummin P_i) replaces the recursion,
+# so plain window functions express it exactly.
+CUSUM_ALERTS = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) - 6000 AS z
+  FROM events
+),
+p AS (
+  SELECT user_id, ts, event_id, z,
+         SUM(z) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cp
+  FROM e
+),
+q AS (
+  SELECT user_id, cp,
+         MIN(cp) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cm
+  FROM p
+),
+s AS (SELECT user_id, cp - LEAST(cm, 0) AS stat FROM q)
+SELECT user_id,
+       CAST(SUM(CASE WHEN stat > 40000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
+       CAST(MAX(stat) AS BIGINT) AS max_stat
+FROM s GROUP BY user_id
+"""
+
+
+# Per-user exact-rational OLS slope — mirrors stages/events.user_trend
+# (x = day - 19700, y = cents; DuckDB's HUGEINT moments cast back to
+# BIGINT, overflow would fail loudly on both sides).
+USER_TREND = """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 - 19700 AS BIGINT) AS x,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS y
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+FROM e GROUP BY user_id
+"""

@@ -2422,6 +2422,119 @@ def q_doc_keywords(sf_dir: str):
     return doc_keywords(_docs_ds(sf_dir))
 
 
+def q_interval_union(sf_dir: str):
+    """Per-user union of overlapping [ts, ts + value-seconds)
+    intervals: merged-island count + total covered microseconds —
+    the interval-merge/coverage operator (variable-length ends, so
+    the break rule needs a running-max, not sessionize's prev-row
+    gap). Oracle: oracle.INTERVAL_UNION."""
+    import ray.data
+
+    from robosat_ray.stages.events import interval_union
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return interval_union(ev)
+
+
+def q_edit_dup(sf_dir: str):
+    """Edit-distance near-dup pairs: (lang, 8-char prefix) blocking,
+    capped blocks, exact batched-DP Levenshtein over 64-char slices
+    (fuzzy record linkage). Oracle: oracle.EDIT_DUP."""
+    import ray.data
+
+    from robosat_ray.stages.neardup import edit_dup_pairs_ds
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return edit_dup_pairs_ds(docs)
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H-Q15-shape: supplier(s) with max 1996Q1 lineitem revenue,
+    ties kept. Exact integer cents per row, per-batch np.add.at
+    partials, dimension-bounded per-supplier aggregate materialized
+    once; names fetched for the WINNER SET only (tiny isin filter
+    pushed through the supplier scan — no supplier broadcast).
+    Oracle: oracle.TOP_SUPPLIER."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1996-04-01").astype("datetime64[us]").astype(np.int64)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("l_shipdate").cast(pa.int64()).to_numpy()
+        m = (ts >= lo) & (ts < hi)
+        sk = b.column("l_suppkey").to_numpy()[m]
+        rev = b.column("l_extendedprice").to_numpy()[m] * (
+            1.0 - b.column("l_discount").to_numpy()[m]
+        )
+        cents = np.floor(rev * 100.0 + 0.5).astype(np.int64)
+        uk, inv = np.unique(sk, return_inverse=True)
+        tot = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(tot, inv, cents)
+        return pa.table({"s_suppkey": pa.array(uk), "cents": pa.array(tot)})
+
+    per_supp = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("cents", alias_name="total_rev_cents"))
+        .materialize()
+    )
+    maxv = per_supp.max("total_rev_cents")
+    winners = per_supp.filter(expr=f"total_rev_cents == {maxv}").to_pandas()
+    warr = np.sort(winners["s_suppkey"].to_numpy(dtype=np.int64))
+
+    def pick(b: pa.Table) -> pa.Table:
+        k = b.column("s_suppkey").to_numpy()
+        return b.filter(pa.array(np.isin(k, warr)))
+
+    names = (
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+        )
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = names.merge(winners, on="s_suppkey").sort_values("s_suppkey")
+    return out[["s_suppkey", "s_name", "total_rev_cents"]].reset_index(drop=True)
+
+
+def q_cusum_alerts(sf_dir: str):
+    """Per-user CUSUM change detection (Page's statistic) over the
+    ordered value stream — sequential recursion made distributed via
+    the cumsum - cummin closed form. Oracle: oracle.CUSUM_ALERTS."""
+    import ray.data
+
+    from robosat_ray.stages.events import cusum_alerts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return cusum_alerts(ev)
+
+
+def q_user_trend(sf_dir: str):
+    """Per-user OLS trend slope as an exact rational (num, den) —
+    five algebraic moments, one groupby, no float division.
+    Oracle: oracle.USER_TREND."""
+    import ray.data
+
+    from robosat_ray.stages.events import user_trend
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return user_trend(ev)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2542,6 +2655,11 @@ QUERIES = {
     "basket_pairs": q_basket_pairs,
     "zonal_stats": q_zonal_stats,
     "doc_keywords": q_doc_keywords,
+    "interval_union": q_interval_union,
+    "edit_dup": q_edit_dup,
+    "top_supplier": q_top_supplier,
+    "cusum_alerts": q_cusum_alerts,
+    "user_trend": q_user_trend,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2668,4 +2786,9 @@ ORACLES = {
     "basket_pairs": oracle.BASKET_PAIRS,
     "zonal_stats": oracle.ZONAL_STATS,
     "doc_keywords": oracle.DOC_KEYWORDS,
+    "interval_union": oracle.INTERVAL_UNION,
+    "edit_dup": oracle.EDIT_DUP,
+    "top_supplier": oracle.TOP_SUPPLIER,
+    "cusum_alerts": oracle.CUSUM_ALERTS,
+    "user_trend": oracle.USER_TREND,
 }

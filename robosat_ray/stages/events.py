@@ -633,3 +633,263 @@ def event_transitions(events_ds, gap_us: int = SESSION_GAP_US):
     return per_bucket.groupby(["from_type", "to_type"]).aggregate(
         Sum("n", alias_name="n")
     )
+
+
+def _interval_union_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """One user-hash bucket: merge overlapping [s, e) intervals per
+    user (gaps-and-islands over VARIABLE-length intervals — unlike
+    _sessionize_bucket(334) the end points are not monotone, so the
+    island break compares each start against the RUNNING MAX of all
+    previous ends, not just the previous row). Vectorized: one sort,
+    one segment cummax, one cumsum."""
+    g = group.sort_values(["user_id", "s", "e"], kind="stable")
+    uid = g["user_id"].to_numpy()
+    s = g["s"].to_numpy()
+    e = g["e"].to_numpy()
+    runmax = pd.Series(e).groupby(pd.Series(uid), sort=False).cummax().to_numpy()
+    brk = np.ones(len(g), dtype=bool)
+    if len(g) > 1:
+        brk[1:] = (uid[1:] != uid[:-1]) | (s[1:] > runmax[:-1])
+    isl = np.cumsum(brk)
+    df = pd.DataFrame({"user_id": uid, "s": s, "e": e, "isl": isl})
+    islands = (
+        df.groupby(["user_id", "isl"], sort=False)
+        .agg(st=("s", "min"), en=("e", "max"))
+        .reset_index()
+    )
+    islands["length"] = islands["en"] - islands["st"]
+    out = (
+        islands.groupby("user_id", sort=False)
+        .agg(n_islands=("isl", "size"), covered_micro=("length", "sum"))
+        .reset_index()
+    )
+    return out.astype(
+        {"user_id": np.int64, "n_islands": np.int64, "covered_micro": np.int64}
+    )
+
+
+def interval_union(events_ds):
+    """Per-user union of overlapping time intervals: each event opens
+    the interval [ts, ts + max(value seconds, 0)); merged islands are
+    counted and their total covered microseconds summed -> (user_id,
+    n_islands, covered_micro). The classic interval-merge / coverage
+    operator (calendar busy-time, sensor uptime), integer-exact
+    (dur_micro = floor(value*1e6 + 0.5) clamped at 0, identical IEEE
+    expr in the SQL twin).
+
+    Scale shape: one user-hash bucket shuffle, then a fully
+    vectorized per-bucket merge — no per-interval Python, partials
+    bounded by users per bucket."""
+
+    def to_iv(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        dur = np.floor(b.column("value").to_numpy() * 1_000_000.0 + 0.5).astype(
+            np.int64
+        )
+        np.maximum(dur, 0, out=dur)
+        u = b.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "s": pa.array(ts),
+                "e": pa.array(ts + dur),
+                "ubucket": pa.array(hash_bucket(u, NUM_USER_BUCKETS)),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["user_id", "ts", "value"])
+        .map_batches(to_iv, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(_interval_union_bucket, batch_format="pandas")
+    )
+
+
+# CUSUM drift (cents subtracted from every observation) and alert
+# threshold — tuned so the synthetic stream (values 0..490, mean ~50)
+# produces a meaningful but sparse alert set.
+CUSUM_DRIFT_CENTS = 6000
+CUSUM_THRESHOLD_CENTS = 40000
+
+
+def _cusum_bucket(group: pd.DataFrame, k: int, h: int) -> pd.DataFrame:
+    """One user-hash bucket: the CUSUM recursion s_i = max(0, s_{i-1}
+    + z_i) is computed in CLOSED FORM — s_i = P_i - min(0, cummin P_i)
+    with P = cumsum(z) — so the sequential scan becomes two vectorized
+    per-user prefix passes (groupby cumsum + cummin), no per-event
+    Python and an exact non-recursive SQL twin."""
+    g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    uid = g["user_id"].to_numpy()
+    z = g["z"].to_numpy()
+    s_uid = pd.Series(uid)
+    cp = pd.Series(z).groupby(s_uid, sort=False).cumsum().to_numpy()
+    cm = pd.Series(cp).groupby(s_uid, sort=False).cummin().to_numpy()
+    stat = cp - np.minimum(cm, 0)
+    df = pd.DataFrame(
+        {"user_id": uid, "alert": (stat > h).astype(np.int64), "stat": stat}
+    )
+    out = (
+        df.groupby("user_id", sort=False)
+        .agg(n_alerts=("alert", "sum"), max_stat=("stat", "max"))
+        .reset_index()
+    )
+    return out.astype(
+        {"user_id": np.int64, "n_alerts": np.int64, "max_stat": np.int64}
+    )
+
+
+def cusum_alerts(events_ds, k: int = CUSUM_DRIFT_CENTS,
+                 h: int = CUSUM_THRESHOLD_CENTS):
+    """Per-user CUSUM change detection over the (ts, event_id)-ordered
+    value stream: s_i = max(0, s_{i-1} + cents_i - k), alert when
+    s_i > h -> (user_id, n_alerts, max_stat). The classic sequential
+    monitoring statistic (Page 1954), made distributed + vectorized by
+    the cumsum - cummin closed form (see _cusum_bucket). Integer-exact
+    cents. Scale shape: one user-bucket shuffle, two prefix passes."""
+
+    def to_z(b: pa.Table) -> pa.Table:
+        cents = np.floor(b.column("value").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        u = b.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+                "z": pa.array(cents - k),
+                "ubucket": pa.array(hash_bucket(u, NUM_USER_BUCKETS)),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts", "value"])
+        .map_batches(to_z, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(lambda g: _cusum_bucket(g, k, h), batch_format="pandas")
+    )
+
+
+# fixed day-index origin for the trend regressor: keeps x small so the
+# int64 moment products n*Σxy and n*Σxx stay far from overflow (the
+# slope is shift-invariant, so any fixed origin gives the same result)
+TREND_DAY_ORIGIN = 19700
+
+
+def user_trend(events_ds):
+    """Per-user OLS trend of daily value: slope of cents over the
+    event's day index, returned as the EXACT RATIONAL
+    (slope_num = n*Σxy - Σx*Σy, slope_den = n*Σxx - Σx*Σx) — no
+    float division anywhere, so the SQL twin (HUGEINT moments cast
+    to BIGINT) matches bit-for-bit. The per-group companion of the
+    global ols_fit: five algebraic moments via one groupby, partials
+    combined per batch with np.add.at."""
+    from ray.data.aggregate import Sum
+
+    def moments(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        x = ts // DAY_US - TREND_DAY_ORIGIN
+        y = np.floor(b.column("value").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        u = b.column("user_id").to_numpy()
+        uu, inv = np.unique(u, return_inverse=True)
+        out = {
+            "user_id": uu,
+            "n": np.bincount(inv).astype(np.int64),
+        }
+        for name, v in (("sx", x), ("sy", y), ("sxy", x * y), ("sxx", x * x)):
+            acc = np.zeros(len(uu), dtype=np.int64)
+            np.add.at(acc, inv, v)
+            out[name] = acc
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    agg = (
+        events_ds.select_columns(["user_id", "ts", "value"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_events").to_numpy()
+        sx = b.column("sx").to_numpy()
+        sy = b.column("sy").to_numpy()
+        sxy = b.column("sxy").to_numpy()
+        sxx = b.column("sxx").to_numpy()
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "n_events": pa.array(n),
+                "slope_num": pa.array(n * sxy - sx * sy),
+                "slope_den": pa.array(n * sxx - sx * sx),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _twap_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """One user-hash bucket: last-observation-carried-forward time
+    integral per user -> twap_num = sum(dt_i * cents_i) over
+    consecutive (ts, event_id)-ordered events, twap_den = sum(dt_i)
+    (telescopes to last_ts - first_ts). All-vectorized diff/weighting;
+    equal-ts ties carry dt = 0 so tie order cannot change the sums."""
+    g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    uid = g["user_id"].to_numpy()
+    ts = g["ts"].to_numpy()
+    cents = g["cents"].to_numpy()
+    n = len(g)
+    same_user = np.zeros(n, dtype=bool)
+    if n > 1:
+        same_user[:-1] = uid[1:] == uid[:-1]
+    dt = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        dt[:-1] = ts[1:] - ts[:-1]
+    dt[~same_user] = 0  # last event of each user contributes nothing
+    df = pd.DataFrame(
+        {"user_id": uid, "num": dt * cents, "den": dt, "one": np.int64(1)}
+    )
+    out = (
+        df.groupby("user_id", sort=False)
+        .agg(n_events=("one", "sum"), twap_num=("num", "sum"), twap_den=("den", "sum"))
+        .reset_index()
+    )
+    return out.astype(
+        {
+            "user_id": np.int64,
+            "n_events": np.int64,
+            "twap_num": np.int64,
+            "twap_den": np.int64,
+        }
+    )
+
+
+def twap(events_ds):
+    """Per-user time-weighted average value (TWAP) as the exact
+    rational (twap_num, twap_den): each event's cents weighted by the
+    time until the user's next event (LOCF integral), no float
+    division anywhere -> (user_id, n_events, twap_num, twap_den).
+    Scale shape: one user-bucket shuffle, vectorized per-bucket diff."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(b.column("value").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        u = b.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+                "cents": pa.array(cents),
+                "ubucket": pa.array(hash_bucket(u, NUM_USER_BUCKETS)),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(_twap_bucket, batch_format="pandas")
+    )

@@ -871,3 +871,142 @@ def ngram_jaccard_pairs_ds(docs_ds, run_cap: int = NGRAM_RUN_CAP):
     )
     attached = both.groupby("dbucket").map_groups(_attach_hashes, batch_format="pandas")
     return attached.groupby("pbucket").map_groups(_score_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) near-dup pairs with prefix blocking
+# ---------------------------------------------------------------------------
+
+# fuzzy record-linkage shape: block on (lang, first EDIT_BLOCK_PREFIX
+# chars), compare the first EDIT_SLICE chars with exact Levenshtein.
+EDIT_SLICE = 64
+EDIT_BLOCK_PREFIX = 8
+EDIT_MAX_DIST = 8
+# cap pathological blocks to their smallest doc_ids, mirrored in the
+# EDIT_DUP oracle's QUALIFY row_number() <= cap (same contract as
+# _SIMDUP_RUN_CAP above)
+_EDIT_RUN_CAP = 256
+
+
+def _batch_levenshtein(M: np.ndarray, L: np.ndarray,
+                       ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein distance for many string pairs at once.
+    M is the (n, maxlen) uint32 code-point matrix (numpy 'U' storage
+    is UTF-32, so this is code-point-exact like SQL levenshtein()),
+    L the true lengths, (ii, jj) the pair index arrays. Classic
+    rolling-row DP vectorized over ALL pairs: the j-wise insertion
+    recurrence curr[j] = min(curr[j], curr[j-1] + 1) is closed in one
+    vector step via min-accumulate of (curr - j) + j, so the whole DP
+    is maxlen iterations of O(P * maxlen) numpy kernels, zero
+    per-pair Python."""
+    P = len(ii)
+    maxlen = M.shape[1]
+    A, B = M[ii], M[jj]
+    la, lb = L[ii].astype(np.int32), L[jj].astype(np.int32)
+    ar = np.arange(maxlen + 1, dtype=np.int32)
+    prev = np.broadcast_to(ar, (P, maxlen + 1)).copy()
+    ans = np.where(la == 0, lb, np.int32(-1))
+    for i in range(1, maxlen + 1):
+        cost = (B != A[:, i - 1][:, None]).astype(np.int32)
+        curr = np.empty_like(prev)
+        curr[:, 0] = i
+        curr[:, 1:] = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
+        curr = np.minimum.accumulate(curr - ar, axis=1) + ar
+        hit = la == i
+        if hit.any():
+            ans[hit] = curr[hit, lb[hit]]
+        prev = curr
+    return ans
+
+
+def _edit_pairs(group: pd.DataFrame, max_dist: int = EDIT_MAX_DIST,
+                run_cap: int = _EDIT_RUN_CAP) -> pd.DataFrame:
+    """One compact bucket: factorize the exact block key (carried as a
+    string, so hash collisions cannot merge two blocks), all-pairs
+    within each capped block, batched-DP Levenshtein filter."""
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series([], dtype=np.int64),
+            "b": pd.Series([], dtype=np.int64),
+            "dist": pd.Series([], dtype=np.int64),
+        }
+    )
+    if len(group) < 2:
+        return empty
+    codes, _ = pd.factorize(group["bkey"].to_numpy(), sort=False)
+    ids = group["doc_id"].to_numpy()
+    order = np.lexsort((ids, codes))
+    codes, ids = codes[order], ids[order]
+    s64 = group["s64"].to_numpy()[order]
+    M = np.asarray(s64, dtype=f"U{EDIT_SLICE}").view(np.uint32).reshape(
+        len(s64), EDIT_SLICE
+    )
+    L = np.count_nonzero(M, axis=1).astype(np.int32)  # no interior NULs in text
+    starts = np.concatenate([[0], np.nonzero(np.diff(codes))[0] + 1, [len(codes)]])
+    ii_all, jj_all = [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        # (code, doc_id)-sorted: s..s+cap keeps the block's smallest
+        # doc_ids, the subset the oracle's QUALIFY keeps
+        e = min(e, s + run_cap)
+        n = e - s
+        if n < 2:
+            continue
+        ii, jj = np.triu_indices(n, k=1)
+        ii_all.append(ii + s)
+        jj_all.append(jj + s)
+    if not ii_all:
+        return empty
+    ii = np.concatenate(ii_all)
+    jj = np.concatenate(jj_all)
+    d = _batch_levenshtein(M, L, ii, jj)
+    keep = d <= max_dist
+    return pd.DataFrame(
+        {
+            "a": ids[ii[keep]].astype(np.int64),
+            "b": ids[jj[keep]].astype(np.int64),
+            "dist": d[keep].astype(np.int64),
+        }
+    )
+
+
+def edit_dup_pairs_ds(docs_ds, max_dist: int = EDIT_MAX_DIST):
+    """Edit-distance near-dup pairs -> Dataset (a, b, dist): doc pairs
+    sharing (lang, first EDIT_BLOCK_PREFIX chars) whose first
+    EDIT_SLICE chars are within Levenshtein max_dist. The fuzzy
+    record-linkage operator (blocking + exact verify), integer-exact
+    against SQL levenshtein().
+
+    Scale shape: shuffle rows are one (doc_id, bkey, s64) triple per
+    doc (<= ~80 bytes) grouped by a 256-bucket compact hash; each
+    block is capped at _EDIT_RUN_CAP smallest doc_ids (oracle-
+    mirrored), so per-bucket pair work is bounded; the DP verify is
+    one vectorized batch per bucket."""
+    import pyarrow.compute as pc
+
+    from robosat_ray.functions.text_hash import hash64
+
+    def rows(batch: pa.Table) -> pa.Table:
+        s64 = pc.utf8_slice_codeunits(batch.column("text"), 0, EDIT_SLICE)
+        pfx = pc.utf8_slice_codeunits(batch.column("text"), 0, EDIT_BLOCK_PREFIX)
+        bkey = pc.binary_join_element_wise(
+            batch.column("lang"), pfx, "\x1f"
+        ).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(bkey, sort=False)
+        uh = np.array([hash64(u) for u in uniq], dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "bkey": pa.array(bkey, pa.string()),
+                "s64": s64,
+                "bucket": pa.array(
+                    (uh[codes] % np.uint64(NUM_LSH_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        docs_ds.select_columns(["doc_id", "lang", "text"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: _edit_pairs(g, max_dist), batch_format="pandas")
+    )

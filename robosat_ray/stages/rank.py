@@ -50,11 +50,30 @@ def score_batch(batch: pa.Table) -> pa.Table:
 
 def quality_rank(documents_ds):
     """-> (doc_id, score, rank, pct_micro)."""
-    import ray
-
     scored = documents_ds.select_columns(["doc_id", "text"]).map_batches(
         score_batch, batch_format="pyarrow"
     )
+    return exact_rank(scored, emit_pct=True)
+
+
+def exact_rank(scored, emit_pct: bool = False, descending: bool = False):
+    """Generalized exact distributed RANK() over any (doc_id, score
+    int64) dataset — the quality_rank plan factored out so other
+    pipelines (e.g. RRF fusion) can rank arbitrary integer keys.
+    descending=True ranks the LARGEST score 1 (implemented by ranking
+    the negated key, so tie semantics stay RANK()-exact)."""
+    import ray
+
+    if descending:
+        scored = scored.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "score": pa.compute.negate_checked(b.column("score")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     lo = int(scored.min("score"))
     hi = int(scored.max("score"))
     span = hi - lo + 1
@@ -87,15 +106,15 @@ def quality_rank(documents_ds):
         srt = np.sort(s)
         n_smaller = np.searchsorted(srt, s, side="left")
         rank = offs[int(group["rbucket"].iloc[0])] + n_smaller + 1
-        return pd.DataFrame(
-            {
-                "doc_id": group["doc_id"].to_numpy(np.int64),
-                "score": s,
-                "rank": rank.astype(np.int64),
-                "pct_micro": (
-                    (rank - 1) * 1_000_000 // max(n_total - 1, 1)
-                ).astype(np.int64),
-            }
-        )
+        out = {
+            "doc_id": group["doc_id"].to_numpy(np.int64),
+            "score": -s if descending else s,
+            "rank": rank.astype(np.int64),
+        }
+        if emit_pct:
+            out["pct_micro"] = (
+                (rank - 1) * 1_000_000 // max(n_total - 1, 1)
+            ).astype(np.int64)
+        return pd.DataFrame(out)
 
     return bd.groupby("rbucket").map_groups(rank_bucket, batch_format="pandas")
