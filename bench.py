@@ -134,7 +134,7 @@ def run_bench() -> dict:
         "kcore", "ols_fit", "ols_residuals", "cheapest_supplier",
         "idw_interp", "colloc_lift", "nearest_foot", "promo_share",
         "event_transitions", "basket_pairs", "zonal_stats", "doc_keywords",
-        "interval_union", "edit_dup", "top_supplier", "cusum_alerts", "user_trend",
+        "interval_union", "edit_dup", "top_supplier", "cusum_alerts", "user_trend", "twap", "rrf_fusion", "entity_clusters", "safe_split", "ann_recall",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

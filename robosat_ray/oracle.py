@@ -4177,3 +4177,103 @@ SELECT user_id,
        CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
 FROM e GROUP BY user_id
 """
+
+
+# Per-user time-weighted average value (LOCF integral) as an exact
+# rational — mirrors stages/events.twap.
+TWAP = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+d AS (
+  SELECT user_id, cents,
+         LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt
+  FROM e
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(dt * cents), 0) AS BIGINT) AS twap_num,
+       CAST(COALESCE(SUM(dt), 0) AS BIGINT) AS twap_den
+FROM d GROUP BY user_id
+"""
+
+
+# Reciprocal-rank fusion of the quality micro-score rank and the
+# length rank — mirrors stages/rank.rrf_fusion (same score expr as
+# QUALITY_RANK; integer division only).
+RRF_FUSION = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(FLOOR(1000000.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              / GREATEST(length(text), 1) + 0.5) AS BIGINT) AS q,
+         CAST(n_chars AS BIGINT) AS l
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(RANK() OVER (ORDER BY q DESC) AS BIGINT) AS rank_q,
+         CAST(RANK() OVER (ORDER BY l DESC) AS BIGINT) AS rank_l
+  FROM s
+),
+f AS (
+  SELECT doc_id, rank_q, rank_l,
+         CAST(1000000000 // (60 + rank_q)
+            + 1000000000 // (60 + rank_l) AS BIGINT) AS rrf
+  FROM r
+)
+SELECT doc_id, rank_q, rank_l, rrf
+FROM f
+QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= 50
+"""
+
+
+# Entity resolution: EDIT_DUP match pairs -> connected components ->
+# canonical labels — mirrors stages/neardup.entity_clusters (same
+# reach/lab/sz shape as DUP_CLUSTERS).
+ENTITY_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({EDIT_DUP}),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(node, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
+),
+lab AS (SELECT node, MIN(m) AS cluster_id FROM reach GROUP BY node),
+sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       FROM lab GROUP BY cluster_id)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(s.cluster_size, CAST(1 AS BIGINT)) AS cluster_size,
+       CAST(CASE WHEN COALESCE(l.cluster_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d
+LEFT JOIN lab l ON l.node = d.doc_id
+LEFT JOIN sz s ON s.cluster_id = COALESCE(l.cluster_id, d.doc_id)
+"""
+
+
+# Leakage-safe split — DUP_CLUSTERS labels + the SAMPLE_STRATIFIED
+# Knuth-hash threshold applied to the CLUSTER id.
+SAFE_SPLIT = f"""
+SELECT doc_id, cluster_id,
+       CASE WHEN ((CAST(cluster_id % 4294967296 AS HUGEINT) * 2654435761 + 7)
+                  % 4294967296) < {int(0.1 * 4294967296)}
+            THEN 'val' ELSE 'train' END AS split
+FROM ({DUP_CLUSTERS}) t
+"""
+
+
+# IVF retrieval quality vs the exact scan — recall@k per query, the
+# eval-harness composition of ANN (ground truth) and ANN_IVF.
+ANN_RECALL = f"""
+WITH brute AS ({ANN}),
+ivf AS ({ANN_IVF})
+SELECT b.query_id,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS BIGINT) AS k
+FROM brute b
+LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""

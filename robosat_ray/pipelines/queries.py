@@ -2535,6 +2535,79 @@ def q_user_trend(sf_dir: str):
     return user_trend(ev)
 
 
+def q_twap(sf_dir: str):
+    """Per-user time-weighted average value (LOCF integral) as an
+    exact rational (num, den) — one user-bucket shuffle, vectorized
+    per-bucket diff. Oracle: oracle.TWAP."""
+    import ray.data
+
+    from robosat_ray.stages.events import twap
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return twap(ev)
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of the quality-score and length ranks
+    (top-50 by fused score): two exact distributed RANK() passes, one
+    doc_id co-partition join, bounded partial top-k.
+    Oracle: oracle.RRF_FUSION."""
+    import ray.data
+
+    from robosat_ray.stages.rank import rrf_fusion
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return rrf_fusion(docs)
+
+
+def q_entity_clusters(sf_dir: str):
+    """Entity resolution: edit-distance match pairs -> connected
+    components -> canonical entity labels (block, compare, cluster).
+    Oracle: oracle.ENTITY_CLUSTERS."""
+    import ray.data
+
+    from robosat_ray.stages.neardup import entity_clusters
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return entity_clusters(docs)
+
+
+def q_safe_split(sf_dir: str):
+    """Leakage-safe train/val split: near-dup clusters assigned to a
+    side as a unit (cluster-id hash), so no validation near-dup leaks
+    into train. Oracle: oracle.SAFE_SPLIT."""
+    from robosat_ray.stages.neardup import with_variants_batch
+    from robosat_ray.stages.split import leakage_safe_split
+
+    docs = _docs_ds(sf_dir).map_batches(with_variants_batch, batch_format="pyarrow")
+    return leakage_safe_split(docs)
+
+
+def q_ann_recall(sf_dir: str):
+    """Retrieval eval harness: recall@k of the IVF index against the
+    exact brute-force scan — per-query hit count over the SAME query
+    sample both pipelines share. Result is bounded by n_queries x k,
+    so the final merge is a driver-side frame op by construction.
+    Oracle: oracle.ANN_RECALL."""
+    brute = q_ann(sf_dir).to_pandas()
+    ivf = q_ann_ivf(sf_dir).to_pandas()
+    hit = ivf[["query_id", "neighbor_id"]].assign(hit=np.int64(1))
+    m = brute.merge(hit, on=["query_id", "neighbor_id"], how="left")
+    m["hit"] = m["hit"].fillna(0).astype(np.int64)
+    out = (
+        m.groupby("query_id", sort=True)
+        .agg(n_hits=("hit", "sum"), k=("hit", "size"))
+        .reset_index()
+    )
+    return out.astype({"query_id": np.int64, "n_hits": np.int64, "k": np.int64})
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2660,6 +2733,11 @@ QUERIES = {
     "top_supplier": q_top_supplier,
     "cusum_alerts": q_cusum_alerts,
     "user_trend": q_user_trend,
+    "twap": q_twap,
+    "rrf_fusion": q_rrf_fusion,
+    "entity_clusters": q_entity_clusters,
+    "safe_split": q_safe_split,
+    "ann_recall": q_ann_recall,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2791,4 +2869,9 @@ ORACLES = {
     "top_supplier": oracle.TOP_SUPPLIER,
     "cusum_alerts": oracle.CUSUM_ALERTS,
     "user_trend": oracle.USER_TREND,
+    "twap": oracle.TWAP,
+    "rrf_fusion": oracle.RRF_FUSION,
+    "entity_clusters": oracle.ENTITY_CLUSTERS,
+    "safe_split": oracle.SAFE_SPLIT,
+    "ann_recall": oracle.ANN_RECALL,
 }

@@ -571,7 +571,17 @@ def dup_clusters(docs_ds, threshold: float = 0.5):
     doc_id in the component), cluster size, and a keep flag marking
     the canonical representative (reference analog: the keep/drop
     decision of tools/dedupe.py:48-67, lifted from pairs to whole
-    duplicate clusters — the form an LLM-data dedupe actually needs).
+    duplicate clusters — the form an LLM-data dedupe actually needs)."""
+    pairs = near_dup_pairs_ds(docs_ds, threshold).materialize()
+    return pair_clusters(pairs, docs_ds.select_columns(["doc_id"]))
+
+
+def pair_clusters(pairs, ids):
+    """Generic pair-graph cluster canonicalization: any materialized
+    (a, b, ...) pair Dataset + the full id universe -> per-id
+    (doc_id, cluster_id = min doc_id in component, cluster_size,
+    keep). Shared by dup_clusters (MinHash pairs) and entity_clusters
+    (edit-distance pairs).
 
     Scale shape: CC runs ONLY over edge-touched nodes (duplicate pairs
     are sparse relative to the corpus), via the distributed
@@ -587,9 +597,6 @@ def dup_clusters(docs_ds, threshold: float = 0.5):
 
     from robosat_ray.runtime.components import distributed_components
     from robosat_ray.stages.join import broadcast_join
-
-    pairs = near_dup_pairs_ds(docs_ds, threshold).materialize()
-    ids = docs_ds.select_columns(["doc_id"])
 
     def _finalize(batch: pa.Table) -> pa.Table:
         doc = batch.column("doc_id")
@@ -1010,3 +1017,14 @@ def edit_dup_pairs_ds(docs_ds, max_dist: int = EDIT_MAX_DIST):
         .groupby("bucket")
         .map_groups(lambda g: _edit_pairs(g, max_dist), batch_format="pandas")
     )
+
+
+def entity_clusters(docs_ds, max_dist: int = EDIT_MAX_DIST):
+    """Entity resolution end-to-end: edit-distance blocking + verify
+    (edit_dup_pairs_ds) -> connected components over the match graph
+    -> per-document entity id (min doc_id), entity size and the
+    canonical-representative flag. The classic record-linkage
+    composition (block, compare, cluster), sharing pair_clusters with
+    the MinHash dedup family."""
+    pairs = edit_dup_pairs_ds(docs_ds, max_dist).materialize()
+    return pair_clusters(pairs, docs_ds.select_columns(["doc_id"]))

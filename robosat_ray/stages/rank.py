@@ -118,3 +118,77 @@ def exact_rank(scored, emit_pct: bool = False, descending: bool = False):
         return pd.DataFrame(out)
 
     return bd.groupby("rbucket").map_groups(rank_bucket, batch_format="pandas")
+
+
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+RRF_TOP = 50
+
+
+def rrf_fusion(documents_ds, k: int = RRF_K, top: int = RRF_TOP):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    signals — the quality micro-score and document length — each
+    turned into an exact global descending RANK() by exact_rank, then
+    fused as rrf = RRF_SCALE // (k + rank_q) + RRF_SCALE // (k +
+    rank_l) (integer division only, so the SQL twin is bit-exact) and
+    cut to the top `top` docs by (rrf DESC, doc_id ASC).
+
+    Scale shape: two two-pass rank plans (no global sort), one
+    doc_id co-partition join, then per-batch partial top-k (bounded
+    at top x blocks rows) finished on the driver -> pandas
+    (doc_id, rank_q, rank_l, rrf)."""
+    import pyarrow.compute as pc
+
+    from robosat_ray.stages.join import copartition_join
+
+    docs = documents_ds
+    scored_q = docs.select_columns(["doc_id", "text"]).map_batches(
+        score_batch, batch_format="pyarrow"
+    )
+    rq = exact_rank(scored_q, descending=True).map_batches(
+        lambda g: pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "rank_q": pa.array(g["rank"].to_numpy(np.int64)),
+            }
+        ),
+        batch_format="pandas",
+    )
+    scored_l = docs.select_columns(["doc_id", "n_chars"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "score": pc.cast(b.column("n_chars"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    rl = exact_rank(scored_l, descending=True).map_batches(
+        lambda g: pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "rank_l": pa.array(g["rank"].to_numpy(np.int64)),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = copartition_join(rq, rl, on="doc_id", how="inner")
+
+    def partial_top(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        rnk_q = b.column("rank_q").to_numpy()
+        rnk_l = b.column("rank_l").to_numpy()
+        rrf = RRF_SCALE // (k + rnk_q) + RRF_SCALE // (k + rnk_l)
+        sel = np.lexsort((ids, -rrf))[:top]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel]),
+                "rank_q": pa.array(rnk_q[sel]),
+                "rank_l": pa.array(rnk_l[sel]),
+                "rrf": pa.array(rrf[sel]),
+            }
+        )
+
+    small = joined.map_batches(partial_top, batch_format="pyarrow").to_pandas()
+    sel = np.lexsort((small["doc_id"].to_numpy(), -small["rrf"].to_numpy()))[:top]
+    return small.iloc[sel].reset_index(drop=True)

@@ -39,3 +39,38 @@ def train_val_split(ds, val_frac: float = 0.1, key: str = "doc_id"):
 def shuffled_epoch(train_ds, seed: int):
     """Seeded distributed shuffle for one training epoch (O5)."""
     return train_ds.random_shuffle(seed=seed)
+
+
+# leakage-safe split: the val fraction in 2^32-ths, Knuth-hash
+# threshold identical to the SAMPLE_STRATIFIED oracle idiom
+SAFE_SPLIT_VAL_THRESHOLD = int(0.1 * 4294967296)
+
+
+def leakage_safe_split(docs_ds, threshold: float = 0.5):
+    """Near-dup-aware train/val split: every document of a duplicate
+    CLUSTER lands on the same side (split decided by a deterministic
+    hash of the cluster id, not the doc id), so no near-duplicate of
+    a validation doc can leak into train — the eval-integrity step a
+    naive per-doc split silently violates. -> (doc_id, cluster_id,
+    split 'train'|'val'). Composes dup_clusters (LSH mine -> CC ->
+    canonical labels); the split map itself is one stateless
+    vectorized batch pass."""
+    from robosat_ray.stages.neardup import dup_clusters
+
+    clusters = dup_clusters(docs_ds, threshold)
+
+    def assign(b: pa.Table) -> pa.Table:
+        cid = b.column("cluster_id").to_numpy().astype(np.uint64)
+        h = ((cid % np.uint64(4294967296)) * np.uint64(2654435761)
+             + np.uint64(7)) % np.uint64(4294967296)
+        isval = h < np.uint64(SAFE_SPLIT_VAL_THRESHOLD)
+        split = np.where(isval, "val", "train")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "cluster_id": b.column("cluster_id"),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return clusters.map_batches(assign, batch_format="pyarrow")
