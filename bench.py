@@ -135,6 +135,9 @@ def run_bench() -> dict:
         "idw_interp", "colloc_lift", "nearest_foot", "promo_share",
         "event_transitions", "basket_pairs", "zonal_stats", "doc_keywords",
         "interval_union", "edit_dup", "top_supplier", "cusum_alerts", "user_trend", "twap", "rrf_fusion", "entity_clusters", "safe_split", "ann_recall",
+        # round-4 timeline additions: SCD-2, gap fill, exact EWMA,
+        # session path mining
+        "scd2", "gap_fill", "ewma", "session_paths",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

@@ -4277,3 +4277,95 @@ FROM brute b
 LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
 GROUP BY b.query_id
 """
+
+
+# SCD type-2 state intervals — mirrors stages/timeline.scd2: every
+# event becomes a validity interval per (user_id, event_type); the
+# open interval is pinned to timeline.SCD2_OPEN_US (2100-01-01).
+SCD2 = """
+SELECT user_id, event_type, event_id AS state_event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(COALESCE(lead(epoch_us(ts)) OVER (
+              PARTITION BY user_id, event_type ORDER BY ts, event_id),
+            4102444800000000) AS BIGINT) AS valid_to_us,
+       CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS value_micro
+FROM events
+"""
+
+
+# Hourly grid resample + forward fill — mirrors stages/timeline.gap_fill:
+# generate_series over each user's [ceil(min/h), floor(max/h)] hour
+# span, ASOF-joined to the latest event at or before the hour boundary
+# (same-instant ties collapsed to the highest event_id first).
+GAP_FILL = """
+WITH b AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+         CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS vmicro
+  FROM events
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) = 1
+),
+sp AS (
+  SELECT user_id,
+         (MIN(tus) + 3599999999) // 3600000000 AS h0,
+         MAX(tus) // 3600000000 AS h1
+  FROM b GROUP BY 1
+),
+grid AS (
+  SELECT user_id, CAST(UNNEST(generate_series(h0, h1)) AS BIGINT) AS hour_id
+  FROM sp WHERE h1 >= h0
+)
+SELECT g.user_id, g.hour_id, b.event_id AS asof_event_id,
+       b.vmicro AS value_micro
+FROM grid g ASOF JOIN b
+  ON g.user_id = b.user_id AND g.hour_id * 3600000000 >= b.tus
+"""
+
+
+# Exact dyadic EWMA (alpha = 1/2, trailing 16 events) — mirrors
+# stages/timeline.ewma: integer weights 2^(15-k) keep both sides
+# bit-exact; the bounded self-join is the SQL form of the window.
+EWMA = """
+WITH b AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS vmicro,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT cur.event_id, cur.user_id,
+       CAST(SUM(past.vmicro *
+            (CAST(1 AS BIGINT) << CAST(15 - (cur.rn - past.rn) AS INTEGER)))
+         AS BIGINT) AS ewma_num,
+       CAST(SUM(CAST(1 AS BIGINT) << CAST(15 - (cur.rn - past.rn) AS INTEGER))
+         AS BIGINT) AS ewma_den
+FROM b cur JOIN b past
+  ON cur.user_id = past.user_id AND past.rn BETWEEN cur.rn - 15 AND cur.rn
+GROUP BY cur.event_id, cur.user_id
+"""
+
+
+def _session_paths_sql() -> str:
+    """Session trigram paths — mirrors stages/timeline.session_paths:
+    two leads per user ordered by (ts, event_id), kept only when both
+    links stay under the session gap."""
+    from robosat_ray.stages.events import SESSION_GAP_US
+
+    return f"""
+WITH w AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER win AS b2,
+         lead(event_type, 2) OVER win AS c,
+         lead(epoch_us(ts), 1) OVER win - epoch_us(ts) AS gap1,
+         lead(epoch_us(ts), 2) OVER win
+           - lead(epoch_us(ts), 1) OVER win AS gap2
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a || '>' || b2 || '>' || c AS path, CAST(count(*) AS BIGINT) AS n
+FROM w
+WHERE c IS NOT NULL AND gap1 < {SESSION_GAP_US} AND gap2 < {SESSION_GAP_US}
+GROUP BY 1
+"""
+
+
+SESSION_PATHS = _session_paths_sql()

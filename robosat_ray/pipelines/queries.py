@@ -2608,6 +2608,48 @@ def q_ann_recall(sf_dir: str):
     return out.astype({"query_id": np.int64, "n_hits": np.int64, "k": np.int64})
 
 
+def _events_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def q_scd2(sf_dir: str):
+    """SCD type-2 state-interval build over the event changelog:
+    [valid_from, valid_to) per (user_id, event_type), open intervals
+    pinned. One user hash-bucket shuffle. Oracle: oracle.SCD2."""
+    from robosat_ray.stages.timeline import scd2
+
+    return scd2(_events_ds(sf_dir))
+
+
+def q_gap_fill(sf_dir: str):
+    """Hourly resample + forward fill of each user's value series
+    (the streaming generate_series + ASOF JOIN). Oracle:
+    oracle.GAP_FILL."""
+    from robosat_ray.stages.timeline import gap_fill
+
+    return gap_fill(_events_ds(sf_dir))
+
+
+def q_ewma(sf_dir: str):
+    """Exact dyadic EWMA (alpha=1/2, trailing 16 events) per event as
+    int64 numerator/denominator — hash-hard smoothing. Oracle:
+    oracle.EWMA."""
+    from robosat_ray.stages.timeline import ewma
+
+    return ewma(_events_ds(sf_dir))
+
+
+def q_session_paths(sf_dir: str):
+    """Session path mining: counts of in-session event-type trigrams
+    "a>b>c" (order-3 Markov extension of event_transitions). Oracle:
+    oracle.SESSION_PATHS."""
+    from robosat_ray.stages.timeline import session_paths
+
+    return session_paths(_events_ds(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2738,6 +2780,10 @@ QUERIES = {
     "entity_clusters": q_entity_clusters,
     "safe_split": q_safe_split,
     "ann_recall": q_ann_recall,
+    "scd2": q_scd2,
+    "gap_fill": q_gap_fill,
+    "ewma": q_ewma,
+    "session_paths": q_session_paths,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2874,4 +2920,8 @@ ORACLES = {
     "entity_clusters": oracle.ENTITY_CLUSTERS,
     "safe_split": oracle.SAFE_SPLIT,
     "ann_recall": oracle.ANN_RECALL,
+    "scd2": oracle.SCD2,
+    "gap_fill": oracle.GAP_FILL,
+    "ewma": oracle.EWMA,
+    "session_paths": oracle.SESSION_PATHS,
 }
