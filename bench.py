@@ -137,7 +137,7 @@ def run_bench() -> dict:
         "interval_union", "edit_dup", "top_supplier", "cusum_alerts", "user_trend", "twap", "rrf_fusion", "entity_clusters", "safe_split", "ann_recall",
         # round-4 timeline additions: SCD-2, gap fill, exact EWMA,
         # session path mining
-        "scd2", "gap_fill", "ewma", "session_paths",
+        "scd2", "gap_fill", "ewma", "session_paths", "moran",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

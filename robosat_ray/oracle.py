@@ -4369,3 +4369,36 @@ GROUP BY 1
 
 
 SESSION_PATHS = _session_paths_sql()
+
+
+def _moran_sql() -> str:
+    """Global Moran's I integer components — mirrors
+    stages/spatial_stats.moran_i: per-tile page counts at the join
+    zoom, rook adjacency (ordered pairs), mean-centering folded into
+    exact integers via z_i = N*n_i - S."""
+    return f"""
+WITH {points_cte()},
+t AS (SELECT {cell('lon', 'my')} AS c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1),
+tt AS (SELECT c // {_NI} AS tx, c % {_NI} AS ty, n FROM t),
+adj AS (
+  SELECT a.n AS ni, b.n AS nj
+  FROM tt a
+  JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) d(dx, dy) ON TRUE
+  JOIN tt b ON b.tx = a.tx + d.dx AND b.ty = a.ty + d.dy
+),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nt,
+               CAST(SUM(n) AS HUGEINT) AS s,
+               CAST(SUM(n * n) AS HUGEINT) AS sn2 FROM tt),
+w AS (SELECT CAST(COUNT(*) AS HUGEINT) AS wp,
+             CAST(COALESCE(SUM(ni * nj), 0) AS HUGEINT) AS p1,
+             CAST(COALESCE(SUM(ni + nj), 0) AS HUGEINT) AS p2 FROM adj)
+SELECT CAST(nt AS BIGINT) AS n_tiles,
+       CAST(wp AS BIGINT) AS w_pairs,
+       CAST(nt * nt * p1 - nt * s * p2 + s * s * wp AS BIGINT) AS moran_num,
+       CAST(nt * nt * sn2 - nt * s * s AS BIGINT) AS moran_den
+FROM tot, w
+"""
+
+
+MORAN = _moran_sql()

@@ -2650,6 +2650,17 @@ def q_session_paths(sf_dir: str):
     return session_paths(_events_ds(sf_dir))
 
 
+def q_moran(sf_dir: str):
+    """Global Moran's I (rook adjacency) of per-tile page counts as
+    exact integer numerator/denominator — spatial autocorrelation of
+    the geocoded corpus with zero broadcasts: one cell groupby + one
+    64-bucket message groupby, algebraic partials throughout. Oracle:
+    oracle.MORAN."""
+    from robosat_ray.stages.spatial_stats import moran_i
+
+    return moran_i(points_dataset(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2784,6 +2795,7 @@ QUERIES = {
     "gap_fill": q_gap_fill,
     "ewma": q_ewma,
     "session_paths": q_session_paths,
+    "moran": q_moran,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2924,4 +2936,5 @@ ORACLES = {
     "gap_fill": oracle.GAP_FILL,
     "ewma": oracle.EWMA,
     "session_paths": oracle.SESSION_PATHS,
+    "moran": oracle.MORAN,
 }
