@@ -4402,3 +4402,54 @@ FROM tot, w
 
 
 MORAN = _moran_sql()
+
+
+def _ship_overlap_sql() -> str:
+    """Interval self-overlap twin (stages/overlap.py contract):
+    integer-day intervals [s, s + 1 + int(qty) % 30], inclusive-end
+    overlap pair count per supplier + the +1/-1 boundary sweep peak
+    (the -1 lands at e + 1; '-1 before +1' on day ties)."""
+    from robosat_ray.stages.overlap import DUR_MOD
+
+    return f"""
+WITH iv AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(epoch(l_shipdate) AS BIGINT) // 86400 AS s,
+         CAST(epoch(l_shipdate) AS BIGINT) // 86400
+           + 1 + CAST(l_quantity AS BIGINT) % {DUR_MOD} AS e,
+         row_number() OVER () AS rid
+  FROM lineitem
+),
+p AS (
+  SELECT a.suppkey, CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs
+  FROM iv a JOIN iv b
+    ON a.suppkey = b.suppkey AND a.rid < b.rid
+   AND a.s <= b.e AND b.s <= a.e
+  GROUP BY 1
+),
+ev AS (
+  SELECT suppkey, s AS d, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT suppkey, e + 1 AS d, CAST(-1 AS BIGINT) AS delta FROM iv
+),
+run AS (
+  SELECT suppkey,
+         SUM(delta) OVER (PARTITION BY suppkey ORDER BY d, delta
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM ev
+),
+pk AS (SELECT suppkey, CAST(MAX(c) AS BIGINT) AS peak_concurrency
+       FROM run GROUP BY 1),
+n AS (SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n_intervals
+      FROM iv GROUP BY 1)
+SELECT n.suppkey, n.n_intervals,
+       COALESCE(p.n_overlap_pairs, 0) AS n_overlap_pairs,
+       pk.peak_concurrency
+FROM n LEFT JOIN p USING (suppkey) JOIN pk USING (suppkey)
+ORDER BY 1
+"""
+
+
+# Concurrent-shipments interval overlap join — mirrors
+# stages/overlap.ship_overlap.
+SHIP_OVERLAP = _ship_overlap_sql()

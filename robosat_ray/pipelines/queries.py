@@ -2661,6 +2661,24 @@ def q_moran(sf_dir: str):
     return moran_i(points_dataset(sf_dir))
 
 
+def q_ship_overlap(sf_dir: str):
+    """Interval self-overlap join per supplier: unordered overlapping
+    shipment-window pairs + peak day-concurrency, computed in ONE
+    suppkey hash-bucket shuffle with segment-vectorized searchsorted /
+    sweep kernels (interval x interval overlap — the join shape asof /
+    range joins don't cover). Oracle: oracle.SHIP_OVERLAP."""
+    import ray
+
+    from robosat_ray.stages.overlap import ship_overlap
+
+    return ship_overlap(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_quantity", "l_shipdate"],
+        )
+    )
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2796,6 +2814,7 @@ QUERIES = {
     "ewma": q_ewma,
     "session_paths": q_session_paths,
     "moran": q_moran,
+    "ship_overlap": q_ship_overlap,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2937,4 +2956,5 @@ ORACLES = {
     "ewma": oracle.EWMA,
     "session_paths": oracle.SESSION_PATHS,
     "moran": oracle.MORAN,
+    "ship_overlap": oracle.SHIP_OVERLAP,
 }
