@@ -3624,6 +3624,58 @@ FROM q LEFT JOIN {prev} ON {prev}.node = q.doc_id
 SSSP = _sssp_sql()
 
 
+def _label_prop_sql() -> str:
+    """Label-propagation twin (stages/labelprop.py contract): the
+    eps-pair graph, l_0(n) = n for EVERY point (isolated points are
+    their own community), LP_K synchronous min-label rounds UNROLLED
+    as K groupby-min levels; community = l_K."""
+    from robosat_ray.stages.labelprop import LP_K
+
+    n = float(1 << C.DB_Q)
+    r, r2 = C.DB_R, C.DB_R * C.DB_R
+    prev = "r0"
+    levels = []
+    for i in range(1, LP_K + 1):
+        levels.append(
+            f"""r{i} AS (
+  SELECT node, MIN(lbl) AS lbl FROM (
+    SELECT node, lbl FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, {prev}.lbl AS lbl
+    FROM {prev} JOIN edges e ON e.src = {prev}.node
+  ) GROUP BY node
+)"""
+        )
+        prev = f"r{i}"
+    lvl_sql = ",\n".join(levels)
+    return f"""
+WITH {points_cte()},
+q AS (
+  SELECT doc_id,
+         CAST(floor((lon + 180.0) / 360.0 * {n!r}) AS BIGINT) AS xq,
+         CAST(floor(my * {n!r}) AS BIGINT) AS yq
+  FROM pts
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM q a JOIN q b
+    ON b.xq BETWEEN a.xq - {r} AND a.xq + {r}
+   AND b.yq BETWEEN a.yq - {r} AND a.yq + {r}
+   AND (a.xq - b.xq) * (a.xq - b.xq) + (a.yq - b.yq) * (a.yq - b.yq) <= {r2}
+   AND a.doc_id < b.doc_id
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+r0 AS (SELECT doc_id AS node, doc_id AS lbl FROM q),
+{lvl_sql}
+SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community FROM {prev}
+"""
+
+
+# K-round min-label communities over the eps-pair graph — mirrors
+# stages/labelprop.label_prop composed with stages/dbscan.eps_pairs.
+LABEL_PROP = _label_prop_sql()
+
+
 def _kcore_sql() -> str:
     """K-core twin (stages/kcore.py contract): the eps-pair graph,
     PEEL_ROUNDS peel rounds UNROLLED as survivor-set levels (a_i =

@@ -2661,6 +2661,34 @@ def q_moran(sf_dir: str):
     return moran_i(points_dataset(sf_dir))
 
 
+def q_label_prop(sf_dir: str):
+    """5-round synchronous min-label propagation over the eps-pair
+    graph: community = min doc_id within 5 hops (isolated points are
+    their own community). Delta-frontier supersteps with the standard
+    broadcast/shuffle switch, flip-tested bit-equal. Oracle:
+    oracle.LABEL_PROP (unrolled K-level groupby-min CTE)."""
+    import pyarrow as pa
+
+    from robosat_ray.stages.dbscan import eps_pairs
+    from robosat_ray.stages.labelprop import label_prop
+
+    pts = points_dataset(sf_dir).select_columns(["doc_id", "lon", "my"]).materialize()
+    pairs = eps_pairs(pts)
+
+    def both_dir(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(both_dir, batch_format="pyarrow")
+    return label_prop(edges, pts.select_columns(["doc_id"]), id_col="doc_id")
+
+
 def q_ship_overlap(sf_dir: str):
     """Interval self-overlap join per supplier: unordered overlapping
     shipment-window pairs + peak day-concurrency, computed in ONE
@@ -2815,6 +2843,7 @@ QUERIES = {
     "session_paths": q_session_paths,
     "moran": q_moran,
     "ship_overlap": q_ship_overlap,
+    "label_prop": q_label_prop,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2957,4 +2986,5 @@ ORACLES = {
     "session_paths": oracle.SESSION_PATHS,
     "moran": oracle.MORAN,
     "ship_overlap": oracle.SHIP_OVERLAP,
+    "label_prop": oracle.LABEL_PROP,
 }
