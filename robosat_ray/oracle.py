@@ -3676,6 +3676,39 @@ SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community FROM {prev}
 LABEL_PROP = _label_prop_sql()
 
 
+# Exact tau-Jaccard set-similarity self-join, brute force: the engine
+# (stages/ppjoin.py) mines candidates with the PPJoin prefix filter,
+# which is COMPLETE by the pigeonhole principle, so the ground truth
+# is the plain all-pairs join over hashed unique token sets — no cap
+# or heuristic to mirror. tau = 9/10: keep 19*inter >= 9*(nA + nB).
+# Scoped to the doc_id % 10 == 0 subset (see stages/ppjoin.py spec).
+PPJOIN = f"""
+WITH docs_all AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'zzvariant' || substr(text, strpos(text, ' '))
+  FROM documents WHERE doc_id % 10 = 0
+),
+tok AS (
+  SELECT DISTINCT doc_id,
+         (((md5_number(t) % {_U64}) + {_U64}) % {_U64}) AS th
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs_all)
+),
+n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+i AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS isz
+  FROM tok x JOIN tok y ON x.th = y.th AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.isz AS inter_sz, na.n + nb.n - i.isz AS union_sz
+FROM i
+JOIN n na ON na.doc_id = i.a
+JOIN n nb ON nb.doc_id = i.b
+WHERE 19 * i.isz >= 9 * (na.n + nb.n)
+ORDER BY 1, 2
+"""
+
+
 def _kcore_sql() -> str:
     """K-core twin (stages/kcore.py contract): the eps-pair graph,
     PEEL_ROUNDS peel rounds UNROLLED as survivor-set levels (a_i =

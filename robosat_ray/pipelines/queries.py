@@ -2689,6 +2689,25 @@ def q_label_prop(sf_dir: str):
     return label_prop(edges, pts.select_columns(["doc_id"]), id_col="doc_id")
 
 
+def q_ppjoin(sf_dir: str):
+    """Exact tau=9/10 Jaccard set-similarity self-join over hashed
+    unique token sets (doc_id % 10 == 0 subset + house variants) via
+    PPJoin prefix filtering: df-ordered prefixes are complete by
+    pigeonhole, so the candidate filter is aggressive and the result
+    is still EXACT — the lossless counterpart to the MinHash/SimHash
+    near-dup family. Oracle: oracle.PPJOIN (plain brute force —
+    nothing to mirror)."""
+    import pyarrow as pa
+
+    from robosat_ray.stages.ppjoin import ppjoin_pairs
+
+    def subset(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    return ppjoin_pairs(_docs_ds(sf_dir).map_batches(subset, batch_format="pyarrow"))
+
+
 def q_ship_overlap(sf_dir: str):
     """Interval self-overlap join per supplier: unordered overlapping
     shipment-window pairs + peak day-concurrency, computed in ONE
@@ -2844,6 +2863,7 @@ QUERIES = {
     "moran": q_moran,
     "ship_overlap": q_ship_overlap,
     "label_prop": q_label_prop,
+    "ppjoin": q_ppjoin,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -2987,4 +3007,5 @@ ORACLES = {
     "moran": oracle.MORAN,
     "ship_overlap": oracle.SHIP_OVERLAP,
     "label_prop": oracle.LABEL_PROP,
+    "ppjoin": oracle.PPJOIN,
 }
