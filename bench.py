@@ -138,7 +138,8 @@ def run_bench() -> dict:
         # round-4 timeline additions: SCD-2, gap fill, exact EWMA,
         # session path mining
         "scd2", "gap_fill", "ewma", "session_paths", "moran",
-        "ship_overlap", "label_prop", "ppjoin",
+        "ship_overlap", "label_prop", "ppjoin", "tile_pyramid",
+        "audience_overlap",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

@@ -3676,6 +3676,50 @@ SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community FROM {prev}
 LABEL_PROP = _label_prop_sql()
 
 
+def _tile_pyramid_sql() -> str:
+    """Pyramid twin (q_tile_pyramid contract): leaf-cell page counts
+    at Z_JOIN, rolled up to every zoom level via ancestor fan-out."""
+    z_top = C.Z_JOIN
+    return f"""
+WITH {points_cte()},
+leaf AS (
+  SELECT {tile_x('lon')} AS tx, {tile_y('my')} AS ty,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2
+)
+SELECT g.z,
+       leaf.tx // (1 << ({z_top} - g.z)) AS tx,
+       leaf.ty // (1 << ({z_top} - g.z)) AS ty,
+       CAST(SUM(n) AS BIGINT) AS n_pages
+FROM leaf, generate_series(0, {z_top}) g(z)
+GROUP BY 1, 2, 3
+"""
+
+
+# Full tile-pyramid rollup — mirrors q_tile_pyramid.
+TILE_PYRAMID = _tile_pyramid_sql()
+
+
+# Audience-overlap matrix — mirrors stages/audience.audience_overlap:
+# distinct-user Jaccard components per unordered event-type pair.
+AUDIENCE_OVERLAP = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM ut GROUP BY 1),
+i AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS isz
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.ta, i.tb, i.isz AS inter_users, na.c + nb.c - i.isz AS union_users
+FROM i
+JOIN n na ON na.event_type = i.ta
+JOIN n nb ON nb.event_type = i.tb
+ORDER BY 1, 2
+"""
+
+
 # Exact tau-Jaccard set-similarity self-join, brute force: the engine
 # (stages/ppjoin.py) mines candidates with the PPJoin prefix filter,
 # which is COMPLETE by the pigeonhole principle, so the ground truth

@@ -2708,6 +2708,72 @@ def q_ppjoin(sf_dir: str):
     return ppjoin_pairs(_docs_ds(sf_dir).map_batches(subset, batch_format="pyarrow"))
 
 
+def q_tile_pyramid(sf_dir: str):
+    """Full tile-pyramid rollup: page counts at EVERY zoom level
+    Z_JOIN..0 (the slippy-map mipmap — rs cover's tile set aggregated
+    up the pyramid). Two-stage algebraic plan: in-batch (cell, count)
+    combiner + leaf-cell groupby, then the tiny leaf table fans out
+    its ancestor chain (13 rows per leaf cell) into one final groupby
+    — raw pages shuffle once, the pyramid never sees them. Oracle:
+    oracle.TILE_PYRAMID."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    pts = points_dataset(sf_dir).select_columns(["tile_x", "tile_y"])
+    z_top = C.Z_JOIN
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tx = batch.column("tile_x").to_numpy()
+        ty = batch.column("tile_y").to_numpy()
+        cell = tx * (1 << z_top) + ty
+        uk, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uk), "pn": pa.array(cnt.astype(np.int64))}
+        )
+
+    leaf = (
+        pts.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("pn", alias_name="pn"))
+    )
+
+    def ancestors(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy()
+        pn = batch.column("pn").to_numpy()
+        tx, ty = cell >> z_top, cell % (1 << z_top)
+        zs = np.arange(z_top + 1, dtype=np.int64)
+        n = len(cell)
+        z = np.tile(zs, n)
+        sh = z_top - z
+        txr = np.repeat(tx, z_top + 1) >> sh
+        tyr = np.repeat(ty, z_top + 1) >> sh
+        return pa.table(
+            {
+                "z": pa.array(z),
+                "tx": pa.array(txr),
+                "ty": pa.array(tyr),
+                "pn": pa.array(np.repeat(pn, z_top + 1)),
+            }
+        )
+
+    out = (
+        leaf.map_batches(ancestors, batch_format="pyarrow")
+        .groupby(["z", "tx", "ty"])
+        .aggregate(Sum("pn", alias_name="n_pages"))
+    )
+    return out
+
+
+def q_audience_overlap(sf_dir: str):
+    """Pairwise audience Jaccard across event types: distinct-user
+    intersection / union per unordered type pair, via one user-bucket
+    shuffle with types^2-bounded partials. Oracle:
+    oracle.AUDIENCE_OVERLAP."""
+    from robosat_ray.stages.audience import audience_overlap
+
+    return audience_overlap(_events_ds(sf_dir))
+
+
 def q_ship_overlap(sf_dir: str):
     """Interval self-overlap join per supplier: unordered overlapping
     shipment-window pairs + peak day-concurrency, computed in ONE
@@ -2864,6 +2930,8 @@ QUERIES = {
     "ship_overlap": q_ship_overlap,
     "label_prop": q_label_prop,
     "ppjoin": q_ppjoin,
+    "tile_pyramid": q_tile_pyramid,
+    "audience_overlap": q_audience_overlap,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3008,4 +3076,6 @@ ORACLES = {
     "ship_overlap": oracle.SHIP_OVERLAP,
     "label_prop": oracle.LABEL_PROP,
     "ppjoin": oracle.PPJOIN,
+    "tile_pyramid": oracle.TILE_PYRAMID,
+    "audience_overlap": oracle.AUDIENCE_OVERLAP,
 }
