@@ -45,6 +45,20 @@ def test_rare_tokens_indexed_first():
     assert set(out["th"]) == {1, 3}
 
 
+def test_verify_path_flip_bit_equal(monkeypatch):
+    """Forcing the candidate set down the co-partition verify path
+    (cap = 0: dedup_pairs_ds + carrier/need join) must reproduce the
+    broadcast fast path bit-for-bit."""
+    import robosat_ray.stages.ppjoin as pp
+    from robosat_ray.pipelines.queries import _docs_ds
+
+    sf = "/root/testdata/sf0.001"
+    a = pp.ppjoin_pairs(_docs_ds(sf))
+    monkeypatch.setattr(pp, "PP_BROADCAST_PAIR_CAP", 0)
+    b = pp.ppjoin_pairs(_docs_ds(sf))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_mine_pairs_ragged_triu_and_length_filter():
     # token 5 shared by docs 1,2,3 (sizes 10,10,4): size-4 doc fails
     # the length filter vs size-10 (10*4 < 9*10)
