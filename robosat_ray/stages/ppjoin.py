@@ -234,8 +234,12 @@ def ppjoin_pairs(docs_ds) -> pd.DataFrame:
     from robosat_ray.stages.join import copartition_join
     from robosat_ray.stages.neardup import dedup_pairs_ds, with_variants_batch
 
+    # sets is consumed twice (postings now, verify carriers later) but
+    # NOT materialized: re-running the tokenize+hash scan is cheaper
+    # than pinning a corpus-sized list column in the object store at
+    # 10^12 docs (the near_dup shingle precedent)
     docs = docs_ds.map_batches(with_variants_batch, batch_format="pyarrow")
-    sets = docs.map_batches(_token_set_rows, batch_format="pyarrow").materialize()
+    sets = docs.map_batches(_token_set_rows, batch_format="pyarrow")
 
     postings = sets.map_batches(_postings, batch_format="pyarrow")
     df = postings.groupby("th").count()
@@ -283,12 +287,20 @@ def ppjoin_pairs(docs_ds) -> pd.DataFrame:
         return empty
 
     if n_cand <= PP_BROADCAST_PAIR_CAP:
+        # small candidate set: dedup on the driver and broadcast the
+        # member ids so verify carriers are computed (and shuffled)
+        # only for pair members — the near_dup fast path
         pdf = cand.to_pandas()
         ab = np.unique(
             np.stack([pdf["a"].to_numpy(), pdf["b"].to_numpy()], axis=1), axis=0
         )
         pairs = ray.data.from_arrow(
             pa.table({"a": pa.array(ab[:, 0]), "b": pa.array(ab[:, 1])})
+        )
+        ids_ref = ray.put(np.unique(ab))
+        sets = docs.map_batches(
+            _token_set_rows, fn_kwargs={"ids_ref": [ids_ref]},
+            batch_format="pyarrow",
         )
     else:
         pairs = dedup_pairs_ds(cand)
