@@ -140,6 +140,8 @@ def run_bench() -> dict:
         "scd2", "gap_fill", "ewma", "session_paths", "moran",
         "ship_overlap", "label_prop", "ppjoin", "tile_pyramid",
         "audience_overlap",
+        # round-4 session-7: TPC-H Q17/Q18/Q11/Q21 plan shapes
+        "small_qty_revenue", "big_orders", "part_share", "late_suppliers",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

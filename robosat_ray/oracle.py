@@ -4582,3 +4582,78 @@ ORDER BY 1
 # Concurrent-shipments interval overlap join — mirrors
 # stages/overlap.ship_overlap.
 SHIP_OVERLAP = _ship_overlap_sql()
+
+
+# TPC-H Q17 shape — mirrors stages/tpch.small_qty_revenue: rows with
+# quantity strictly below 0.2x their part's average (5*q*cnt <
+# sum_qty in exact integers; quantities are integral doubles).
+SMALL_QTY_REVENUE = """
+WITH pp AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5)
+                         AS BIGINT)), 0) AS BIGINT) AS total_rev_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN pp USING (l_partkey)
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * pp.cnt < pp.sum_qty
+"""
+
+
+# TPC-H Q18 shape — mirrors stages/tpch.big_orders (threshold
+# tpch.BIG_ORDER_QTY = 250 integral quantity units).
+BIG_ORDERS = """
+WITH w AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT o.o_orderkey, o.o_custkey, c.c_name,
+       CAST(EPOCH_US(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+       CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+         AS o_totalprice_cents,
+       w.sum_qty
+FROM w JOIN orders o USING (o_orderkey)
+       JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# TPC-H Q11 shape — mirrors stages/tpch.part_share: parts whose
+# discounted-revenue share exceeds 1.5x the mean share, exact integer
+# cross-multiplication (2*rev*n_parts > 3*total).
+PART_SHARE = """
+WITH pp AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0
+                  + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY 1
+),
+g AS (SELECT COUNT(*) AS n_parts, SUM(rev_cents) AS total FROM pp)
+SELECT pp.l_partkey, pp.rev_cents,
+       CAST(pp.rev_cents * 10000 // g.total AS BIGINT) AS share_bp
+FROM pp, g
+WHERE 2 * pp.rev_cents * g.n_parts > 3 * g.total
+"""
+
+
+# TPC-H Q21 shape — mirrors stages/tpch.late_suppliers: a lineitem is
+# late iff shipdate > orderdate + 80 days (tpch.LATE_DAYS); a supplier
+# scores an order iff they were late on it, the order has >= 2 distinct
+# suppliers, and exactly one distinct supplier was late.
+LATE_SUPPLIERS = """
+WITH j AS (
+  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+os AS (SELECT ok, sk, MAX(late) AS late FROM j GROUP BY 1, 2),
+og AS (SELECT ok, COUNT(*) AS n_supp, SUM(late) AS n_late
+       FROM os GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM os JOIN og USING (ok) JOIN supplier s ON os.sk = s.s_suppkey
+WHERE os.late = 1 AND og.n_supp >= 2 AND og.n_late = 1
+GROUP BY 1, 2
+"""

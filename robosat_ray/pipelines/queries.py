@@ -2792,6 +2792,80 @@ def q_ship_overlap(sf_dir: str):
     )
 
 
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H-Q17-shape: correlated per-part average join-back — revenue
+    of lineitems below 0.2x their part's average quantity, exact
+    integers end-to-end. Oracle: oracle.SMALL_QTY_REVENUE."""
+    import ray.data
+
+    from robosat_ray.stages.tpch import small_qty_revenue
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    return small_qty_revenue(li)
+
+
+def q_big_orders(sf_dir: str):
+    """TPC-H-Q18-shape: groupby-HAVING winner orders (sum quantity >
+    250) enriched through orders and customer join-backs.
+    Oracle: oracle.BIG_ORDERS."""
+    import ray.data
+
+    from robosat_ray.stages.tpch import big_orders
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return big_orders(li, orders, cust)
+
+
+def q_part_share(sf_dir: str):
+    """TPC-H-Q11-shape: global-scalar HAVING — parts whose revenue
+    share exceeds 1.5x the mean share; the total is one driver scalar
+    over the group-bounded per-part table, never a second shuffle.
+    Oracle: oracle.PART_SHARE."""
+    import ray.data
+
+    from robosat_ray.stages.tpch import part_share
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    return part_share(li)
+
+
+def q_late_suppliers(sf_dir: str):
+    """TPC-H-Q21-shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order — per-(order,supplier) lateness then per-order
+    distinct/late counts inside ONE orderkey hash-bucket shuffle.
+    Oracle: oracle.LATE_SUPPLIERS."""
+    import ray.data
+
+    from robosat_ray.stages.tpch import late_suppliers
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    return late_suppliers(li, orders, supp)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -2932,6 +3006,10 @@ QUERIES = {
     "ppjoin": q_ppjoin,
     "tile_pyramid": q_tile_pyramid,
     "audience_overlap": q_audience_overlap,
+    "small_qty_revenue": q_small_qty_revenue,
+    "big_orders": q_big_orders,
+    "part_share": q_part_share,
+    "late_suppliers": q_late_suppliers,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3078,4 +3156,8 @@ ORACLES = {
     "ppjoin": oracle.PPJOIN,
     "tile_pyramid": oracle.TILE_PYRAMID,
     "audience_overlap": oracle.AUDIENCE_OVERLAP,
+    "small_qty_revenue": oracle.SMALL_QTY_REVENUE,
+    "big_orders": oracle.BIG_ORDERS,
+    "part_share": oracle.PART_SHARE,
+    "late_suppliers": oracle.LATE_SUPPLIERS,
 }
