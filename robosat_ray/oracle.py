@@ -4657,3 +4657,64 @@ FROM os JOIN og USING (ok) JOIN supplier s ON os.sk = s.s_suppkey
 WHERE os.late = 1 AND og.n_supp >= 2 AND og.n_late = 1
 GROUP BY 1, 2
 """
+
+
+def _hull_sql() -> str:
+    """Brute-force convex-hull edge predicate — mirrors
+    stages/hull.convex_hull_edges: (a, b) is a directed CCW hull edge
+    iff every other distinct lattice point c in the group is strictly
+    left of (a, b), or collinear WITHIN the segment. Centers recomputed
+    from part exactly as synth.footprints.footprint_centers; lattice =
+    (lon * 1e6, my * 1e8) floor(+0.5) quantization (hull.XSCALE/YSCALE)."""
+    return f"""
+WITH ctr AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 10 < 6 THEN CAST(p_partkey % 8 AS BIGINT)
+              ELSE 8 + CAST(p_partkey % 4 AS BIGINT) END AS g,
+         CASE WHEN p_partkey % 10 < 6 THEN
+           list_extract({_CITY_LON}, CAST(p_partkey % 8 AS INTEGER) + 1)
+             + (((p_partkey * {C.G1_MUL} + {C.G1_ADD}) % {C.MOD32}) / {float(C.MOD32)!r} - 0.5) * {C.CITY_LON_SPAN!r}
+         ELSE ((p_partkey * {C.G1_MUL} + {C.G1_ADD}) % {C.MOD32}) / {float(C.MOD32)!r} * 360.0 - 180.0 END AS cx,
+         CASE WHEN p_partkey % 10 < 6 THEN
+           list_extract({_CITY_MY}, CAST(p_partkey % 8 AS INTEGER) + 1)
+             + (((p_partkey * {C.G2_MUL} + {C.G2_ADD}) % {C.MOD32}) / {float(C.MOD32)!r} - 0.5) * {C.CITY_MY_SPAN!r}
+         ELSE {C.BG_MY_LO!r} + (((p_partkey * {C.G2_MUL} + {C.G2_ADD}) % {C.MOD32}) / {float(C.MOD32)!r}) * {C.BG_MY_RANGE!r} END AS cy
+  FROM part
+),
+q AS (
+  SELECT DISTINCT g,
+         CAST(FLOOR(cx * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(cy * 100000000.0 + 0.5) AS BIGINT) AS y
+  FROM ctr
+)
+SELECT a.g, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+FROM q a JOIN q b ON a.g = b.g AND (a.x <> b.x OR a.y <> b.y)
+WHERE NOT EXISTS (
+  SELECT 1 FROM q c
+  WHERE c.g = a.g AND (c.x <> a.x OR c.y <> a.y) AND (c.x <> b.x OR c.y <> b.y)
+    AND NOT (
+      (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) > 0
+      OR ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0
+          AND (c.x - a.x) * (b.x - a.x) + (c.y - a.y) * (b.y - a.y)
+              BETWEEN 0 AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))
+    )
+)
+"""
+
+
+CONVEX_HULL = _hull_sql()
+
+
+# Exact integer gram matrix over the quantized embedding lattice —
+# mirrors stages/linalg.gram_matrix (QSCALE = 1e4).
+GRAM_MATRIX = """
+WITH q AS (
+  SELECT vec_id, CAST(g.i AS BIGINT) - 1 AS i,
+         CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 10000.0 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""

@@ -2866,6 +2866,37 @@ def q_late_suppliers(sf_dir: str):
     return late_suppliers(li, orders, supp)
 
 
+def q_convex_hull(sf_dir: str):
+    """Distributed convex hull per region group (city extent polygon):
+    per-batch LOCAL hulls are an exact combiner (hull(union) =
+    hull(union of hulls)), so the per-group finish sees only
+    O(batches x hull size) points. Integer-lattice orientation tests;
+    oracle is the O(n^3) brute-force edge predicate.
+    Oracle: oracle.CONVEX_HULL."""
+    import ray.data
+
+    from robosat_ray.stages.hull import convex_hull_edges
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    )
+    return convex_hull_edges(parts)
+
+
+def q_gram_matrix(sf_dir: str):
+    """Exact int64 gram matrix E^T E over quantized embeddings — the
+    distributed PCA/covariance primitive: per-batch M^T M partials
+    (d x d per batch, facts never shuffle). Oracle: oracle.GRAM_MATRIX."""
+    import ray.data
+
+    from robosat_ray.stages.linalg import gram_matrix
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return gram_matrix(emb)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -3010,6 +3041,8 @@ QUERIES = {
     "big_orders": q_big_orders,
     "part_share": q_part_share,
     "late_suppliers": q_late_suppliers,
+    "convex_hull": q_convex_hull,
+    "gram_matrix": q_gram_matrix,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3160,4 +3193,6 @@ ORACLES = {
     "big_orders": oracle.BIG_ORDERS,
     "part_share": oracle.PART_SHARE,
     "late_suppliers": oracle.LATE_SUPPLIERS,
+    "convex_hull": oracle.CONVEX_HULL,
+    "gram_matrix": oracle.GRAM_MATRIX,
 }
