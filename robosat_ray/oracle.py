@@ -4718,3 +4718,72 @@ SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram
 FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY 1, 2
 """
+
+
+# 7-day rolling distinct active users — mirrors
+# stages/retention.sliding_dau (interval-sweep algorithm); oracle is
+# the brute-force day x user range join COUNT(DISTINCT).
+SLIDING_DAU = """
+WITH e AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM e)
+SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS dau7
+FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
+"""
+
+
+# Exact per-user rolling median (trailing 5 rows) — mirrors
+# stages/events.rolling_median; med2 = 2 x median keeps even-window
+# interpolation integral (2.0 * DOUBLE median of cent ints is exact
+# below 2^52).
+ROLLING_MEDIAN = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id,
+       CAST(2.0 * median(cents) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS med2_cents
+FROM e
+"""
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled integer HITS over the doc<->footprint bipartite graph
+    — mirrors stages/pagerank.hits_scores."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"a{k} AS (SELECT e.dst AS node, CAST(SUM(h.v) AS BIGINT) AS v "
+            f"FROM h{k-1} h JOIN edges e ON e.src = h.node GROUP BY 1)"
+        )
+        steps.append(
+            f"h{k} AS (SELECT e.src AS node, CAST(SUM(a.v) AS BIGINT) AS v "
+            f"FROM a{k} a JOIN edges e ON e.dst = a.node GROUP BY 1)"
+        )
+    its = ",\n".join(steps)
+    return f"""
+WITH {points_cte()}, {feet_cte()},
+je AS (
+  SELECT p.doc_id AS d, f.feature_id AS f
+  FROM pts p JOIN feet f
+    ON p.lon >= f.minx AND p.lon <= f.maxx AND p.my >= f.miny AND p.my <= f.maxy
+),
+edges AS (
+  SELECT d * 2 AS src, f * 2 + 1 AS dst FROM je
+  UNION ALL
+  SELECT f * 2 + 1 AS src, d * 2 AS dst FROM je
+),
+h0 AS (SELECT src AS node, CAST(1 AS BIGINT) AS v FROM edges GROUP BY 1),
+{its}
+SELECT h.node, h.v AS hub, a.v AS auth
+FROM h{iters} h JOIN a{iters} a USING (node)
+"""
+
+
+HITS = _hits_sql(3)

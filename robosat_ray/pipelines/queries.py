@@ -2897,6 +2897,59 @@ def q_gram_matrix(sf_dir: str):
     return gram_matrix(emb)
 
 
+def q_sliding_dau(sf_dir: str):
+    """7-day rolling distinct active users per day, computed as per-user
+    coverage intervals + a +1/-1 day sweep — no day x user range join.
+    Oracle: oracle.SLIDING_DAU (the brute-force range join)."""
+    import ray.data
+
+    from robosat_ray.stages.retention import sliding_dau
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return sliding_dau(ev)
+
+
+def q_rolling_median(sf_dir: str):
+    """Exact per-user rolling median (trailing 5 rows) of the cent
+    value — rank-statistic windowing via stride-view sort per bucket.
+    Oracle: oracle.ROLLING_MEDIAN."""
+    import ray.data
+
+    from robosat_ray.stages.events import rolling_median
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return rolling_median(ev)
+
+
+def q_hits(sf_dir: str):
+    """Integer HITS hubs/authorities (3 rounds) on the page<->footprint
+    bipartite graph — the two-coupled-vector Pregel loop.
+    Oracle: oracle.HITS (unrolled CTE chain)."""
+    import pyarrow as pa
+
+    from robosat_ray.stages.pagerank import hits_scores
+
+    joined = flagship(sf_dir, through_html=False).select_columns(
+        ["doc_id", "feature_id"]
+    )
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy() * 2
+        f = batch.column("feature_id").to_numpy() * 2 + 1
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([d, f])),
+                "dst": pa.array(np.concatenate([f, d])),
+            }
+        )
+
+    return hits_scores(joined.map_batches(mk_edges, batch_format="pyarrow"))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -3043,6 +3096,9 @@ QUERIES = {
     "late_suppliers": q_late_suppliers,
     "convex_hull": q_convex_hull,
     "gram_matrix": q_gram_matrix,
+    "sliding_dau": q_sliding_dau,
+    "rolling_median": q_rolling_median,
+    "hits": q_hits,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3195,4 +3251,7 @@ ORACLES = {
     "late_suppliers": oracle.LATE_SUPPLIERS,
     "convex_hull": oracle.CONVEX_HULL,
     "gram_matrix": oracle.GRAM_MATRIX,
+    "sliding_dau": oracle.SLIDING_DAU,
+    "rolling_median": oracle.ROLLING_MEDIAN,
+    "hits": oracle.HITS,
 }

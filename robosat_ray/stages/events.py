@@ -893,3 +893,80 @@ def twap(events_ds):
         .groupby("ubucket")
         .map_groups(_twap_bucket, batch_format="pandas")
     )
+
+
+MEDIAN_WINDOW = 5  # ROWS BETWEEN (MEDIAN_WINDOW-1) PRECEDING AND CURRENT
+
+
+def rolling_median(events_ds, window: int = MEDIAN_WINDOW):
+    """Exact per-user rolling median of the cent-quantized value over
+    the trailing `window` rows ((ts, event_id) order) — time-series
+    denoising, the rank-statistic window the running-sum family can't
+    express. Emits med2_cents = 2 x median (sum of the two middle
+    values on even prefixes), keeping the result integral.
+
+    Scale shape: ONE user hash-bucket shuffle; inside a bucket, full
+    windows are a (n x window) stride view sorted row-wise, and the
+    (window-1) ramp-up rows per user are handled per-width vectorized
+    across ALL users in the bucket (no per-user Python)."""
+    from robosat_ray.functions.hashing import hash_bucket
+
+    w = int(window)
+
+    def prep(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "ubucket": pa.array(hash_bucket(u, NUM_USER_BUCKETS)),
+                "user_id": b.column("user_id"),
+                "tsu": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+                "cents": pa.array(
+                    np.floor(b.column("value").to_numpy() * 100.0 + 0.5).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def med2_rows(W: np.ndarray) -> np.ndarray:
+        """2x median of each row of a (m x k) int matrix."""
+        k = W.shape[1]
+        S = np.sort(W, axis=1)
+        if k % 2:
+            return 2 * S[:, k // 2]
+        return S[:, k // 2 - 1] + S[:, k // 2]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["tsu"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, eid, c = u[order], eid[order], c[order]
+        n = len(u)
+        # position within user segment
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = u[1:] != u[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        p = np.arange(n) - seg_start
+        out = np.empty(n, dtype=np.int64)
+        full = p >= w - 1
+        if full.any():
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            W = sliding_window_view(c, w)  # row i = c[i..i+w-1]
+            out[full] = med2_rows(W[np.flatnonzero(full) - (w - 1)])
+        for width in range(1, w):
+            idx = np.flatnonzero(p == width - 1)
+            if len(idx) == 0:
+                continue
+            W = np.stack([c[idx - width + 1 + j] for j in range(width)], axis=1)
+            out[idx] = med2_rows(W)
+        return pd.DataFrame({"event_id": eid, "med2_cents": out})
+
+    return (
+        events_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -164,3 +164,137 @@ def _pagerank_shuffle(edges_ds, deg, iters: int):
         )
 
     return ranks.map_batches(final, batch_format="pyarrow")
+
+
+HITS_ITERS = 3
+
+
+def hits_scores(edges_ds, iters: int = HITS_ITERS, strategy: str = "auto",
+                broadcast_cap: int = PR_BROADCAST_NODE_CAP):
+    """Unnormalized integer HITS (Kleinberg hubs/authorities), the
+    two-coupled-vector Pregel loop PageRank's single vector can't
+    express: a_k(dst) = sum_in h_{k-1}, h_k(src) = sum_out a_k.
+    h_0 = 1. Exact int64 (values grow ~deg^2 per round; asserted
+    within range). edges_ds must contain every node as src and dst
+    (symmetric bipartite encoding, as q_pagerank builds).
+    -> Dataset (node, hub, auth) after `iters` rounds."""
+    from ray.data.aggregate import Count
+
+    deg = edges_ds.groupby("src").aggregate(Count(alias_name="sdeg"))
+    if strategy == "auto":
+        strategy = "broadcast" if deg.count() <= broadcast_cap else "shuffle"
+    if strategy == "broadcast":
+        return _hits_broadcast(edges_ds, deg, iters)
+    return _hits_shuffle(edges_ds, deg, iters)
+
+
+def _edge_gather_sum(edges, nodes: np.ndarray, vals: np.ndarray,
+                     key_in: str, key_out: str) -> np.ndarray:
+    """sum over edges of vals[key_in] grouped by key_out, via compact
+    per-block partials combined on the driver (nodes-length arrays)."""
+    import ray
+
+    from robosat_ray.stages.bfs import combine_partials
+
+    ref = ray.put((nodes, vals))
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        n, v = ray.get(ref)
+        src = batch.column(key_in).to_numpy()
+        dst = batch.column(key_out).to_numpy()
+        c = v[np.searchsorted(n, src)]
+        uniq, inv = np.unique(dst, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, c)
+        return pa.table({"dst": pa.array(uniq), "c": pa.array(sums)})
+
+    sums, touched = combine_partials(
+        edges.map_batches(contrib, batch_format="pyarrow"),
+        nodes, 0, np.add, key="dst", val="c",
+    )
+    out = np.zeros(len(nodes), dtype=np.int64)
+    out[touched] = sums[touched]
+    assert np.abs(out).max(initial=0) < 1 << 61, "HITS int64 growth bound"
+    return out
+
+
+def _hits_broadcast(edges_ds, deg, iters: int):
+    import ray
+    import ray.data
+
+    deg_df = deg.to_pandas()
+    nodes = np.sort(deg_df["src"].to_numpy(np.int64))
+    h = np.ones(len(nodes), dtype=np.int64)
+    a = np.zeros(len(nodes), dtype=np.int64)
+    edges = edges_ds.materialize()
+    for _ in range(iters):
+        a = _edge_gather_sum(edges, nodes, h, "src", "dst")
+        h = _edge_gather_sum(edges, nodes, a, "dst", "src")
+    return ray.data.from_arrow(
+        pa.table(
+            {"node": pa.array(nodes), "hub": pa.array(h), "auth": pa.array(a)}
+        )
+    )
+
+
+def _hits_shuffle(edges_ds, deg, iters: int):
+    from ray.data.aggregate import Sum
+
+    from robosat_ray.stages.join import copartition_join
+
+    edges = edges_ds.materialize()
+
+    def init_h(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "hv": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+
+    h = deg.map_batches(init_h, batch_format="pyarrow").materialize()
+    a = None
+    he = {"left": {"src": pa.int64(), "dst": pa.int64()},
+          "right": {"src": pa.int64(), "hv": pa.int64()}}
+    ha = {"left": {"src": pa.int64(), "dst": pa.int64()},
+          "right": {"dst": pa.int64(), "av": pa.int64()}}
+    for _ in range(iters):
+        j = copartition_join(edges, h, on="src", how="inner", schema_hints=he)
+
+        def to_a(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"dst": batch.column("dst"), "c": batch.column("hv")}
+            )
+
+        a = (
+            j.map_batches(to_a, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="av"))
+            .materialize()
+        )
+        j2 = copartition_join(edges, a, on="dst", how="inner", schema_hints=ha)
+
+        def to_h(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"src": batch.column("src"), "c": batch.column("av")}
+            )
+
+        h = (
+            j2.map_batches(to_h, batch_format="pyarrow")
+            .groupby("src")
+            .aggregate(Sum("c", alias_name="hv"))
+            .materialize()
+        )
+
+    hn = h.map_batches(
+        lambda b: b.rename_columns(["node", "hub"]), batch_format="pyarrow"
+    )
+    an = a.map_batches(
+        lambda b: b.rename_columns(["node", "auth"]), batch_format="pyarrow"
+    )
+    out = copartition_join(
+        hn, an, on="node",
+        schema_hints={"left": {"node": pa.int64(), "hub": pa.int64()},
+                      "right": {"node": pa.int64(), "auth": pa.int64()}},
+    )
+    return out.select_columns(["node", "hub", "auth"])
