@@ -4787,3 +4787,63 @@ FROM h{iters} h JOIN a{iters} a USING (node)
 
 
 HITS = _hits_sql(3)
+
+
+def _set_cover_sql(rounds: int) -> str:
+    """Greedy coverage selection, unrolled level per round — mirrors
+    stages/selection.set_cover (gain = distinct uncovered tokens;
+    winner = max gain, min doc_id; zero-gain docs drop out)."""
+    parts = [
+        "tok AS (SELECT doc_id, unnest(list_distinct("
+        "regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token FROM documents)"
+    ]
+    prev_cov = None
+    selects = []
+    for r in range(1, rounds + 1):
+        where = (
+            f"WHERE token NOT IN (SELECT token FROM {prev_cov})"
+            if prev_cov
+            else ""
+        )
+        parts.append(
+            f"g{r} AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain "
+            f"FROM tok {where} GROUP BY 1)"
+        )
+        parts.append(
+            f"w{r} AS (SELECT CAST({r} AS BIGINT) AS round, doc_id, gain "
+            f"FROM g{r} QUALIFY row_number() OVER "
+            f"(ORDER BY gain DESC, doc_id ASC) = 1)"
+        )
+        cov_prev = f" UNION SELECT token FROM {prev_cov}" if prev_cov else ""
+        parts.append(
+            f"c{r} AS (SELECT DISTINCT token FROM tok "
+            f"WHERE doc_id IN (SELECT doc_id FROM w{r}){cov_prev})"
+        )
+        prev_cov = f"c{r}"
+        selects.append(f"SELECT * FROM w{r}")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+SET_COVER = _set_cover_sql(4)
+
+
+def _kmv_sql() -> str:
+    from robosat_ray.stages.distinct import KMV_K
+
+    return f"""
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         CAST((((md5_number(CAST(user_id AS VARCHAR)) % {_U64}) + {_U64})
+               % {_U64}) // 16 AS BIGINT) AS kh
+  FROM u
+),
+d AS (SELECT DISTINCT event_type, kh FROM h)
+SELECT event_type, kh FROM d
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY kh) <= {KMV_K}
+"""
+
+
+# K-minimum-values distinct sketch per event type — mirrors
+# stages/distinct.kmv_sketch.
+KMV_SKETCH = _kmv_sql()

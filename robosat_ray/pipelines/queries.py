@@ -2950,6 +2950,34 @@ def q_hits(sf_dir: str):
     return hits_scores(joined.map_batches(mk_edges, batch_format="pyarrow"))
 
 
+def q_set_cover(sf_dir: str):
+    """Greedy coverage-maximizing corpus selection (4 submodular
+    rounds): per-round zero-shuffle argmax partials over per-doc token
+    sets, covered set broadcast. Oracle: oracle.SET_COVER."""
+    import ray.data
+
+    from robosat_ray.stages.selection import set_cover
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return set_cover(docs)
+
+
+def q_kmv_sketch(sf_dir: str):
+    """K-minimum-values distinct sketch per event type (mergeable
+    bottom-k of md5 hashes) — completes the sketch family (HLL, CMS,
+    Bloom). Oracle: oracle.KMV_SKETCH."""
+    import ray.data
+
+    from robosat_ray.stages.distinct import kmv_sketch
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return kmv_sketch(ev)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -3099,6 +3127,8 @@ QUERIES = {
     "sliding_dau": q_sliding_dau,
     "rolling_median": q_rolling_median,
     "hits": q_hits,
+    "set_cover": q_set_cover,
+    "kmv_sketch": q_kmv_sketch,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3254,4 +3284,6 @@ ORACLES = {
     "sliding_dau": oracle.SLIDING_DAU,
     "rolling_median": oracle.ROLLING_MEDIAN,
     "hits": oracle.HITS,
+    "set_cover": oracle.SET_COVER,
+    "kmv_sketch": oracle.KMV_SKETCH,
 }

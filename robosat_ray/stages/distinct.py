@@ -141,3 +141,52 @@ def hll_estimate(registers: pd.DataFrame, m: int = HLL_M) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+KMV_K = 64
+
+
+def kmv_sketch(events_ds, k: int = KMV_K):
+    """K-minimum-values distinct sketch per event_type: the k smallest
+    (md5 // 16) hash values of the distinct users — a mergeable
+    bottom-k sketch (estimate ~ (k-1) * 2^60 / kth_value), emitted as
+    the deterministic (event_type, kh) rows so the DuckDB twin is
+    bit-equal. Partials are bottom-k per batch: shuffle volume is
+    k x types x blocks, never users."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        u = b.column("user_id").to_numpy()
+        codes, uniq = pd.factorize(et, sort=False)
+        out_t: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        for c, t in enumerate(uniq):
+            vals = np.unique(u[codes == c])
+            hs = _hash_int_values(vals)
+            kh = np.unique((hs // np.uint64(16)).astype(np.int64))
+            out_t.append(np.full(min(len(kh), k), t, dtype=object))
+            out_h.append(kh[: min(len(kh), k)])  # kh sorted ascending
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    np.concatenate(out_t) if out_t else [], pa.string()
+                ),
+                "kh": pa.array(
+                    np.concatenate(out_h)
+                    if out_h
+                    else np.array([], np.int64)
+                ),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        kh = np.unique(g["kh"].to_numpy(np.int64))[:k]
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]] * len(kh), "kh": kh}
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pandas")
+    )
