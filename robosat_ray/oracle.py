@@ -4847,3 +4847,46 @@ QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY kh) <= {KMV_K}
 # K-minimum-values distinct sketch per event type — mirrors
 # stages/distinct.kmv_sketch.
 KMV_SKETCH = _kmv_sql()
+
+
+def _seg_intersect_sql() -> str:
+    """Road-crossing detection: each road's 3x-extended centerline
+    diagonal vs every OTHER road's rect — mirrors
+    stages/seg_intersect.seg_intersect (inclusive bbox overlap AND the
+    separating-axis corner test on the integer lattice)."""
+    cr = (
+        "((r.bx - r.ax) * ({y} - r.ay) - (r.byy - r.ay) * ({x} - r.ax))"
+    )
+    c1 = cr.format(x="g.bminx", y="g.bminy")
+    c2 = cr.format(x="g.bmaxx", y="g.bminy")
+    c3 = cr.format(x="g.bminx", y="g.bmaxy")
+    c4 = cr.format(x="g.bmaxx", y="g.bmaxy")
+    return f"""
+WITH {feet_cte()},
+r AS (
+  SELECT feature_id AS road_id,
+         CAST(FLOOR((2.0 * minx - maxx) * 1000000.0 + 0.5) AS BIGINT) AS ax,
+         CAST(FLOOR((2.0 * miny - maxy) * 100000000.0 + 0.5) AS BIGINT) AS ay,
+         CAST(FLOOR((2.0 * maxx - minx) * 1000000.0 + 0.5) AS BIGINT) AS bx,
+         CAST(FLOOR((2.0 * maxy - miny) * 100000000.0 + 0.5) AS BIGINT) AS byy
+  FROM feet WHERE kind = 'road'
+),
+g AS (
+  SELECT feature_id AS other_id,
+         CAST(FLOOR(minx * 1000000.0 + 0.5) AS BIGINT) AS bminx,
+         CAST(FLOOR(miny * 100000000.0 + 0.5) AS BIGINT) AS bminy,
+         CAST(FLOOR(maxx * 1000000.0 + 0.5) AS BIGINT) AS bmaxx,
+         CAST(FLOOR(maxy * 100000000.0 + 0.5) AS BIGINT) AS bmaxy
+  FROM feet WHERE kind = 'road'
+)
+SELECT r.road_id, g.other_id
+FROM r JOIN g
+  ON r.road_id <> g.other_id
+ AND r.ax <= g.bmaxx AND r.bx >= g.bminx
+ AND r.ay <= g.bmaxy AND r.byy >= g.bminy
+WHERE NOT ({c1} > 0 AND {c2} > 0 AND {c3} > 0 AND {c4} > 0)
+  AND NOT ({c1} < 0 AND {c2} < 0 AND {c3} < 0 AND {c4} < 0)
+"""
+
+
+SEG_INTERSECT = _seg_intersect_sql()

@@ -2978,6 +2978,17 @@ def q_kmv_sketch(sf_dir: str):
     return kmv_sketch(ev)
 
 
+def q_seg_intersect(sf_dir: str):
+    """Exact road-segment x building-rect intersection join (SAT corner
+    test on the integer lattice), cell co-partitioned with owner-cell
+    single emission — the line-geometry join beyond PIP/bbox.
+    Oracle: oracle.SEG_INTERSECT."""
+    from robosat_ray.stages.seg_intersect import seg_intersect
+    from robosat_ray.synth.footprints import footprints_dataset
+
+    return seg_intersect(footprints_dataset(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -3129,6 +3140,7 @@ QUERIES = {
     "hits": q_hits,
     "set_cover": q_set_cover,
     "kmv_sketch": q_kmv_sketch,
+    "seg_intersect": q_seg_intersect,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3286,4 +3298,5 @@ ORACLES = {
     "hits": oracle.HITS,
     "set_cover": oracle.SET_COVER,
     "kmv_sketch": oracle.KMV_SKETCH,
+    "seg_intersect": oracle.SEG_INTERSECT,
 }
