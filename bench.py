@@ -143,7 +143,7 @@ def run_bench() -> dict:
         # round-4 session-7: TPC-H Q17/Q18/Q11/Q21 plan shapes
         "small_qty_revenue", "big_orders", "part_share", "late_suppliers",
         "convex_hull", "gram_matrix", "sliding_dau", "rolling_median",
-        "hits", "set_cover", "kmv_sketch", "seg_intersect",
+        "hits", "set_cover", "kmv_sketch", "seg_intersect", "rnn_match",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)

@@ -4890,3 +4890,29 @@ WHERE NOT ({c1} > 0 AND {c2} > 0 AND {c3} > 0 AND {c4} > 0)
 
 
 SEG_INTERSECT = _seg_intersect_sql()
+
+
+def _rnn_sql() -> str:
+    from robosat_ray.stages.ann import RNN_K, RNN_STRIDE
+
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % {RNN_STRIDE} = 0),
+tk AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                    b.vec_id
+         ) AS rk
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+)
+SELECT t1.qa AS a, t1.qb AS b
+FROM tk t1 JOIN tk t2 ON t1.qa = t2.qb AND t1.qb = t2.qa
+WHERE t1.rk <= {RNN_K} AND t2.rk <= {RNN_K} AND t1.qa < t1.qb
+"""
+
+
+# Reciprocal nearest neighbors (mutual top-k match) — mirrors
+# stages/ann.rnn_pairs on the stride-subset universe.
+RNN_MATCH = _rnn_sql()

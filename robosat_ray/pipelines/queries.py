@@ -2989,6 +2989,39 @@ def q_seg_intersect(sf_dir: str):
     return seg_intersect(footprints_dataset(sf_dir))
 
 
+def q_rnn_match(sf_dir: str):
+    """Reciprocal nearest neighbors (mutual cosine top-k) over the
+    stride-subset universe — the high-precision match criterion for
+    record linking / near-dup mining. Oracle: oracle.RNN_MATCH."""
+    import ray.data
+
+    from robosat_ray.stages.ann import RNN_STRIDE, rnn_pairs
+
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    ids_parts, emb_parts = [], []
+    for rb in f.iter_batches(columns=["vec_id", "embedding"]):
+        ids = rb.column(0).to_numpy().astype(np.int64)
+        sel = np.flatnonzero(ids % RNN_STRIDE == 0)
+        if len(sel):
+            ids_parts.append(ids[sel])
+            emb_parts.append(
+                np.array(
+                    rb.column(1).take(pa.array(sel)).to_pylist(),
+                    dtype=np.float64,
+                )
+            )
+    qids = np.concatenate(ids_parts)
+    Q = np.concatenate(emb_parts)
+    def sub(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy()
+        return b.filter(pa.array(ids % RNN_STRIDE == 0))
+
+    emb_sub = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(sub, batch_format="pyarrow")
+    return rnn_pairs(emb_sub, qids, Q)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -3141,6 +3174,7 @@ QUERIES = {
     "set_cover": q_set_cover,
     "kmv_sketch": q_kmv_sketch,
     "seg_intersect": q_seg_intersect,
+    "rnn_match": q_rnn_match,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3299,4 +3333,5 @@ ORACLES = {
     "set_cover": oracle.SET_COVER,
     "kmv_sketch": oracle.KMV_SKETCH,
     "seg_intersect": oracle.SEG_INTERSECT,
+    "rnn_match": oracle.RNN_MATCH,
 }

@@ -755,3 +755,66 @@ def ann_pq_topk(emb_ds, qids, Q, books, k: int = C.ANN_K, rerank: int = PQ_RERAN
     return local2.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pandas"
     )
+
+
+RNN_STRIDE = 7
+RNN_K = 5
+
+
+def rnn_pairs(emb_sub_ds, qids, Q, k: int = RNN_K):
+    """Reciprocal nearest neighbors over the stride-subset universe:
+    (a, b) with a < b where each is in the other's cosine top-k — the
+    mutual-match criterion used for high-precision record linking /
+    near-dup mining (one-directional kNN keeps hub false-positives;
+    reciprocity kills them).
+
+    Exact brute baseline on the stride universe (the broadcast query
+    matrix is bounded by corpus/RNN_STRIDE — the same documented knob
+    as ann_brute_topk; the IVF/LSH stages are the 10^9-vector path).
+    The reciprocity check is a groupby on the unordered pair key over
+    the (queries x k)-bounded top-k table — no extra pass over the
+    corpus."""
+    from ray.data.aggregate import Count
+
+    topk = ann_brute_topk(emb_sub_ds, qids, Q, k=k)
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        q = batch.column("query_id").to_numpy()
+        n = batch.column("neighbor_id").to_numpy()
+        lo = np.minimum(q, n)
+        hi = np.maximum(q, n)
+        assert len(hi) == 0 or hi.max() < 2_000_000_011, "pair-key range"
+        return pa.table(
+            {
+                "pk": pa.array(lo * 2_000_000_011 + hi),
+                "a": pa.array(lo),
+                "b": pa.array(hi),
+                # exactly one of a mutual pair's two directed rows has
+                # query < neighbor — that row is the single emitter
+                "fwd": pa.array((q < n).astype(np.int64)),
+            }
+        )
+
+    keyed = topk.map_batches(pair_key, batch_format="pyarrow")
+    counts = keyed.groupby("pk").aggregate(Count(alias_name="n2"))
+
+    # reciprocal iff both directed edges exist (top-k rows are unique
+    # per (query, neighbor), so count == 2 <=> mutual)
+    from robosat_ray.stages.join import copartition_join
+
+    hints = {
+        "left": {"pk": pa.int64(), "a": pa.int64(), "b": pa.int64(),
+                 "fwd": pa.int64()},
+        "right": {"pk": pa.int64(), "n2": pa.int64()},
+    }
+    j = copartition_join(keyed, counts, on="pk", schema_hints=hints)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        m = pa.compute.and_(
+            pa.compute.equal(batch.column("n2"), 2),
+            pa.compute.equal(batch.column("fwd"), 1),
+        )
+        b2 = batch.filter(m)
+        return pa.table({"a": b2.column("a"), "b": b2.column("b")})
+
+    return j.map_batches(emit, batch_format="pyarrow")
