@@ -144,6 +144,15 @@ def run_bench() -> dict:
         "small_qty_revenue", "big_orders", "part_share", "late_suppliers",
         "convex_hull", "gram_matrix", "sliding_dau", "rolling_median",
         "hits", "set_cover", "kmv_sketch", "seg_intersect", "rnn_match",
+        # session-7 completeness: registry entries that predate the
+        # timed list (now every queries() entry is timed per round)
+        "ann_ivf", "class_weights", "compare_filter", "emb_dup",
+        "epoch_loss", "events_pivot", "events_range_join",
+        "events_running", "events_sessions", "extract_text",
+        "featurize_moments", "featurize_stats", "join_agg",
+        "merge_unions", "normalized_dedup", "quadkey_agg", "quadkeys",
+        "sample_stratified", "segmentation_metrics", "simhash",
+        "subset", "top_docs_per_lang", "top_tiles",
     ):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](SF_DIR)
