@@ -4916,3 +4916,15 @@ WHERE t1.rk <= {RNN_K} AND t2.rk <= {RNN_K} AND t1.qa < t1.qb
 # Reciprocal nearest neighbors (mutual top-k match) — mirrors
 # stages/ann.rnn_pairs on the stride-subset universe.
 RNN_MATCH = _rnn_sql()
+
+
+# Merkle-style per-bucket table fingerprint — mirrors
+# stages/text_ops.table_checksum (XOR of 63-bit md5 row hashes).
+TABLE_CHECKSUM = f"""
+SELECT doc_id % 64 AS bucket,
+       bit_xor(CAST((((md5_number(CAST(doc_id AS VARCHAR) || '|' || text)
+                       % {_U64}) + {_U64}) % {_U64})
+                    % 9223372036854775808 AS BIGINT)) AS xor63,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM documents GROUP BY 1
+"""

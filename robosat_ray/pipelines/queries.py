@@ -3022,6 +3022,20 @@ def q_rnn_match(sf_dir: str):
     return rnn_pairs(emb_sub, qids, Q)
 
 
+def q_table_checksum(sf_dir: str):
+    """Per-bucket XOR-of-md5 table fingerprint (anti-entropy /
+    replication-verification certificate); mergeable, shuffle carries
+    buckets only. Oracle: oracle.TABLE_CHECKSUM."""
+    import ray.data
+
+    from robosat_ray.stages.text_ops import table_checksum
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return table_checksum(docs)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -3175,6 +3189,7 @@ QUERIES = {
     "kmv_sketch": q_kmv_sketch,
     "seg_intersect": q_seg_intersect,
     "rnn_match": q_rnn_match,
+    "table_checksum": q_table_checksum,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3334,4 +3349,5 @@ ORACLES = {
     "kmv_sketch": oracle.KMV_SKETCH,
     "seg_intersect": oracle.SEG_INTERSECT,
     "rnn_match": oracle.RNN_MATCH,
+    "table_checksum": oracle.TABLE_CHECKSUM,
 }

@@ -826,3 +826,65 @@ def doc_keywords(documents_ds):
         )
 
     return docs.map_batches(pick, batch_format="pyarrow")
+
+
+CHK_BUCKETS = 64
+_MASK63 = (1 << 63) - 1
+
+
+def table_checksum(docs_ds, n_buckets: int = CHK_BUCKETS):
+    """Merkle-style anti-entropy fingerprint: per bucket (doc_id %
+    n_buckets), the XOR of 63-bit md5 row hashes of "doc_id|text" plus
+    the row count — the order-insensitive, mergeable table-equality
+    certificate used to verify replication / resume output at scale
+    (same XOR construction as runtime/lineage.batch_checksum, here
+    with a bit-exact DuckDB twin via md5_number % 2^63).
+
+    Scale shape: per-batch partials are (bucket, xor, count) — the
+    shuffle carries n_buckets rows per block, never documents."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        texts = b.column("text").to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{i}|{t}".encode("utf-8")).digest()[:8],
+                    "little",
+                )
+                & _MASK63
+                for i, t in zip(ids, texts)
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        bk = (ids % n_buckets).astype(np.int64)
+        uk = np.unique(bk)
+        xors = np.zeros(len(uk), dtype=np.int64)
+        cnts = np.zeros(len(uk), dtype=np.int64)
+        pos = np.searchsorted(uk, bk)
+        np.bitwise_xor.at(xors, pos, h)
+        np.add.at(cnts, pos, 1)
+        return pa.table(
+            {
+                "bucket": pa.array(uk),
+                "x": pa.array(xors),
+                "c": pa.array(cnts),
+            }
+        )
+
+    parts = docs_ds.map_batches(partial, batch_format="pyarrow")
+
+    def xor_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": [int(g["bucket"].iloc[0])],
+                "xor63": [int(np.bitwise_xor.reduce(g["x"].to_numpy(np.int64)))],
+                "n_rows": [int(g["c"].sum())],
+            }
+        )
+
+    return parts.groupby("bucket").map_groups(xor_fold, batch_format="pandas")
