@@ -4928,3 +4928,25 @@ SELECT doc_id % 64 AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM documents GROUP BY 1
 """
+
+
+def _adaptive_grid_sql() -> str:
+    """Equi-depth 16 x 16 adaptive tiling — mirrors
+    stages/adaptive.adaptive_grid (NTILE over the composite
+    (quantized coord, doc_id) integer key per axis)."""
+    kx = ("(CAST(FLOOR(lon * 1000000.0 + 0.5) AS BIGINT) + 200000000)"
+          " * 2147483648 + doc_id")
+    ky = ("CAST(FLOOR(my * 100000000.0 + 0.5) AS BIGINT)"
+          " * 2147483648 + doc_id")
+    return f"""
+WITH {points_cte()},
+kx AS (SELECT doc_id, ntile(16) OVER (ORDER BY {kx}) AS bx FROM pts),
+ky AS (SELECT doc_id, ntile(16) OVER (ORDER BY {ky}) AS by FROM pts)
+SELECT CAST(kx.bx AS BIGINT) AS bx, CAST(ky.by AS BIGINT) AS by,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM kx JOIN ky USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+ADAPTIVE_GRID = _adaptive_grid_sql()

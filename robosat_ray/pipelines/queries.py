@@ -3036,6 +3036,20 @@ def q_table_checksum(sf_dir: str):
     return table_checksum(docs)
 
 
+def q_adaptive_grid(sf_dir: str):
+    """Equi-depth 16x16 adaptive tiling (exact NTILE per axis) — the
+    skew-proof balanced partition grid for hot cities; two distributed
+    rank scans + one doc co-partition join. Oracle: oracle.ADAPTIVE_GRID."""
+    import ray.data
+
+    from robosat_ray.stages.adaptive import adaptive_grid
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return adaptive_grid(docs)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -3190,6 +3204,7 @@ QUERIES = {
     "seg_intersect": q_seg_intersect,
     "rnn_match": q_rnn_match,
     "table_checksum": q_table_checksum,
+    "adaptive_grid": q_adaptive_grid,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3350,4 +3365,5 @@ ORACLES = {
     "seg_intersect": oracle.SEG_INTERSECT,
     "rnn_match": oracle.RNN_MATCH,
     "table_checksum": oracle.TABLE_CHECKSUM,
+    "adaptive_grid": oracle.ADAPTIVE_GRID,
 }

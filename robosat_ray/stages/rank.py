@@ -78,11 +78,14 @@ def exact_rank(scored, emit_pct: bool = False, descending: bool = False):
     hi = int(scored.max("score"))
     span = hi - lo + 1
 
+    # divide-first bucketing: (s - lo) * N // span overflows int64 for
+    # wide composite keys (e.g. adaptive_grid's (coord << 31 | doc_id));
+    # step-division is monotone-equivalent and overflow-safe
+    step = max(1, (span + N_RANK_BUCKETS - 1) // N_RANK_BUCKETS)
+
     def bucketed(batch: pa.Table) -> pa.Table:
         s = batch.column("score").to_numpy()
-        return batch.append_column(
-            "rbucket", pa.array((s - lo) * N_RANK_BUCKETS // span)
-        )
+        return batch.append_column("rbucket", pa.array((s - lo) // step))
 
     bd = scored.map_batches(bucketed, batch_format="pyarrow")
 
