@@ -4950,3 +4950,27 @@ GROUP BY 1, 2
 
 
 ADAPTIVE_GRID = _adaptive_grid_sql()
+
+
+# Exact integer Gini of the per-cell page distribution — mirrors
+# stages/skew.skew_report.
+SKEW_REPORT = f"""
+WITH {points_cte()},
+pc AS (
+  SELECT {cell('lon', 'my')} AS cell, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1
+),
+rk AS (
+  SELECT n, row_number() OVER (ORDER BY n, cell) AS r FROM pc
+),
+s AS (
+  SELECT CAST(SUM(r * n) AS BIGINT) AS rx, CAST(SUM(n) AS BIGINT) AS x,
+         CAST(MAX(n) AS BIGINT) AS mx, CAST(COUNT(*) AS BIGINT) AS k
+  FROM rk
+)
+SELECT k AS n_cells, x AS total_pages,
+       CAST(2 * rx - (k + 1) * x AS BIGINT) AS gini_num,
+       CAST(k * x AS BIGINT) AS gini_den,
+       CAST(mx * 10000 // x AS BIGINT) AS top_share_bp
+FROM s
+"""

@@ -3050,6 +3050,20 @@ def q_adaptive_grid(sf_dir: str):
     return adaptive_grid(docs)
 
 
+def q_skew_report(sf_dir: str):
+    """Exact integer Gini + hottest-cell share of the per-cell page
+    distribution — the skew diagnostic behind the flagship's salting
+    decisions. Oracle: oracle.SKEW_REPORT."""
+    import ray.data
+
+    from robosat_ray.stages.skew import skew_report
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return skew_report(docs)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -3205,6 +3219,7 @@ QUERIES = {
     "rnn_match": q_rnn_match,
     "table_checksum": q_table_checksum,
     "adaptive_grid": q_adaptive_grid,
+    "skew_report": q_skew_report,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3366,4 +3381,5 @@ ORACLES = {
     "rnn_match": oracle.RNN_MATCH,
     "table_checksum": oracle.TABLE_CHECKSUM,
     "adaptive_grid": oracle.ADAPTIVE_GRID,
+    "skew_report": oracle.SKEW_REPORT,
 }
