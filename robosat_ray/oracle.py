@@ -4974,3 +4974,36 @@ SELECT k AS n_cells, x AS total_pages,
        CAST(mx * 10000 // x AS BIGINT) AS top_share_bp
 FROM s
 """
+
+
+# Per-source token-distribution L1 drift vs the global mixture —
+# mirrors stages/drift.domain_drift (dense 256-bucket share vectors,
+# per-million floor shares).
+DOMAIN_DRIFT = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tb AS (
+  SELECT source,
+         CAST(((md5_number(token) % 256) + 256) % 256 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+),
+srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts FROM tb GROUP BY 1),
+gb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS gc FROM tb GROUP BY 1),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM tb),
+dense AS (
+  SELECT s.source, s.ts, bb.b,
+         COALESCE(tb.c, 0) AS c,
+         COALESCE(gb.gc, 0) AS gc
+  FROM srcs s
+  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) bb
+  LEFT JOIN tb ON tb.source = s.source AND tb.b = bb.b
+  LEFT JOIN gb ON gb.b = bb.b
+)
+SELECT d.source, d.ts AS n_tokens,
+       CAST(SUM(ABS(d.c * 1000000 // d.ts - d.gc * 1000000 // n.nt))
+            AS BIGINT) AS drift_milli
+FROM dense d, n
+GROUP BY 1, 2
+"""

@@ -3064,6 +3064,20 @@ def q_skew_report(sf_dir: str):
     return skew_report(docs)
 
 
+def q_domain_drift(sf_dir: str):
+    """Per-source token-distribution L1 drift vs the global mixture
+    (256 md5 buckets, exact per-million shares) — the data-mixture
+    shift diagnostic. Oracle: oracle.DOMAIN_DRIFT."""
+    import ray.data
+
+    from robosat_ray.stages.drift import domain_drift
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return domain_drift(docs)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -3220,6 +3234,7 @@ QUERIES = {
     "table_checksum": q_table_checksum,
     "adaptive_grid": q_adaptive_grid,
     "skew_report": q_skew_report,
+    "domain_drift": q_domain_drift,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3382,4 +3397,5 @@ ORACLES = {
     "table_checksum": oracle.TABLE_CHECKSUM,
     "adaptive_grid": oracle.ADAPTIVE_GRID,
     "skew_report": oracle.SKEW_REPORT,
+    "domain_drift": oracle.DOMAIN_DRIFT,
 }
