@@ -5007,3 +5007,33 @@ SELECT d.source, d.ts AS n_tokens,
 FROM dense d, n
 GROUP BY 1, 2
 """
+
+
+def _bpe_merges_sql(rounds: int) -> str:
+    """Greedy BPE merge training, unrolled per round — mirrors
+    stages/bpe_train.bpe_merges (overlapping pair counts; replace is
+    greedy left-to-right non-overlapping in both engines; ties break
+    to the lexicographically smallest pair == numeric code order on
+    the ASCII corpus)."""
+    parts = ["d0 AS (SELECT text AS s FROM documents)"]
+    selects = []
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"p{r} AS (SELECT substr(s, i, 2) AS pair, COUNT(*) AS c FROM "
+            f"(SELECT s, unnest(generate_series(1, len(s) - 1)) AS i "
+            f"FROM d{r-1}) GROUP BY 1)"
+        )
+        parts.append(
+            f"w{r} AS (SELECT CAST({r} AS BIGINT) AS round, pair, "
+            f"CAST(c AS BIGINT) AS cnt FROM p{r} "
+            f"QUALIFY row_number() OVER (ORDER BY c DESC, pair ASC) = 1)"
+        )
+        parts.append(
+            f"d{r} AS (SELECT replace(s, (SELECT pair FROM w{r}), chr({r})) "
+            f"AS s FROM d{r-1})"
+        )
+        selects.append(f"SELECT * FROM w{r}")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+BPE_MERGES = _bpe_merges_sql(3)

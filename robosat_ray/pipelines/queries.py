@@ -3078,6 +3078,20 @@ def q_domain_drift(sf_dir: str):
     return domain_drift(docs)
 
 
+def q_bpe_merges(sf_dir: str):
+    """Greedy BPE merge training (3 rounds): per-round zero-shuffle
+    dense pair-count partials + driver argmax — the tokenizer-fit
+    primitive. Oracle: oracle.BPE_MERGES."""
+    import ray.data
+
+    from robosat_ray.stages.bpe_train import bpe_merges
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return bpe_merges(docs)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -3235,6 +3249,7 @@ QUERIES = {
     "adaptive_grid": q_adaptive_grid,
     "skew_report": q_skew_report,
     "domain_drift": q_domain_drift,
+    "bpe_merges": q_bpe_merges,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3398,4 +3413,5 @@ ORACLES = {
     "adaptive_grid": oracle.ADAPTIVE_GRID,
     "skew_report": oracle.SKEW_REPORT,
     "domain_drift": oracle.DOMAIN_DRIFT,
+    "bpe_merges": oracle.BPE_MERGES,
 }
