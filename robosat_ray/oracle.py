@@ -5037,3 +5037,51 @@ def _bpe_merges_sql(rounds: int) -> str:
 
 
 BPE_MERGES = _bpe_merges_sql(3)
+
+
+# Exact union (dissolve) area of building rects per region — mirrors
+# stages/union_area.union_area (x-strip scanline + per-strip y-interval
+# union with the INTERVAL_UNION gaps-and-islands rule).
+UNION_AREA = f"""
+WITH {feet_cte()},
+r AS (
+  SELECT CASE WHEN feature_id % 10 < 6 THEN CAST(feature_id % 8 AS BIGINT)
+              ELSE 8 + CAST(feature_id % 4 AS BIGINT) END AS g,
+         CAST(FLOOR(minx * 1000000.0 + 0.5) AS BIGINT) AS x0,
+         CAST(FLOOR(miny * 100000000.0 + 0.5) AS BIGINT) AS y0,
+         CAST(FLOOR(maxx * 1000000.0 + 0.5) AS BIGINT) AS x1,
+         CAST(FLOOR(maxy * 100000000.0 + 0.5) AS BIGINT) AS y1
+  FROM feet WHERE kind = 'building'
+),
+b AS (SELECT DISTINCT g, x0 AS xb FROM r UNION SELECT DISTINCT g, x1 FROM r),
+strips AS (
+  SELECT g, xb AS xs,
+         lead(xb) OVER (PARTITION BY g ORDER BY xb) AS xe
+  FROM (SELECT DISTINCT g, xb FROM b)
+),
+cov AS (
+  SELECT s.g, s.xs, s.xe, r.y0, r.y1
+  FROM strips s JOIN r ON r.g = s.g AND r.x0 <= s.xs AND r.x1 >= s.xe
+  WHERE s.xe IS NOT NULL
+),
+m AS (
+  SELECT g, xs, xe, y0, y1,
+         MAX(y1) OVER (PARTITION BY g, xs ORDER BY y0, y1
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prevmax
+  FROM cov
+),
+runs AS (
+  SELECT g, xs, xe, y0, y1,
+         SUM(CASE WHEN prevmax IS NULL OR y0 > prevmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY g, xs ORDER BY y0, y1
+                 ROWS UNBOUNDED PRECEDING) AS isl
+  FROM m
+),
+iu AS (
+  SELECT g, xs, xe, MIN(y0) AS s0, MAX(y1) AS e0
+  FROM runs GROUP BY g, xs, xe, isl
+)
+SELECT g, CAST(COALESCE(SUM((xe - xs) * (e0 - s0)), 0) AS BIGINT) AS area
+FROM iu GROUP BY g
+"""

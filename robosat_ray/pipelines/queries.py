@@ -3092,6 +3092,16 @@ def q_bpe_merges(sf_dir: str):
     return bpe_merges(docs)
 
 
+def q_union_area(sf_dir: str):
+    """Exact dissolve: union AREA of each region's building rects via
+    x-strip scanline + per-strip y-interval union (gaps-and-islands),
+    all integer lattice arithmetic. Oracle: oracle.UNION_AREA."""
+    from robosat_ray.stages.union_area import union_area
+    from robosat_ray.synth.footprints import footprints_dataset
+
+    return union_area(footprints_dataset(sf_dir))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -3250,6 +3260,7 @@ QUERIES = {
     "skew_report": q_skew_report,
     "domain_drift": q_domain_drift,
     "bpe_merges": q_bpe_merges,
+    "union_area": q_union_area,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3414,4 +3425,5 @@ ORACLES = {
     "skew_report": oracle.SKEW_REPORT,
     "domain_drift": oracle.DOMAIN_DRIFT,
     "bpe_merges": oracle.BPE_MERGES,
+    "union_area": oracle.UNION_AREA,
 }
