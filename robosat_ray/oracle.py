@@ -5085,3 +5085,31 @@ iu AS (
 SELECT g, CAST(COALESCE(SUM((xe - xs) * (e0 - s0)), 0) AS BIGINT) AS area
 FROM iu GROUP BY g
 """
+
+
+# TPC-H Q4 shape — mirrors stages/tpch.priority_counts (EXISTS
+# semi-join aggregate; a lineitem is late iff shipped > 60 days after
+# the order date, tpch.Q4_LATE_DAYS).
+PRIORITY_COUNTS = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY 1
+"""
+
+
+# Exact per-user mode of event_type (tie -> lexicographically smallest
+# type) — mirrors stages/events.mode_per_user.
+MODE_PER_USER = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS mode_type, n FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY n DESC, event_type ASC) = 1
+"""

@@ -3102,6 +3102,38 @@ def q_union_area(sf_dir: str):
     return union_area(footprints_dataset(sf_dir))
 
 
+def q_priority_counts(sf_dir: str):
+    """TPC-H-Q4-shape: EXISTS semi-join aggregate — orders with any
+    late lineitem counted per priority; lineitems reduce to per-order
+    max shipdate inside combiners. Oracle: oracle.PRIORITY_COUNTS."""
+    import ray.data
+
+    from robosat_ray.stages.tpch import priority_counts
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    )
+    return priority_counts(li, orders)
+
+
+def q_mode_per_user(sf_dir: str):
+    """Exact distributed mode (argmax-per-group): each user's most
+    frequent event type, ties to the smallest type.
+    Oracle: oracle.MODE_PER_USER."""
+    import ray.data
+
+    from robosat_ray.stages.events import mode_per_user
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return mode_per_user(ev)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -3261,6 +3293,8 @@ QUERIES = {
     "domain_drift": q_domain_drift,
     "bpe_merges": q_bpe_merges,
     "union_area": q_union_area,
+    "priority_counts": q_priority_counts,
+    "mode_per_user": q_mode_per_user,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3426,4 +3460,6 @@ ORACLES = {
     "domain_drift": oracle.DOMAIN_DRIFT,
     "bpe_merges": oracle.BPE_MERGES,
     "union_area": oracle.UNION_AREA,
+    "priority_counts": oracle.PRIORITY_COUNTS,
+    "mode_per_user": oracle.MODE_PER_USER,
 }

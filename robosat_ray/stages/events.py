@@ -970,3 +970,56 @@ def rolling_median(events_ds, window: int = MEDIAN_WINDOW):
         .groupby("ubucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def mode_per_user(events_ds):
+    """Exact mode: each user's most frequent event_type (ties break to
+    the lexicographically smallest type) plus its count — the
+    distributed argmax-per-group aggregate. Per-batch (user, type)
+    combiners -> ONE user-bucket shuffle -> per-bucket lexsort argmax;
+    output is one row per user."""
+    from robosat_ray.functions.hashing import hash_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy()
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(et, sort=True)
+        key = u * np.int64(len(uniq) if len(uniq) else 1) + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        nv = np.int64(len(uniq) if len(uniq) else 1)
+        uu = uk // nv
+        cc = uk % nv
+        return pa.table(
+            {
+                "ubucket": pa.array(hash_bucket(uu, NUM_USER_BUCKETS)),
+                "user_id": pa.array(uu),
+                "event_type": pa.array(uniq[cc], pa.string()),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["user_id", "event_type"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        agg = agg.sort_values(
+            ["user_id", "c", "event_type"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        first = agg.groupby("user_id", sort=True).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": first["user_id"].to_numpy(np.int64),
+                "mode_type": first["event_type"].to_numpy(object),
+                "n": first["c"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

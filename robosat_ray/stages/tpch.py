@@ -286,3 +286,68 @@ def late_suppliers(li_ds, orders_ds, supp_ds):
         on="s_suppkey",
     )
     return out.select_columns(["s_suppkey", "s_name", "numwait"])
+
+
+Q4_LATE_DAYS = 60
+
+
+def priority_counts(li_ds, orders_ds):
+    """TPC-H Q4 shape: per order priority, the number of orders with
+    at least one lineitem shipped more than Q4_LATE_DAYS after the
+    order date — the EXISTS semi-join aggregate.
+
+    Scale shape: the lineitem side reduces to DISTINCT (orderkey,
+    shipdate-extreme) inside per-batch combiners (max shipdate per
+    orderkey is sufficient for the EXISTS), then ONE orderkey
+    co-partition join against orders and a priority-bounded groupby."""
+    from ray.data.aggregate import Max, Sum
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy()
+        ts = b.column("l_shipdate").cast(pa.int64()).to_numpy()
+        uk, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table({"o_orderkey": pa.array(uk), "mx": pa.array(mx)})
+
+    max_ship = (
+        li_ds.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Max("mx", alias_name="max_ship_us"))
+    )
+
+    def ord_cols(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_orderpriority": b.column("o_orderpriority"),
+                "odate_us": b.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    j = auto_join(
+        orders_ds.map_batches(ord_cols, batch_format="pyarrow"),
+        max_ship,
+        on="o_orderkey",
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        late = (
+            b.column("max_ship_us").to_numpy()
+            > b.column("odate_us").to_numpy() + Q4_LATE_DAYS * US_PER_DAY
+        )
+        t = b.filter(pa.array(late))
+        pr = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(pr, return_counts=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(uk, pa.string()),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        j.map_batches(tag, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("c", alias_name="n_orders"))
+    )
