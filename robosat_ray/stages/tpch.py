@@ -296,11 +296,15 @@ def priority_counts(li_ds, orders_ds):
     at least one lineitem shipped more than Q4_LATE_DAYS after the
     order date — the EXISTS semi-join aggregate.
 
-    Scale shape: the lineitem side reduces to DISTINCT (orderkey,
-    shipdate-extreme) inside per-batch combiners (max shipdate per
-    orderkey is sufficient for the EXISTS), then ONE orderkey
-    co-partition join against orders and a priority-bounded groupby."""
-    from ray.data.aggregate import Max, Sum
+    Scale shape: per-batch (orderkey -> max shipdate) combiners, ONE
+    orderkey co-partition join against orders, then ONE orderkey
+    hash-bucket shuffle whose per-bucket finish dedupes orders
+    (any-late across partial rows) and emits priority-bounded counts.
+    No multi-million-group Ray aggregate anywhere (a 3M-group
+    groupby.aggregate measured ~10x slower than this plan)."""
+    from ray.data.aggregate import Sum
+
+    from robosat_ray.functions.hashing import hash_bucket
 
     def li_partial(b: pa.Table) -> pa.Table:
         ok = b.column("l_orderkey").to_numpy()
@@ -309,12 +313,6 @@ def priority_counts(li_ds, orders_ds):
         mx = np.full(len(uk), np.iinfo(np.int64).min, dtype=np.int64)
         np.maximum.at(mx, inv, ts)
         return pa.table({"o_orderkey": pa.array(uk), "mx": pa.array(mx)})
-
-    max_ship = (
-        li_ds.map_batches(li_partial, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Max("mx", alias_name="max_ship_us"))
-    )
 
     def ord_cols(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -326,28 +324,52 @@ def priority_counts(li_ds, orders_ds):
         )
 
     j = auto_join(
+        li_ds.map_batches(li_partial, batch_format="pyarrow"),
         orders_ds.map_batches(ord_cols, batch_format="pyarrow"),
-        max_ship,
         on="o_orderkey",
     )
 
     def tag(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy()
         late = (
-            b.column("max_ship_us").to_numpy()
+            b.column("mx").to_numpy()
             > b.column("odate_us").to_numpy() + Q4_LATE_DAYS * US_PER_DAY
-        )
-        t = b.filter(pa.array(late))
-        pr = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
-        uk, cnt = np.unique(pr, return_counts=True)
+        ).astype(np.int64)
         return pa.table(
             {
-                "o_orderpriority": pa.array(uk, pa.string()),
-                "c": pa.array(cnt.astype(np.int64)),
+                "qbucket": pa.array(hash_bucket(ok, N_TPCH_BUCKETS)),
+                "ok": pa.array(ok),
+                "pr": b.column("o_orderpriority"),
+                "late": pa.array(late),
             }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["ok"].to_numpy(np.int64)
+        late = g["late"].to_numpy(np.int64)
+        pr = g["pr"].to_numpy(object)
+        order = np.argsort(ok, kind="stable")
+        ok, late, pr = ok[order], late[order], pr[order]
+        new = np.ones(len(ok), dtype=bool)
+        new[1:] = ok[1:] != ok[:-1]
+        oid = np.cumsum(new) - 1
+        n_ord = int(oid[-1]) + 1 if len(oid) else 0
+        any_late = np.zeros(n_ord, dtype=np.int64)
+        np.maximum.at(any_late, oid, late)
+        opr = pr[new]
+        m = any_late == 1
+        import pandas as _pd
+
+        vc = _pd.Series(opr[m]).value_counts()
+        return pd.DataFrame(
+            {"o_orderpriority": vc.index.to_numpy(object),
+             "c": vc.to_numpy(np.int64)}
         )
 
     return (
         j.map_batches(tag, batch_format="pyarrow")
+        .groupby("qbucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .groupby("o_orderpriority")
         .aggregate(Sum("c", alias_name="n_orders"))
     )
