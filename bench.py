@@ -143,7 +143,7 @@ def run_bench() -> dict:
         # round-4 session-7: TPC-H Q17/Q18/Q11/Q21 plan shapes
         "small_qty_revenue", "big_orders", "part_share", "late_suppliers",
         "convex_hull", "gram_matrix", "sliding_dau", "rolling_median",
-        "hits", "set_cover", "kmv_sketch", "seg_intersect", "rnn_match", "table_checksum", "adaptive_grid", "skew_report", "domain_drift", "bpe_merges", "union_area", "priority_counts", "mode_per_user",
+        "hits", "set_cover", "kmv_sketch", "seg_intersect", "rnn_match", "table_checksum", "adaptive_grid", "skew_report", "domain_drift", "bpe_merges", "union_area", "priority_counts", "mode_per_user", "user_journey",
         # session-7 completeness: registry entries that predate the
         # timed list (now every queries() entry is timed per round)
         "ann_ivf", "class_weights", "compare_filter", "emb_dup",

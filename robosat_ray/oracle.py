@@ -5113,3 +5113,26 @@ SELECT user_id, event_type AS mode_type, n FROM c
 QUALIFY row_number() OVER (
   PARTITION BY user_id ORDER BY n DESC, event_type ASC) = 1
 """
+
+
+# Per-user first/last-touch journey summary — mirrors
+# stages/events.user_journey ((ts, event_id) order).
+USER_JOURNEY = """
+WITH f AS (
+  SELECT user_id, event_type AS first_type FROM events
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) = 1
+),
+l AS (
+  SELECT user_id, event_type AS last_type FROM events
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+a AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS span_us
+  FROM events GROUP BY 1
+)
+SELECT a.user_id, f.first_type, l.last_type, a.n_events, a.span_us
+FROM a JOIN f USING (user_id) JOIN l USING (user_id)
+"""

@@ -3134,6 +3134,21 @@ def q_mode_per_user(sf_dir: str):
     return mode_per_user(ev)
 
 
+def q_user_journey(sf_dir: str):
+    """Per-user first/last-touch journey summary (FIRST/LAST_VALUE
+    window surface): one user-bucket shuffle, segment-vectorized
+    first/last/min/max. Oracle: oracle.USER_JOURNEY."""
+    import ray.data
+
+    from robosat_ray.stages.events import user_journey
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return user_journey(ev)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_assign": q_tile_assign,
@@ -3295,6 +3310,7 @@ QUERIES = {
     "union_area": q_union_area,
     "priority_counts": q_priority_counts,
     "mode_per_user": q_mode_per_user,
+    "user_journey": q_user_journey,
 }
 
 # every queries() entry has a DuckDB oracle (zero rows-only): the two
@@ -3462,4 +3478,5 @@ ORACLES = {
     "union_area": oracle.UNION_AREA,
     "priority_counts": oracle.PRIORITY_COUNTS,
     "mode_per_user": oracle.MODE_PER_USER,
+    "user_journey": oracle.USER_JOURNEY,
 }

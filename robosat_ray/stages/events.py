@@ -1023,3 +1023,58 @@ def mode_per_user(events_ds):
         .groupby("ubucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def user_journey(events_ds):
+    """Per-user journey summary: first and last event type in
+    (ts, event_id) order, event count, and active span — the
+    FIRST_VALUE/LAST_VALUE window surface. ONE user hash-bucket
+    shuffle; per bucket a single lexsort gives segment first/last
+    rows and min/max timestamps (no per-user Python)."""
+    from robosat_ray.functions.hashing import hash_bucket
+
+    def prep(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "ubucket": pa.array(hash_bucket(u, NUM_USER_BUCKETS)),
+                "user_id": b.column("user_id"),
+                "tsu": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["tsu"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        last = np.r_[new[1:], True]
+        starts = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        n_seg = len(starts)
+        cnt = np.bincount(seg_id, minlength=n_seg).astype(np.int64)
+        tmin = np.full(n_seg, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(tmin, seg_id, ts)
+        tmax = np.full(n_seg, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(tmax, seg_id, ts)
+        return pd.DataFrame(
+            {
+                "user_id": u[new],
+                "first_type": et[new],
+                "last_type": et[last],
+                "n_events": cnt,
+                "span_us": tmax - tmin,
+            }
+        )
+
+    return (
+        events_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
