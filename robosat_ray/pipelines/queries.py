@@ -1860,12 +1860,14 @@ def q_semdedup(sf_dir: str):
     import ray.data
 
     from robosat_ray.stages.ann import with_emb_variants_batch
+    from robosat_ray.stages.cluster import KMEANS_K
     from robosat_ray.stages.semdedup import semdedup
 
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(with_emb_variants_batch, batch_format="pyarrow")
-    return semdedup(emb)
+    # k pinned: oracle.SEMDEDUP unrolls exactly KMEANS_K clusters
+    return semdedup(emb, k=KMEANS_K)
 
 
 def q_late_events(sf_dir: str):

