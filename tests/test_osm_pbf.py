@@ -197,3 +197,52 @@ def test_ways_with_coords_missing_node_fails_loudly(ray_session):
     )
     with pytest.raises(Exception, match="missing its node row"):
         P.ways_with_coords(nodes, ways).materialize()
+
+
+def test_extract_rasterize_parity_sf001(ray_session, tmp_path):
+    """End-to-end at sf0.01 (round-4 VERDICT #6): synth footprints ->
+    REAL multi-blob .osm.pbf (DenseNodes wire format) -> distributed
+    extract -> rasterize, mask-for-mask equal to rasterize over the
+    synth table directly (synth side quantized with the decoder's exact
+    1e-9 * (granularity * raw) arithmetic, so equality is bit-level,
+    not approximate)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from robosat_ray.stages.rasterize import rasterize
+    from robosat_ray.synth.footprints import footprints_table
+
+    feet = footprints_table("/root/testdata/sf0.01")
+    path = str(tmp_path / "synth.osm.pbf")
+    P.write_pbf(path, P.footprints_to_blocks(feet, per_block=300))
+
+    got_ds = P.extract_pbf(path, kinds=("building", "parking"))
+
+    keep = feet.filter(
+        pc.is_in(feet.column("kind"), pa.array(["building", "parking"]))
+    )
+    q = lambda c: 1e-9 * (
+        np.floor(keep.column(c).to_numpy() * 1e7 + 0.5).astype(np.int64) * 100
+    )
+    synth_q = ray.data.from_arrow(
+        pa.table(
+            {
+                "feature_id": keep.column("feature_id"),
+                "minx": pa.array(q("minx")),
+                "miny": pa.array(q("miny")),
+                "maxx": pa.array(q("maxx")),
+                "maxy": pa.array(q("maxy")),
+            }
+        )
+    )
+
+    def norm(masks_ds):
+        df = masks_ds.to_pandas()
+        df["data"] = df["data"].map(bytes)
+        return df.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+
+    a = norm(rasterize(got_ds, size=64))
+    b = norm(rasterize(synth_q, size=64))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0 and (a["fg"] > 0).any()
