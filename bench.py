@@ -119,8 +119,9 @@ def run_bench() -> dict:
         "langid", "quality", "featurize", "merge_geometry",
         "media_features", "cms_sketch", "ann_pq",
         # round-4 additions: real-container round trips (from-scratch
-        # PNG codec; from-scratch OSM PBF reader)
-        "mask_png", "pbf_extract", "ngram_jaccard",
+        # PNG codec; from-scratch OSM PBF reader); round-5: from-scratch
+        # baseline JPEG codec
+        "mask_png", "pbf_extract", "ngram_jaccard", "jpeg_features",
         # round-4 LLM-data additions: RE2 scrubbing, phrase mining,
         # inverted-index build
         "pii_scrub", "top_bigrams", "postings", "clean_corpus", "geohash", "hilbert", "hexbin", "pagerank", "token_triangles",

@@ -1470,6 +1470,50 @@ SELECT mom.media_id, mom.kind,
 FROM mom JOIN ent USING (media_id)
 """
 
+# JPEG media chain (synth blocky media -> REAL baseline-JPEG encode ->
+# from-scratch decode -> 16x16 resize -> mean/std/entropy): the blocky
+# tensor (one Weyl value per 8x8 block) lives in the subspace where an
+# all-ones-quant baseline JPEG is exactly lossless (codecs/jpeg.py), so
+# the decoded pixels are replayed here without modeling the container:
+# sampled pixel (gy, gx) reads block ((gy*h//16)//8, (gx*w//16)//8).
+JPEG_FEATURES = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         list_extract(['image', 'audio', 'video'], CAST(doc_id % 3 AS INTEGER) + 1) AS kind,
+         32 + (doc_id % 4) * 16 AS w,
+         32 + (doc_id % 3) * 16 AS h,
+         ((md5_number(text) % 18446744073709551616) + 18446744073709551616) % 18446744073709551616 AS seed
+  FROM documents
+),
+px AS (
+  SELECT media_id, kind,
+    CAST(((seed + (((((gy.v * h) // 16) // 8) * (w // 8) + (((gx.v * w) // 16) // 8)) + 1) * {_DECODE_MUL_SQL})
+          % 18446744073709551616) // 72057594037927936 AS BIGINT) AS val
+  FROM m
+  CROSS JOIN generate_series(0, 15) gy(v)
+  CROSS JOIN generate_series(0, 15) gx(v)
+),
+mom AS (
+  SELECT media_id, kind,
+         CAST(SUM(val) AS BIGINT) AS sx, CAST(SUM(val * val) AS BIGINT) AS sxx
+  FROM px GROUP BY media_id, kind
+),
+cnts AS (SELECT media_id, val, COUNT(*) AS c FROM px GROUP BY media_id, val),
+ent AS (
+  SELECT media_id,
+         ROUND(SUM(-((CAST(c AS DOUBLE) / CAST(256 AS DOUBLE))
+               * log2(CAST(c AS DOUBLE) / CAST(256 AS DOUBLE)))), 8) AS entropy
+  FROM cnts GROUP BY media_id
+)
+SELECT mom.media_id, mom.kind,
+       CAST(sx AS DOUBLE) / CAST(256 AS DOUBLE) AS mean,
+       sqrt(GREATEST(CAST(sxx AS DOUBLE) / CAST(256 AS DOUBLE)
+            - (CAST(sx AS DOUBLE) / CAST(256 AS DOUBLE))
+              * (CAST(sx AS DOUBLE) / CAST(256 AS DOUBLE)), CAST(0 AS DOUBLE))) AS std,
+       ent.entropy
+FROM mom JOIN ent USING (media_id)
+"""
+
 # SimHash (Charikar 2002) mirrored exactly: token hash = low 8 bytes
 # of md5 little-endian == md5_number(t) mod 2^64 (HUGEINT, sign-fixed);
 # per-bit vote sum over token counts; bit 63 masked off like the

@@ -1192,6 +1192,18 @@ def q_media_features(sf_dir: str):
     return media_pipeline(sf_dir)
 
 
+def q_jpeg_features(sf_dir: str):
+    """Baseline-JPEG container round trip (the last reference raster
+    format, robosat/tiles.py:65-100): blocky Weyl tensors REALLY
+    encoded as baseline JPEG (from-scratch Huffman/DCT writer), parsed
+    back through the magic-dispatched actor-pool decoder, resized,
+    featurized. Oracle: oracle.JPEG_FEATURES replays the lossless
+    blocky subspace."""
+    from robosat_ray.stages.multimodal import jpeg_media_pipeline
+
+    return jpeg_media_pipeline(sf_dir)
+
+
 def _smallest_sample(sf_dir: str, limit: int = 400) -> np.ndarray:
     """Training sample = embeddings of the `limit` SMALLEST vec_ids —
     enforced explicitly (oracle parity: ORDER BY vec_id LIMIT n)
@@ -3196,6 +3208,7 @@ QUERIES = {
     "events_running": q_events_running,
     "top_tiles": q_top_tiles,
     "media_features": q_media_features,
+    "jpeg_features": q_jpeg_features,
     "ann_ivf": q_ann_ivf,
     "compare_filter": q_compare_filter,
     "subset": q_subset,
@@ -3371,6 +3384,7 @@ ORACLES = {
     "emb_dup": oracle.EMB_DUP,
     "epoch_loss": oracle.EPOCH_LOSS,
     "media_features": oracle.MEDIA_FEATURES,
+    "jpeg_features": oracle.JPEG_FEATURES,
     "mask_png": oracle.MASK_PNG,
     "pbf_extract": oracle.PBF_EXTRACT,
     "ngram_jaccard": oracle.NGRAM_JACCARD,

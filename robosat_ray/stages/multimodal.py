@@ -89,8 +89,9 @@ def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 def decode_raster_gray8(payload: bytes) -> np.ndarray:
     """Magic-dispatched bytes -> (h, w) uint8: 'BM' -> the BMP codec,
     PNG signature -> the from-scratch PNG codec (gray or paletted
-    indices); anything else raises NotImplementedError — the seam
-    where a full codec stack (PIL/cv2/ffmpeg) drops in."""
+    indices), FFD8 -> the from-scratch baseline JPEG codec; anything
+    else raises NotImplementedError — the seam where a full codec
+    stack (PIL/cv2/ffmpeg) drops in."""
     if payload[:2] == b"BM":
         from robosat_ray.codecs.bmp import decode_bmp_gray8
 
@@ -99,6 +100,10 @@ def decode_raster_gray8(payload: bytes) -> np.ndarray:
         from robosat_ray.codecs.png import decode_png_gray8
 
         return decode_png_gray8(payload)
+    if payload[:2] == b"\xff\xd8":
+        from robosat_ray.codecs.jpeg import decode_jpeg_gray8
+
+        return decode_jpeg_gray8(payload)
     raise NotImplementedError("unknown raster container (real codec seam)")
 
 
@@ -209,6 +214,67 @@ def frame_sample_batch(batch: pa.Table, every: int = 4) -> pa.Table:
             "frame": pa.array(out_frame, pa.int64()),
         }
     )
+
+
+def blocky_fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Like fake_decode but CONSTANT per 8x8 block: one Weyl value per
+    block, replicated — the subspace on which baseline JPEG with an
+    all-ones quant table is exactly lossless (only DC energy; see
+    codecs/jpeg.py module docstring), so the decoded pixels are
+    SQL-replayable while the entropy layer is the real wire format."""
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+    nby, nbx = height // 8, width // 8
+    idx = np.arange(nby * nbx, dtype=np.uint64) + np.uint64(1)
+    v = ((np.uint64(seed) + idx * _DECODE_MUL) >> np.uint64(56)).astype(np.uint8)
+    return np.repeat(np.repeat(v.reshape(nby, nbx), 8, axis=0), 8, axis=1)
+
+
+def synth_jpeg_media_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> media rows whose payload is a REAL baseline
+    JPEG of the blocky md5-Weyl tensor (same w/h/kind formulas as
+    synth_media_batch; dims are all multiples of 8)."""
+    from robosat_ray.codecs.jpeg import encode_jpeg_gray
+
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    kinds = np.asarray(["image", "audio", "video"], dtype=object)[(ids % 3).astype(np.int64)]
+    w = (32 + (ids % 4) * 16).astype(np.int32)
+    h = (32 + (ids % 3) * 16).astype(np.int32)
+    nf = np.where(ids % 3 == 2, 8 + (ids % 5), 1).astype(np.int32)
+    payloads = [
+        encode_jpeg_gray(blocky_fake_decode(t.encode(), int(wi), int(hi)))
+        for t, wi, hi in zip(texts, w, h)
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(w),
+            "height": pa.array(h),
+            "n_frames": pa.array(nf),
+        }
+    )
+
+
+def jpeg_media_pipeline(sf_dir: str, concurrency=(1, 4)):
+    """documents -> media (real baseline-JPEG payloads) -> decode
+    (actor pool, real Huffman/zigzag/IDCT byte parsing) -> resize ->
+    features. Same downstream chain as media_pipeline; the oracle
+    replays the blocky tensor (JPEG_FEATURES)."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = docs.map_batches(synth_jpeg_media_batch, batch_format="pyarrow")
+    decoded = media.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"mode": "container"},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    resized = decoded.map_batches(resize_batch, batch_format="pyarrow")
+    return resized.map_batches(feature_batch, batch_format="pyarrow")
 
 
 def media_pipeline(sf_dir: str, concurrency=(1, 4)):

@@ -105,3 +105,32 @@ def test_synth_media_mixes_png_and_bmp_containers():
             texts[row["media_id"]].encode(), row["width"], row["height"]
         )
         assert (decode_raster_gray8(payload) == want).all()
+
+
+def test_jpeg_media_chain_lossless():
+    """Blocky synth -> REAL baseline-JPEG bytes -> magic-dispatched
+    decode recovers the tensor EXACTLY (the lossless DC-only subspace
+    the jpeg_features oracle relies on)."""
+    from robosat_ray.stages.multimodal import (
+        blocky_fake_decode,
+        decode_raster_gray8,
+        synth_jpeg_media_batch,
+    )
+
+    media = synth_jpeg_media_batch(_docs_batch())
+    for r in media.to_pylist():
+        payload = r["payload"]
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        got = decode_raster_gray8(payload)
+        assert got.shape == (r["height"], r["width"])
+        # reconstruct what the synth encoded: blocky tensor of the
+        # original payload text seed — recompute from the doc text
+    docs = _docs_batch()
+    for did, text, r in zip(
+        docs.column("doc_id").to_pylist(),
+        docs.column("text").to_pylist(),
+        media.to_pylist(),
+    ):
+        want = blocky_fake_decode(text.encode(), r["width"], r["height"])
+        got = decode_raster_gray8(r["payload"])
+        np.testing.assert_array_equal(got, want)
