@@ -64,19 +64,34 @@ def _edge_relax(labels_ds, edges_ds):
     )
 
     def offer(group: pd.DataFrame) -> pd.DataFrame:
-        out_n, out_l = [], []
-        for key, g in group.groupby("key", sort=False):
-            labs = g.loc[g["role"] == 0, "val"]
-            if len(labs) == 0:
-                continue
-            lab = int(labs.min())
-            out_n.append(int(key))
-            out_l.append(lab)
-            for v in g.loc[g["role"] == 1, "val"]:
-                out_n.append(int(v))
-                out_l.append(lab)
-        return pd.DataFrame({"node": pd.Series(out_n, dtype=np.int64),
-                             "label": pd.Series(out_l, dtype=np.int64)})
+        # fully vectorized (sort + reduceat + searchsorted): per key
+        # with a label row, emit (key, min-label) and relay that label
+        # to every edge neighbor val — no per-key Python loop
+        keys = group["key"].to_numpy(np.int64)
+        roles = group["role"].to_numpy(np.int8)
+        vals = group["val"].to_numpy(np.int64)
+        m0 = roles == 0
+        k0, v0 = keys[m0], vals[m0]
+        if len(k0) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "label": pd.Series([], dtype=np.int64)})
+        o0 = np.argsort(k0, kind="stable")
+        k0, v0 = k0[o0], v0[o0]
+        ch = np.empty(len(k0), dtype=bool)
+        ch[0] = True
+        ch[1:] = k0[1:] != k0[:-1]
+        starts = np.nonzero(ch)[0]
+        labeled = k0[starts]
+        lab = np.minimum.reduceat(v0, starts)
+        k1, v1 = keys[~m0], vals[~m0]
+        pos = np.clip(np.searchsorted(labeled, k1), 0, len(labeled) - 1)
+        has = labeled[pos] == k1
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([labeled, v1[has]]),
+                "label": np.concatenate([lab, lab[pos[has]]]),
+            }
+        )
 
     def bucket(b: pa.Table) -> pa.Table:
         k = b.column("key").to_numpy()
@@ -118,17 +133,30 @@ def _pointer_jump(labels_ds):
     )
 
     def answer(group: pd.DataFrame) -> pd.DataFrame:
-        out_n, out_l = [], []
-        for key, g in group.groupby("key", sort=False):
-            labs = g.loc[g["role"] == 0, "val"]
-            lab = int(labs.min()) if len(labs) else int(key)
-            out_n.append(int(key))
-            out_l.append(lab)
-            for origin in g.loc[g["role"] == 1, "val"]:
-                out_n.append(int(origin))
-                out_l.append(lab)
-        return pd.DataFrame({"node": pd.Series(out_n, dtype=np.int64),
-                             "label": pd.Series(out_l, dtype=np.int64)})
+        # vectorized like offer(); a key with no label row answers
+        # with itself (label = key)
+        keys = group["key"].to_numpy(np.int64)
+        roles = group["role"].to_numpy(np.int8)
+        vals = group["val"].to_numpy(np.int64)
+        uniq = np.unique(keys)
+        m0 = roles == 0
+        k0, v0 = keys[m0], vals[m0]
+        lab_all = uniq.copy()  # default: answer with the key itself
+        if len(k0):
+            o0 = np.argsort(k0, kind="stable")
+            k0, v0 = k0[o0], v0[o0]
+            ch = np.empty(len(k0), dtype=bool)
+            ch[0] = True
+            ch[1:] = k0[1:] != k0[:-1]
+            starts = np.nonzero(ch)[0]
+            lab_all[np.searchsorted(uniq, k0[starts])] = np.minimum.reduceat(v0, starts)
+        k1, v1 = keys[~m0], vals[~m0]
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([uniq, v1]),
+                "label": np.concatenate([lab_all, lab_all[np.searchsorted(uniq, k1)]]),
+            }
+        )
 
     def bucket(b: pa.Table) -> pa.Table:
         k = b.column("key").to_numpy()

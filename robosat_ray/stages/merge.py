@@ -423,25 +423,51 @@ def merge_unions(
     )
 
     def reduce_comp(group: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for cid, g in group.groupby("component_id", sort=False):
-            area = rect_union_area(
-                g["minx"].to_numpy(), g["miny"].to_numpy(),
-                g["maxx"].to_numpy(), g["maxy"].to_numpy(),
-            )
-            rows.append(
+        # per-component bbox/count via sort + reduceat (no pandas
+        # sub-groupby / per-component dict rows); only the exact
+        # union-area slab scan stays per-component
+        cids = group["component_id"].to_numpy(np.int64)
+        minx = group["minx"].to_numpy(np.float64)
+        miny = group["miny"].to_numpy(np.float64)
+        maxx = group["maxx"].to_numpy(np.float64)
+        maxy = group["maxy"].to_numpy(np.float64)
+        order = np.argsort(cids, kind="stable")
+        cids, minx, miny, maxx, maxy = (
+            cids[order], minx[order], miny[order], maxx[order], maxy[order]
+        )
+        n = len(cids)
+        if n == 0:
+            return pd.DataFrame(
                 {
-                    "component_id": int(cid),
-                    "n_members": len(g),
-                    "minx": float(g["minx"].min()),
-                    "miny": float(g["miny"].min()),
-                    "maxx": float(g["maxx"].max()),
-                    "maxy": float(g["maxy"].max()),
-                    "union_area_q": int(np.round(area * 1e10)),
+                    "component_id": pd.Series([], dtype=np.int64),
+                    "n_members": pd.Series([], dtype=np.int64),
+                    "minx": pd.Series([], dtype=np.float64),
+                    "miny": pd.Series([], dtype=np.float64),
+                    "maxx": pd.Series([], dtype=np.float64),
+                    "maxy": pd.Series([], dtype=np.float64),
+                    "union_area_q": pd.Series([], dtype=np.int64),
                 }
             )
-        return pd.DataFrame(rows).astype(
-            {"component_id": np.int64, "n_members": np.int64, "union_area_q": np.int64}
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = cids[1:] != cids[:-1]
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], n)
+        areas = np.empty(len(starts), dtype=np.int64)
+        for k, (s, e) in enumerate(zip(starts, ends)):
+            areas[k] = int(
+                np.round(rect_union_area(minx[s:e], miny[s:e], maxx[s:e], maxy[s:e]) * 1e10)
+            )
+        return pd.DataFrame(
+            {
+                "component_id": cids[starts],
+                "n_members": (ends - starts).astype(np.int64),
+                "minx": np.minimum.reduceat(minx, starts),
+                "miny": np.minimum.reduceat(miny, starts),
+                "maxx": np.maximum.reduceat(maxx, starts),
+                "maxy": np.maximum.reduceat(maxy, starts),
+                "union_area_q": areas,
+            }
         )
 
     return tagged.groupby("bucket").map_groups(reduce_comp, batch_format="pandas")

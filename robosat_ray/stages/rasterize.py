@@ -45,48 +45,6 @@ def _explode_to_tiles(batch: pa.Table, z: int) -> pa.Table:
     )
 
 
-def _burn_group(group, z: int, size: int):
-    """All features covering one tile -> one (size, size) uint8 mask,
-    max-merged. Axis-aligned rects take a vectorized direct fill with
-    the SAME pixel-center rule as the scanline kernel (a = first
-    center >= edge); general rings go through geo.raster.fill_rings —
-    results are identical for rects (tested)."""
-    import pandas as pd
-
-    tx = int(group["tile_x"].iloc[0])
-    ty = int(group["tile_y"].iloc[0])
-    n = float(1 << z)
-    west = tx / n * 360.0 - 180.0
-    east = (tx + 1) / n * 360.0 - 180.0
-    north = ty / n
-    south = (ty + 1) / n
-    sx = size / (east - west)
-    sy = size / (south - north)
-    mask = np.zeros((size, size), dtype=np.uint8)
-    g = group[group["minx"].notna()]
-    if len(g):
-        x0 = np.ceil((g["minx"].to_numpy() - west) * sx - 0.5).astype(np.int64)
-        x1 = np.ceil((g["maxx"].to_numpy() - west) * sx - 0.5).astype(np.int64)
-        y0 = np.ceil((g["miny"].to_numpy() - north) * sy - 0.5).astype(np.int64)
-        y1 = np.ceil((g["maxy"].to_numpy() - north) * sy - 0.5).astype(np.int64)
-        x0 = np.clip(x0, 0, size)
-        x1 = np.clip(x1, 0, size)
-        y0 = np.clip(y0, 0, size)
-        y1 = np.clip(y1, 0, size)
-        for a, b, c, d in zip(x0, x1, y0, y1):
-            if b > a and d > c:
-                mask[c:d, a:b] = 1
-    return pd.DataFrame(
-        {
-            "tile_x": [tx],
-            "tile_y": [ty],
-            "size": [size],
-            "fg": [int(np.count_nonzero(mask))],
-            "data": [mask.tobytes()],
-        }
-    )
-
-
 def rasterize(footprints_ds, z: int = C.Z_JOIN, size: int = 256, tiles_ds=None):
     """footprints -> masks Dataset (tile_x, tile_y, size, fg, data).
 
@@ -124,13 +82,65 @@ def rasterize(footprints_ds, z: int = C.Z_JOIN, size: int = 256, tiles_ds=None):
         return b.append_column("bucket", pa.array(bucket))
 
     def burn_bucket(group, z=z, size=size):
+        # All features covering each tile -> one (size, size) uint8
+        # mask, max-merged. Axis-aligned rects take a vectorized direct
+        # fill with the SAME pixel-center rule as the scanline kernel
+        # (a = first center >= edge; identical for rects, tested).
+        # Tile grouping is a numpy lexsort + boundary scan — a pandas
+        # sub-groupby with a per-tile DataFrame paid more per-group
+        # overhead than the burn itself (same fix as the scorer
+        # stitch/pair kernels).
         import pandas as pd
 
-        outs = [
-            _burn_group(g, z, size)
-            for _, g in group.groupby(["tile_x", "tile_y"], sort=False)
-        ]
-        return pd.concat(outs, ignore_index=True)
+        txa = group["tile_x"].to_numpy(np.int64)
+        tya = group["tile_y"].to_numpy(np.int64)
+        minx = group["minx"].to_numpy(np.float64)
+        miny = group["miny"].to_numpy(np.float64)
+        maxx = group["maxx"].to_numpy(np.float64)
+        maxy = group["maxy"].to_numpy(np.float64)
+        order = np.lexsort((tya, txa))
+        txa, tya = txa[order], tya[order]
+        minx, miny, maxx, maxy = minx[order], miny[order], maxx[order], maxy[order]
+        m = len(txa)
+        change = np.empty(m, dtype=bool)
+        if m:
+            change[0] = True
+            change[1:] = (txa[1:] != txa[:-1]) | (tya[1:] != tya[:-1])
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], m)
+        n = float(1 << z)
+        out_x, out_y, out_fg, out_data = [], [], [], []
+        for s, e in zip(starts, ends):
+            tx, ty = int(txa[s]), int(tya[s])
+            west = tx / n * 360.0 - 180.0
+            east = (tx + 1) / n * 360.0 - 180.0
+            north = ty / n
+            south = (ty + 1) / n
+            sx = size / (east - west)
+            sy = size / (south - north)
+            mask = np.zeros((size, size), dtype=np.uint8)
+            sel = ~np.isnan(minx[s:e])
+            if sel.any():
+                x0 = np.clip(np.ceil((minx[s:e][sel] - west) * sx - 0.5).astype(np.int64), 0, size)
+                x1 = np.clip(np.ceil((maxx[s:e][sel] - west) * sx - 0.5).astype(np.int64), 0, size)
+                y0 = np.clip(np.ceil((miny[s:e][sel] - north) * sy - 0.5).astype(np.int64), 0, size)
+                y1 = np.clip(np.ceil((maxy[s:e][sel] - north) * sy - 0.5).astype(np.int64), 0, size)
+                for a, b, c, d in zip(x0, x1, y0, y1):
+                    if b > a and d > c:
+                        mask[c:d, a:b] = 1
+            out_x.append(tx)
+            out_y.append(ty)
+            out_fg.append(int(np.count_nonzero(mask)))
+            out_data.append(mask.tobytes())
+        return pd.DataFrame(
+            {
+                "tile_x": np.array(out_x, dtype=np.int64),
+                "tile_y": np.array(out_y, dtype=np.int64),
+                "size": np.full(len(out_x), size, dtype=np.int64),
+                "fg": np.array(out_fg, dtype=np.int64),
+                "data": pd.Series(out_data, dtype=object),
+            }
+        )
 
     return (
         exploded.map_batches(tag, batch_format="pyarrow")
