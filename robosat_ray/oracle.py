@@ -1514,6 +1514,42 @@ SELECT mom.media_id, mom.kind,
 FROM mom JOIN ent USING (media_id)
 """
 
+# Mergeable log2-binned quantile sketch (DDSketch construction, base-2
+# buckets) mirrored exactly: bin = floor(log2(max(v,1))) computed with
+# an INTEGER compare against a 2^b LUT (no libm log2 at 2^k
+# boundaries); quantile rule = smallest bin with cum * 1e6 >= qm * n,
+# pure int64 — see stages/qsketch.py.
+QUANTILE_SKETCH = """
+WITH lut AS (
+  SELECT b.v AS bin, CAST(power(2, b.v) AS BIGINT) AS lo
+  FROM generate_series(0, 62) b(v)
+),
+binned AS (
+  SELECT lang,
+         (SELECT MAX(l.bin) FROM lut l WHERE l.lo <= GREATEST(d.n_chars, 1)) AS bin
+  FROM documents d
+),
+counts AS (
+  SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n FROM binned GROUP BY lang, bin
+),
+cums AS (
+  SELECT lang, bin, n,
+         CAST(SUM(n) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS total
+  FROM counts
+),
+qs AS (SELECT unnest([500000, 900000, 990000]) AS q_micro),
+hit AS (
+  SELECT c.lang, q.q_micro, c.total AS n, MIN(c.bin) AS bin
+  FROM cums c JOIN qs q ON c.cum * 1000000 >= q.q_micro * c.total
+  GROUP BY c.lang, q.q_micro, c.total
+)
+SELECT lang, CAST(q_micro AS BIGINT) AS q_micro, n, bin,
+       CAST(power(2, bin) AS BIGINT) AS lo,
+       CAST(power(2, bin + 1) AS BIGINT) - 1 AS hi
+FROM hit
+"""
+
 # SimHash (Charikar 2002) mirrored exactly: token hash = low 8 bytes
 # of md5 little-endian == md5_number(t) mod 2^64 (HUGEINT, sign-fixed);
 # per-bit vote sum over token counts; bit 63 masked off like the

@@ -1192,6 +1192,21 @@ def q_media_features(sf_dir: str):
     return media_pipeline(sf_dir)
 
 
+def q_quantile_sketch(sf_dir: str):
+    """Mergeable base-2 DDSketch quantiles of n_chars per lang (p50/
+    p90/p99 buckets with value bounds): dense (group x bin) bincount
+    partials, one tiny groupby Sum, driver finalize on a |langs| x 63
+    table. Oracle: oracle.QUANTILE_SKETCH (integer-exact bin LUT)."""
+    import ray.data
+
+    from robosat_ray.stages.qsketch import quantile_sketch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return quantile_sketch(docs, "lang", "n_chars")
+
+
 def q_jpeg_features(sf_dir: str):
     """Baseline-JPEG container round trip (the last reference raster
     format, robosat/tiles.py:65-100): blocky Weyl tensors REALLY
@@ -3209,6 +3224,7 @@ QUERIES = {
     "top_tiles": q_top_tiles,
     "media_features": q_media_features,
     "jpeg_features": q_jpeg_features,
+    "quantile_sketch": q_quantile_sketch,
     "ann_ivf": q_ann_ivf,
     "compare_filter": q_compare_filter,
     "subset": q_subset,
@@ -3385,6 +3401,7 @@ ORACLES = {
     "epoch_loss": oracle.EPOCH_LOSS,
     "media_features": oracle.MEDIA_FEATURES,
     "jpeg_features": oracle.JPEG_FEATURES,
+    "quantile_sketch": oracle.QUANTILE_SKETCH,
     "mask_png": oracle.MASK_PNG,
     "pbf_extract": oracle.PBF_EXTRACT,
     "ngram_jaccard": oracle.NGRAM_JACCARD,
