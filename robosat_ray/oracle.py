@@ -1713,6 +1713,47 @@ WITH {_DUP_PAIRS_BODY}
 SELECT a, b FROM dup_pairs
 """
 
+# Delta dedup (incremental ingest): NEW shard (zzvariant copies of
+# doc_id % 3 == 0) near-dup-joined AGAINST the prior corpus — the
+# asymmetric analog of NEAR_DUP; same exact-Jaccard rule, cross-side
+# pairs only. Mirrors stages/neardup.py:delta_dup_pairs_ds (the LSH
+# recall argument is the same as NEAR_DUP's: >1-1e-9 at the variants'
+# j ~ 0.8, so the exact join IS the engine's answer).
+DELTA_DUP = """
+WITH refd AS (SELECT doc_id, text FROM documents),
+newd AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         'zzvariant' || substr(text, strpos(text, ' ')) AS text
+  FROM documents WHERE doc_id % 3 = 0
+),
+rtoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM refd),
+ntoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM newd),
+rsh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS s
+  FROM rtoks WHERE len(l) >= 3
+),
+nsh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS s
+  FROM ntoks WHERE len(l) >= 3
+),
+rcnt AS (SELECT doc_id, COUNT(*) AS n FROM rsh GROUP BY doc_id),
+ncnt AS (SELECT doc_id, COUNT(*) AS n FROM nsh GROUP BY doc_id),
+inter AS (
+  SELECT r.doc_id AS ref_id, n.doc_id AS new_id, COUNT(*) AS i
+  FROM rsh r JOIN nsh n ON r.s = n.s
+  GROUP BY 1, 2
+)
+SELECT i.ref_id, i.new_id
+FROM inter i
+JOIN rcnt cr ON cr.doc_id = i.ref_id
+JOIN ncnt cn ON cn.doc_id = i.new_id
+WHERE CAST(i.i AS DOUBLE) / (cr.n + cn.n - i.i) >= 0.5
+"""
+
 # Connected components over the near-dup pair graph via a recursive
 # reachability CTE (UNION-distinct => finite state => terminates);
 # cluster id = min reachable doc_id; docs outside every pair are

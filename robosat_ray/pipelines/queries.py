@@ -277,6 +277,26 @@ def q_near_dup(sf_dir: str):
     return near_dup_pairs(docs)
 
 
+def q_delta_dup(sf_dir: str):
+    """Delta dedup (incremental ingest): the NEW shard (zzvariant
+    copies of doc_id % 3 == 0) near-dup-joined AGAINST the prior
+    corpus — asymmetric LSH banding (cross-side candidate runs only) +
+    the shared exact-Jaccard co-partition verify. Oracle:
+    oracle.DELTA_DUP."""
+    import pyarrow as _pa
+
+    from robosat_ray.stages.neardup import delta_dup_pairs_ds, delta_shard_batch
+
+    ref = _docs_ds(sf_dir)
+    new = _docs_ds(sf_dir).map_batches(delta_shard_batch, batch_format="pyarrow")
+    pairs = delta_dup_pairs_ds(ref, new)
+
+    def rename(b: _pa.Table) -> _pa.Table:
+        return _pa.table({"ref_id": b.column("a"), "new_id": b.column("b")})
+
+    return pairs.map_batches(rename, batch_format="pyarrow")
+
+
 def q_bpe_tokens(sf_dir: str):
     """BPE-ish regex pretokenization counts (the second half of the
     token-counting brief next to the whitespace tokenizer)."""
@@ -3225,6 +3245,7 @@ QUERIES = {
     "media_features": q_media_features,
     "jpeg_features": q_jpeg_features,
     "quantile_sketch": q_quantile_sketch,
+    "delta_dup": q_delta_dup,
     "ann_ivf": q_ann_ivf,
     "compare_filter": q_compare_filter,
     "subset": q_subset,
@@ -3402,6 +3423,7 @@ ORACLES = {
     "media_features": oracle.MEDIA_FEATURES,
     "jpeg_features": oracle.JPEG_FEATURES,
     "quantile_sketch": oracle.QUANTILE_SKETCH,
+    "delta_dup": oracle.DELTA_DUP,
     "mask_png": oracle.MASK_PNG,
     "pbf_extract": oracle.PBF_EXTRACT,
     "ngram_jaccard": oracle.NGRAM_JACCARD,

@@ -276,13 +276,21 @@ def near_dup_pairs_ds(docs_ds, threshold: float = 0.5):
     j >= 0.5 is 1 - (1 - j^2)^64 > 0.98, and > 1 - 1e-9 for the
     synthetic variants at j ~ 0.8). Verify runs as a distributed
     co-partition join; see module docstring for the scale shape."""
-    import ray
-    import ray.data
-
     bands = docs_ds.map_batches(_band_rows, batch_format="pyarrow")
     cand = bands.groupby("bucket").map_groups(
         _bucket_pairs, batch_format="pandas"
     ).materialize()  # small; consumed by strategy decision + need-rows
+    return _verified_pairs(cand, docs_ds, threshold)
+
+
+def _verified_pairs(cand, docs_ds, threshold: float):
+    """LSH candidate Dataset (a, b) -> exact-Jaccard-verified pairs:
+    the broadcast / co-partition verify switch shared by the self-join
+    (near_dup_pairs_ds) and the cross-corpus delta join
+    (delta_dup_pairs_ds). docs_ds must carry (doc_id, text) for every
+    id appearing in cand."""
+    import ray
+    import ray.data
 
     n_cand = cand.count()
     empty = pd.DataFrame(
@@ -362,6 +370,85 @@ def near_dup_pairs(docs_ds, threshold: float = 0.5) -> pd.DataFrame:
             {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
         )
     return out.astype({"a": np.int64, "b": np.int64})
+
+
+def delta_shard_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> the synthetic NEW shard for the delta-dedup
+    query: a zzvariant copy (id + VARIANT_OFFSET, first token replaced)
+    of every doc_id % 3 == 0 document — mirrored in oracle.DELTA_DUP."""
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    sel = ids % 3 == 0
+    assert len(ids) == 0 or ids.max() < VARIANT_OFFSET
+    v_ids = ids[sel] + VARIANT_OFFSET
+    v_texts = [
+        "zzvariant" + t[t.index(" ") :] if " " in t else "zzvariant"
+        for t, s in zip(texts, sel)
+        if s
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(v_ids),
+            "text": pa.array(v_texts, pa.string()),
+        }
+    )
+
+
+def _bucket_cross_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Within a compact bucket: sort by exact band_key, emit the
+    CROSS-SIDE (ref x new) pairs of each equal-key run (the asymmetric
+    analog of _bucket_pairs; same 200-row run cap)."""
+    keys = group["band_key"].to_numpy()
+    ids = group["doc_id"].to_numpy()
+    sides = group["side"].to_numpy()
+    order = np.lexsort((ids, keys))
+    keys, ids, sides = keys[order], ids[order], sides[order]
+    starts = np.concatenate([[0], np.nonzero(np.diff(keys))[0] + 1, [len(keys)]])
+    out_a, out_b = [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        n = e - s
+        if n < 2 or n > 200:  # cap pathological buckets
+            continue
+        ref = np.unique(ids[s:e][sides[s:e] == 0])
+        new = np.unique(ids[s:e][sides[s:e] == 1])
+        if len(ref) == 0 or len(new) == 0:
+            continue
+        out_a.append(np.repeat(ref, len(new)))
+        out_b.append(np.tile(new, len(ref)))
+    if not out_a:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+        )
+    return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+
+
+def delta_dup_pairs_ds(ref_ds, new_ds, threshold: float = 0.5):
+    """Incremental-ingest near-dup join: (ref_id, new_id) pairs where a
+    NEW shard document has exact shingle Jaccard >= threshold against a
+    PRIOR-corpus document — the asymmetric A x B analog of
+    near_dup_pairs_ds (the reference's dedupe-against-existing
+    semantics, robosat/tools/dedupe.py:31-58, applied to text). Same
+    distributed banding; candidate mining keeps only cross-side pairs
+    (ref x ref and new x new runs emit nothing), then the shared
+    broadcast/co-partition exact verify over the union of both doc
+    sets. doc_id ranges of the two sides must be disjoint."""
+
+    def side_tag(side):
+        def f(batch: pa.Table) -> pa.Table:
+            out = _band_rows(batch)
+            return out.append_column(
+                "side", pa.array(np.full(len(out), side, dtype=np.int8))
+            )
+
+        return f
+
+    bands = ref_ds.map_batches(side_tag(0), batch_format="pyarrow").union(
+        new_ds.map_batches(side_tag(1), batch_format="pyarrow")
+    )
+    cand = bands.groupby("bucket").map_groups(
+        _bucket_cross_pairs, batch_format="pandas"
+    ).materialize()
+    return _verified_pairs(cand, ref_ds.union(new_ds), threshold)
 
 
 def simhash_table(docs_ds):

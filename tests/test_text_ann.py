@@ -589,3 +589,27 @@ def test_token_triangles_known_graph(ray_session):
     )
     out = token_triangles(docs, k=10).set_index("token")["n_tri"].to_dict()
     assert out == {"aa": 1, "bb": 1, "cc": 1}
+
+
+def test_delta_dup_cross_side_and_flip(ray_session, monkeypatch):
+    """Delta dedup: every pair is cross-side (ref < VARIANT_OFFSET <=
+    new), the planted variants are found, and the forced co-partition
+    verify path (BROADCAST_PAIR_CAP=0) is bit-equal to broadcast."""
+    import pandas as pd
+
+    from robosat_ray.pipelines.queries import _docs_ds
+    from robosat_ray.stages import neardup as nd
+
+    sf = "/root/testdata/sf0.001"
+    ref = _docs_ds(sf)
+    new = _docs_ds(sf).map_batches(nd.delta_shard_batch, batch_format="pyarrow")
+    a = nd.delta_dup_pairs_ds(ref, new).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(a) > 0
+    assert (a["a"] < nd.VARIANT_OFFSET).all()
+    assert (a["b"] >= nd.VARIANT_OFFSET).all()
+    # the planted (doc, doc + OFFSET) identity pairs dominate
+    planted = a[a["b"] - nd.VARIANT_OFFSET == a["a"]]
+    assert len(planted) >= 0.5 * len(a["b"].unique())
+    monkeypatch.setattr(nd, "BROADCAST_PAIR_CAP", 0)
+    b = nd.delta_dup_pairs_ds(ref, new).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a.astype(np.int64), b.astype(np.int64))
