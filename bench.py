@@ -122,7 +122,7 @@ def run_bench() -> dict:
         # PNG codec; from-scratch OSM PBF reader); round-5: from-scratch
         # baseline JPEG codec
         "mask_png", "pbf_extract", "ngram_jaccard", "jpeg_features",
-        "quantile_sketch", "delta_dup",
+        "quantile_sketch", "delta_dup", "mvt_tiles",
         # round-4 LLM-data additions: RE2 scrubbing, phrase mining,
         # inverted-index build
         "pii_scrub", "top_bigrams", "postings", "clean_corpus", "geohash", "hilbert", "hexbin", "pagerank", "token_triangles",

@@ -927,6 +927,48 @@ FROM tiles t LEFT JOIN (
 ) p ON p.tx = t.tx AND p.ty = t.ty
 """
 
+# mvt_tiles: footprints -> per-tile REAL Mapbox Vector Tile bytes
+# (codecs/mvt.py) -> stats recomputed from the DECODED geometry/tags.
+# The oracle derives the same numbers straight from the source table's
+# tile-local quantized corners (qx/qy op order mirrored bit-for-bit),
+# so a match gates the whole MVT encode->decode container path.
+MVT_TILES = f"""
+WITH {{feet}},
+cov AS (
+  SELECT f.*, {{tx_minx}} + gx.i AS tx, {{ty_miny}} + gy.j AS ty
+  FROM feet f
+  CROSS JOIN generate_series(0, 8) gx(i)
+  CROSS JOIN generate_series(0, 8) gy(j)
+  WHERE gx.i <= {{tx_maxx}} - {{tx_minx}}
+    AND gy.j <= {{ty_maxy}} - {{ty_miny}}
+),
+corners AS (
+  SELECT c.tx, c.ty, c.feature_id, c.kind,
+         CASE k.k WHEN 0 THEN c.minx WHEN 1 THEN c.maxx WHEN 2 THEN c.maxx ELSE c.minx END AS x,
+         CASE k.k WHEN 0 THEN c.miny WHEN 1 THEN c.miny WHEN 2 THEN c.maxy ELSE c.maxy END AS y
+  FROM cov c CROSS JOIN generate_series(0, 3) k(k)
+),
+q AS (
+  SELECT tx, ty, feature_id, kind,
+         CAST(FLOOR(((x + 180.0) / 360.0 * {_N!r} - tx) * 4096.0 + 0.5) AS BIGINT) AS qx,
+         CAST(FLOOR((y * {_N!r} - ty) * 4096.0 + 0.5) AS BIGINT) AS qy
+  FROM corners
+)
+SELECT tx AS tile_x, ty AS tile_y,
+       CAST(COUNT(DISTINCT feature_id) AS BIGINT) AS n_features,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(qx * 8191 + qy) AS BIGINT) AS vsum,
+       CAST(SUM(feature_id) // 4 AS BIGINT) AS id_sum,
+       CAST(COUNT(DISTINCT CASE WHEN kind = 'building' THEN feature_id END) AS BIGINT) AS n_building
+FROM q GROUP BY tx, ty
+""".format(
+    feet=feet_cte(),
+    tx_minx=tile_x("f.minx"),
+    tx_maxx=tile_x("f.maxx"),
+    ty_miny=tile_y("f.miny"),
+    ty_maxy=tile_y("f.maxy"),
+)
+
 # pbf_extract: the synthesized footprints that survive the reference's
 # building/parking way predicates (osm/building.py:30-37,
 # osm/parking.py:25-30 — the synth corpus carries no filtered

@@ -277,6 +277,16 @@ def q_near_dup(sf_dir: str):
     return near_dup_pairs(docs)
 
 
+def q_mvt_tiles(sf_dir: str):
+    """Vector-tile sink round trip: footprints -> per-covered-tile REAL
+    Mapbox Vector Tile bytes (from-scratch codecs/mvt.py: command
+    stream, zigzag deltas, keys/values tables) -> stats recomputed from
+    the DECODED geometry + tags. Oracle: oracle.MVT_TILES."""
+    from robosat_ray.stages.vtiles import mvt_tile_stats
+
+    return mvt_tile_stats(footprints_dataset(sf_dir))
+
+
 def q_delta_dup(sf_dir: str):
     """Delta dedup (incremental ingest): the NEW shard (zzvariant
     copies of doc_id % 3 == 0) near-dup-joined AGAINST the prior
@@ -3246,6 +3256,7 @@ QUERIES = {
     "jpeg_features": q_jpeg_features,
     "quantile_sketch": q_quantile_sketch,
     "delta_dup": q_delta_dup,
+    "mvt_tiles": q_mvt_tiles,
     "ann_ivf": q_ann_ivf,
     "compare_filter": q_compare_filter,
     "subset": q_subset,
@@ -3424,6 +3435,7 @@ ORACLES = {
     "jpeg_features": oracle.JPEG_FEATURES,
     "quantile_sketch": oracle.QUANTILE_SKETCH,
     "delta_dup": oracle.DELTA_DUP,
+    "mvt_tiles": oracle.MVT_TILES,
     "mask_png": oracle.MASK_PNG,
     "pbf_extract": oracle.PBF_EXTRACT,
     "ngram_jaccard": oracle.NGRAM_JACCARD,
