@@ -139,6 +139,80 @@ def read_partitioned(root: str):
     return ds
 
 
+def write_slippy_tree(
+    tiles_ds,
+    root: str,
+    z: int,
+    ext: str,
+    data_col: str = "data",
+    resume: bool = True,
+) -> pd.DataFrame:
+    """Rows (tile_x, tile_y, <data_col>: binary) -> a REAL slippy-map
+    tile tree `{root}/{z}/{x}/{y}.{ext}` — the reference's on-disk
+    output layout (robosat/tools/rasterize.py + tiles.py write/read
+    exactly this z/x/y scheme). Writes are atomic (temp + rename);
+    resume=True skips tiles whose file already exists (the reference's
+    file-existence resume, robosat/tools/download.py:48-49). Runs
+    distributed as one map_batches over the tile rows (each tile is an
+    independent file; on a cluster `root` is the shared store).
+    Returns the manifest (tile_x, tile_y, n_bytes, skipped)."""
+    os.makedirs(os.path.join(root, str(z)), exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        txs = batch.column("tile_x").to_numpy()
+        tys = batch.column("tile_y").to_numpy()
+        datas = batch.column(data_col).to_pylist()
+        nb = np.zeros(len(txs), dtype=np.int64)
+        skipped = np.zeros(len(txs), dtype=bool)
+        for i, (tx, ty, d) in enumerate(zip(txs, tys, datas)):
+            xdir = os.path.join(root, str(z), str(int(tx)))
+            path = os.path.join(xdir, f"{int(ty)}.{ext}")
+            if resume and os.path.exists(path):
+                skipped[i] = True
+                nb[i] = os.path.getsize(path)
+                continue
+            os.makedirs(xdir, exist_ok=True)
+            tmp = os.path.join(xdir, f".{int(ty)}.{ext}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(d)
+            os.replace(tmp, path)
+            nb[i] = len(d)
+        return pa.table(
+            {
+                "tile_x": batch.column("tile_x"),
+                "tile_y": batch.column("tile_y"),
+                "n_bytes": pa.array(nb),
+                "skipped": pa.array(skipped),
+            }
+        )
+
+    return tiles_ds.map_batches(write_batch, batch_format="pyarrow").to_pandas()
+
+
+def read_slippy_tree(root: str, z: int, ext: str) -> pd.DataFrame:
+    """Walk `{root}/{z}/{x}/{y}.{ext}` back into rows (tile_x, tile_y,
+    data) — the reference's loader direction (robosat/tiles.py slippy
+    walk)."""
+    rows = {"tile_x": [], "tile_y": [], "data": []}
+    zdir = os.path.join(root, str(z))
+    for xname in sorted(os.listdir(zdir), key=int):
+        xdir = os.path.join(zdir, xname)
+        for yname in sorted(os.listdir(xdir)):
+            if not yname.endswith(f".{ext}") or yname.startswith("."):
+                continue
+            with open(os.path.join(xdir, yname), "rb") as f:
+                rows["tile_x"].append(int(xname))
+                rows["tile_y"].append(int(yname.split(".", 1)[0]))
+                rows["data"].append(f.read())
+    return pd.DataFrame(
+        {
+            "tile_x": np.array(rows["tile_x"], dtype=np.int64),
+            "tile_y": np.array(rows["tile_y"], dtype=np.int64),
+            "data": pd.Series(rows["data"], dtype=object),
+        }
+    )
+
+
 def verify_manifests(root: str) -> pd.DataFrame:
     """Re-read each completed partition and check rows+checksum against
     its manifest (resume-equals-single-run evidence)."""

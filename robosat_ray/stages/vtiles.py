@@ -50,13 +50,53 @@ def _explode(batch: pa.Table, z: int) -> pa.Table:
     )
 
 
-def mvt_tile_stats(feet_ds, z: int = C.Z_JOIN, extent: int = 4096):
-    """-> Dataset (tile_x, tile_y, n_features, n_vertices, vsum,
-    id_sum, n_building) — every stat computed from DECODED MVT bytes."""
-    from robosat_ray.codecs.mvt import decode_mvt, encode_mvt
-    from robosat_ray.functions.hashing import hash_bucket2
-
+def _tile_groups(group: pd.DataFrame, z: int, extent: int):
+    """Bucket group -> yields (tx, ty, features list) per tile with
+    tile-local quantized rect rings (numpy boundary scan; op order of
+    the quantization mirrored in the oracle:
+    qx = floor(((x + 180)/360 * N - tx) * extent + 0.5))."""
     N = float(1 << z)
+    txa = group["tile_x"].to_numpy(np.int64)
+    tya = group["tile_y"].to_numpy(np.int64)
+    fid = group["feature_id"].to_numpy(np.int64)
+    kind = group["kind"].to_numpy()
+    minx = group["minx"].to_numpy(np.float64)
+    miny = group["miny"].to_numpy(np.float64)
+    maxx = group["maxx"].to_numpy(np.float64)
+    maxy = group["maxy"].to_numpy(np.float64)
+    order = np.lexsort((fid, tya, txa))
+    txa, tya, fid, kind = txa[order], tya[order], fid[order], kind[order]
+    minx, miny, maxx, maxy = minx[order], miny[order], maxx[order], maxy[order]
+    qx0 = np.floor(((minx + 180.0) / 360.0 * N - txa) * float(extent) + 0.5).astype(np.int64)
+    qx1 = np.floor(((maxx + 180.0) / 360.0 * N - txa) * float(extent) + 0.5).astype(np.int64)
+    qy0 = np.floor((miny * N - tya) * float(extent) + 0.5).astype(np.int64)
+    qy1 = np.floor((maxy * N - tya) * float(extent) + 0.5).astype(np.int64)
+    m = len(txa)
+    change = np.empty(m, dtype=bool)
+    if m:
+        change[0] = True
+        change[1:] = (txa[1:] != txa[:-1]) | (tya[1:] != tya[:-1])
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], m)
+    for s, e in zip(starts, ends):
+        feats = [
+            {
+                "id": int(fid[i]),
+                "rings": [
+                    (
+                        np.array([qx0[i], qx1[i], qx1[i], qx0[i]], np.int64),
+                        np.array([qy0[i], qy0[i], qy1[i], qy1[i]], np.int64),
+                    )
+                ],
+                "tags": {"kind": str(kind[i])},
+            }
+            for i in range(s, e)
+        ]
+        yield int(txa[s]), int(tya[s]), feats
+
+
+def _tagged_explode(feet_ds, z: int):
+    from robosat_ray.functions.hashing import hash_bucket2
 
     def tag(b: pa.Table) -> pa.Table:
         ex = _explode(b, z)
@@ -69,49 +109,20 @@ def mvt_tile_stats(feet_ds, z: int = C.Z_JOIN, extent: int = 4096):
             ),
         )
 
+    return feet_ds.map_batches(tag, batch_format="pyarrow")
+
+
+def mvt_tile_stats(feet_ds, z: int = C.Z_JOIN, extent: int = 4096):
+    """-> Dataset (tile_x, tile_y, n_features, n_vertices, vsum,
+    id_sum, n_building) — every stat computed from DECODED MVT bytes."""
+    from robosat_ray.codecs.mvt import decode_mvt, encode_mvt
+
     def encode_decode_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        txa = group["tile_x"].to_numpy(np.int64)
-        tya = group["tile_y"].to_numpy(np.int64)
-        fid = group["feature_id"].to_numpy(np.int64)
-        kind = group["kind"].to_numpy()
-        minx = group["minx"].to_numpy(np.float64)
-        miny = group["miny"].to_numpy(np.float64)
-        maxx = group["maxx"].to_numpy(np.float64)
-        maxy = group["maxy"].to_numpy(np.float64)
-        order = np.lexsort((fid, tya, txa))
-        txa, tya, fid, kind = txa[order], tya[order], fid[order], kind[order]
-        minx, miny, maxx, maxy = minx[order], miny[order], maxx[order], maxy[order]
-        # tile-local quantization — op order mirrored in the oracle:
-        # qx = floor(((x + 180)/360 * N - tx) * extent + 0.5)
-        qx0 = np.floor(((minx + 180.0) / 360.0 * N - txa) * float(extent) + 0.5).astype(np.int64)
-        qx1 = np.floor(((maxx + 180.0) / 360.0 * N - txa) * float(extent) + 0.5).astype(np.int64)
-        qy0 = np.floor((miny * N - tya) * float(extent) + 0.5).astype(np.int64)
-        qy1 = np.floor((maxy * N - tya) * float(extent) + 0.5).astype(np.int64)
-        m = len(txa)
-        change = np.empty(m, dtype=bool)
-        if m:
-            change[0] = True
-            change[1:] = (txa[1:] != txa[:-1]) | (tya[1:] != tya[:-1])
-        starts = np.nonzero(change)[0]
-        ends = np.append(starts[1:], m)
         out = {
             "tile_x": [], "tile_y": [], "n_features": [], "n_vertices": [],
             "vsum": [], "id_sum": [], "n_building": [],
         }
-        for s, e in zip(starts, ends):
-            feats = [
-                {
-                    "id": int(fid[i]),
-                    "rings": [
-                        (
-                            np.array([qx0[i], qx1[i], qx1[i], qx0[i]], np.int64),
-                            np.array([qy0[i], qy0[i], qy1[i], qy1[i]], np.int64),
-                        )
-                    ],
-                    "tags": {"kind": str(kind[i])},
-                }
-                for i in range(s, e)
-            ]
+        for tx, ty, feats in _tile_groups(group, z, extent):
             buf = encode_mvt("footprints", feats, extent=extent)
             lay = decode_mvt(buf)[0]
             assert lay["name"] == "footprints" and lay["extent"] == extent
@@ -125,8 +136,8 @@ def mvt_tile_stats(feet_ds, z: int = C.Z_JOIN, extent: int = 4096):
                 vs += int((rx * _VS_MIX + ry).sum())
                 ids += int(f["id"])
                 nb += int(f["tags"]["kind"] == "building")
-            out["tile_x"].append(int(txa[s]))
-            out["tile_y"].append(int(tya[s]))
+            out["tile_x"].append(tx)
+            out["tile_y"].append(ty)
             out["n_features"].append(len(lay["features"]))
             out["n_vertices"].append(nv)
             out["vsum"].append(vs)
@@ -135,7 +146,34 @@ def mvt_tile_stats(feet_ds, z: int = C.Z_JOIN, extent: int = 4096):
         return pd.DataFrame({k: np.array(v, dtype=np.int64) for k, v in out.items()})
 
     return (
-        feet_ds.map_batches(tag, batch_format="pyarrow")
+        _tagged_explode(feet_ds, z)
         .groupby("bucket")
         .map_groups(encode_decode_bucket, batch_format="pandas")
+    )
+
+
+def mvt_tile_payloads(feet_ds, z: int = C.Z_JOIN, extent: int = 4096):
+    """-> Dataset (tile_x, tile_y, data: binary) of real MVT payloads —
+    the tile-store artifact; pair with runtime.resume.write_slippy_tree
+    for the reference's on-disk {z}/{x}/{y} layout."""
+    from robosat_ray.codecs.mvt import encode_mvt
+
+    def encode_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out_x, out_y, out_b = [], [], []
+        for tx, ty, feats in _tile_groups(group, z, extent):
+            out_x.append(tx)
+            out_y.append(ty)
+            out_b.append(encode_mvt("footprints", feats, extent=extent))
+        return pd.DataFrame(
+            {
+                "tile_x": np.array(out_x, dtype=np.int64),
+                "tile_y": np.array(out_y, dtype=np.int64),
+                "data": pd.Series(out_b, dtype=object),
+            }
+        )
+
+    return (
+        _tagged_explode(feet_ds, z)
+        .groupby("bucket")
+        .map_groups(encode_bucket, batch_format="pandas")
     )

@@ -90,3 +90,78 @@ def test_seam_errors():
     bad = M.encode_varints(np.array([M._cmd(5, 1)], np.uint64))
     with pytest.raises(NotImplementedError, match="seam"):
         M.decode_geometry(M.decode_varints(bad))
+
+
+def test_slippy_tree_mvt_roundtrip_and_resume(ray_session, tmp_path):
+    """Real {z}/{x}/{y}.mvt tree on disk: write from the distributed
+    payload pipeline, walk it back, decode every file; a second write
+    skips every existing tile (reference file-existence resume)."""
+    from robosat_ray import constants as C
+    from robosat_ray.runtime.resume import read_slippy_tree, write_slippy_tree
+    from robosat_ray.stages.vtiles import mvt_tile_payloads
+    from robosat_ray.synth.footprints import footprints_dataset
+
+    sf = "/root/testdata/sf0.001"
+    tiles = mvt_tile_payloads(footprints_dataset(sf)).materialize()
+    root = str(tmp_path / "vtree")
+    man = write_slippy_tree(tiles, root, z=C.Z_JOIN, ext="mvt")
+    assert len(man) == tiles.count() and not man["skipped"].any()
+    assert (man["n_bytes"] > 0).all()
+
+    back = read_slippy_tree(root, z=C.Z_JOIN, ext="mvt")
+    src = tiles.to_pandas().sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    back = back.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    assert len(back) == len(src)
+    assert all(bytes(a) == bytes(b) for a, b in zip(back["data"], src["data"]))
+    for payload in back["data"].head(5):
+        lay = M.decode_mvt(bytes(payload))[0]
+        assert lay["name"] == "footprints" and len(lay["features"]) > 0
+
+    man2 = write_slippy_tree(tiles, root, z=C.Z_JOIN, ext="mvt")
+    assert man2["skipped"].all()
+
+
+def test_slippy_tree_png_masks(ray_session, tmp_path):
+    """The reference's mask output layout end-to-end: rasterize ->
+    paletted PNG bytes -> {z}/{x}/{y}.png tree -> walk + decode ->
+    masks bit-equal to the burned originals."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from robosat_ray import constants as C
+    from robosat_ray.codecs.palette import decode_mask_png, encode_mask_png
+    from robosat_ray.runtime.resume import read_slippy_tree, write_slippy_tree
+    from robosat_ray.stages.rasterize import rasterize
+    from robosat_ray.synth.footprints import footprints_dataset
+
+    sf = "/root/testdata/sf0.001"
+    masks = rasterize(footprints_dataset(sf), size=64).materialize()
+
+    def to_png(batch: pa.Table) -> pa.Table:
+        sizes = batch.column("size").to_numpy()
+        out = [
+            encode_mask_png(np.frombuffer(d, np.uint8).reshape(int(s), int(s)))
+            for s, d in zip(sizes, batch.column("data").to_pylist())
+        ]
+        return pa.table(
+            {
+                "tile_x": batch.column("tile_x"),
+                "tile_y": batch.column("tile_y"),
+                "data": pa.array(out, pa.binary()),
+            }
+        )
+
+    pngs = masks.map_batches(to_png, batch_format="pyarrow")
+    root = str(tmp_path / "masks")
+    man = write_slippy_tree(pngs, root, z=C.Z_JOIN, ext="png")
+    assert (man["n_bytes"] > 0).all()
+
+    back = read_slippy_tree(root, z=C.Z_JOIN, ext="png")
+    src = masks.to_pandas().set_index(["tile_x", "tile_y"])
+    assert len(back) == len(src)
+    for _, r in back.head(20).iterrows():
+        idx, pal = decode_mask_png(bytes(r["data"]))
+        want = np.frombuffer(
+            src.loc[(r["tile_x"], r["tile_y"])]["data"], np.uint8
+        ).reshape(idx.shape)
+        np.testing.assert_array_equal(idx, want)
