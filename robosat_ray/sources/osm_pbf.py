@@ -188,17 +188,42 @@ def scan_blobs(path: str) -> list[dict]:
 
 
 def _inflate_blob(buf: memoryview) -> bytes:
-    raw, zdata = None, None
+    """Blob message -> inflated payload. Envelope variants per the
+    fileformat spec: raw=1, zlib_data=3, lzma_data=4, OBSOLETE
+    bzip2_data=5 (still decodable; stdlib bz2), lz4_data=6 /
+    zstd_data=7 (codecs not in this environment — the remaining
+    documented seam)."""
+    raw = zdata = xzdata = bzdata = None
+    other = None
     for field, wt, val in _walk_fields(buf):
         if field == 1 and wt == 2:
             raw = bytes(val)
         elif field == 3 and wt == 2:
             zdata = bytes(val)
+        elif field == 4 and wt == 2:
+            xzdata = bytes(val)
+        elif field == 5 and wt == 2:
+            bzdata = bytes(val)
+        elif field in (6, 7) and wt == 2:
+            other = field
     if raw is not None:
         return raw
     if zdata is not None:
         return zlib.decompress(zdata)
-    raise NotImplementedError("Blob without raw/zlib_data (lzma/bzip2 seam)")
+    if xzdata is not None:
+        import lzma
+
+        return lzma.decompress(xzdata)
+    if bzdata is not None:
+        import bz2
+
+        return bz2.decompress(bzdata)
+    if other is not None:
+        raise NotImplementedError(
+            f"Blob field {other} ({'lz4' if other == 6 else 'zstd'}_data) "
+            "needs a codec not in this environment (seam)"
+        )
+    raise NotImplementedError("Blob without a known payload field (seam)")
 
 
 # --------------------------------------------------------------------------

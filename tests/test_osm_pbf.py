@@ -246,3 +246,50 @@ def test_extract_rasterize_parity_sf001(ray_session, tmp_path):
     b = norm(rasterize(synth_q, size=64))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0 and (a["fg"] > 0).any()
+
+
+def test_blob_envelopes_lzma_bzip2(ray_session, tmp_path):
+    """PBF blob envelope variants beyond zlib: lzma_data (field 4,
+    both .lzma-alone and .xz containers) and the obsolete bzip2_data
+    (field 5) decode via the stdlib; lz4/zstd stay a documented seam."""
+    import bz2
+    import lzma
+    import struct
+
+    def blob_bytes(kind, payload, field, comp):
+        body = P._vi(2, len(payload)) + P._ld(field, comp)
+        header = P._ld(1, kind.encode()) + P._vi(3, len(body))
+        return struct.pack(">I", len(header)) + header + body
+
+    b1 = P.build_primitive_block(
+        np.array([1, 2, 3, 4], np.int64),
+        np.array([0, 1000, 1000, 0], np.int64) * 10**6,
+        np.array([0, 0, 1000, 1000], np.int64) * 10**6,
+        [(100, np.array([1, 2, 3, 4, 1], np.int64), [("building", "yes")])],
+    )
+    b2 = P.build_primitive_block(
+        np.array([5, 6, 7, 8], np.int64),
+        np.array([2000, 3000, 3000, 2000], np.int64) * 10**6,
+        np.array([0, 0, 1000, 1000], np.int64) * 10**6,
+        [(200, np.array([5, 6, 7, 8, 5], np.int64), [("amenity", "parking")])],
+    )
+    header_block = P._ld(4, b"OsmSchema-V0.6") + P._ld(4, b"DenseNodes")
+    path = str(tmp_path / "mixed.osm.pbf")
+    with open(path, "wb") as fp:
+        fp.write(blob_bytes("OSMHeader", header_block, 1, header_block))  # raw
+        fp.write(
+            blob_bytes("OSMData", b1, 4, lzma.compress(b1, format=lzma.FORMAT_ALONE))
+        )
+        fp.write(blob_bytes("OSMData", b2, 5, bz2.compress(b2)))
+    nodes, ways = P.read_pbf(path)
+    nd = nodes.to_pandas().sort_values("node_id")
+    assert nd["node_id"].tolist() == [1, 2, 3, 4, 5, 6, 7, 8]
+    assert set(ways.to_pandas()["way_id"]) == {100, 200}
+
+    # xz container decodes through the same field
+    assert P._inflate_blob(
+        memoryview(P._vi(2, len(b1)) + P._ld(4, lzma.compress(b1)))
+    ) == b1
+    # lz4/zstd fields raise at the seam
+    with pytest.raises(NotImplementedError, match="lz4"):
+        P._inflate_blob(memoryview(P._vi(2, 3) + P._ld(6, b"xyz")))
